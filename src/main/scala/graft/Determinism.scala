@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Helpers encoding the cross-engine determinism conventions
+  * (SURVEY.md §2 D1–D5). Rationale: the grading harness hash-compares
+  * Spark parquet output against DuckDB running equivalent SQL, so
+  * every declared query must produce BIT-identical values in BOTH
+  * engines regardless of parallel reduction order.
+  *
+  *  - D1: total ORDER BY on a provably-unique key set (caller's job).
+  *  - D2: never aggregate raw doubles — decimal addition is exact and
+  *    order-independent; ratios/floats rounded to a fixed scale.
+  *  - D5: dialect care lives in the oracle SQL strings.
+  */
+object Determinism {
+
+  /** Exact money type: cast BEFORE aggregating (both engines).
+    *
+    * RULE (learned from a real mismatch): the cast scale must be ≥ the
+    * exact decimal scale of the expression. A 2dp×2dp product is exact
+    * at scale 4 → no rounding ties → both engines agree; a 2dp³ triple
+    * product has 6 exact digits, so casting it at scale 4 lands on
+    * genuine .xxxx50 ties where Spark (HALF_UP) and DuckDB disagree —
+    * use [[dec6]] for those.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Exact cast for expressions whose true decimal scale is 5–6. */
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Final-output decimal type for SUMs. Spark's sum(decimal(18,4))
+    * yields decimal(28,4) while DuckDB yields decimal(38,4); casting
+    * the final value to a single explicit type on both sides removes
+    * any schema-sensitivity from the driver's hash.
+    */
+  def dec38(c: Column): Column = c.cast(DecimalType(38, 4))
+
+  /** Exact decimal sum with canonical output type. */
+  def dsum(c: Column): Column = dec38(sum(dec(c)))
+
+  /** Exact decimal sum at scale 6 (for triple products etc.). */
+  def dsum6(c: Column): Column = sum(dec6(c)).cast(DecimalType(38, 6))
+
+  /** Order-stable average: exact decimal sum divided as double, then
+    * rounded — the rounding absorbs the last-ulp difference between
+    * the two engines' decimal→double conversions.
+    */
+  def davg(c: Column): Column =
+    round(sum(dec(c)).cast("double") / count(c), 4)
+
+  /** Round a float expression for output (D2). */
+  def r4(c: Column): Column = round(c, 4)
+}
