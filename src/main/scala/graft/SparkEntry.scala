@@ -8,9 +8,11 @@ object SparkEntry {
     JoinQueries.joinStar(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AggQueries.queries ++ JoinQueries.queries
+    AggQueries.queries ++ JoinQueries.queries ++
+    ScanQueries.queries ++ SortSetQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    AggQueries.oracle ++ JoinQueries.oracle
+    AggQueries.oracle ++ JoinQueries.oracle ++
+    ScanQueries.oracle ++ SortSetQueries.oracle
 }
