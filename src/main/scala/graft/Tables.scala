@@ -48,8 +48,10 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
       .withColumn("ts_nanos", col("ts"))
-      // floor-division is exact for the positive epoch nanos present
-      .withColumn("ts2", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral `div`, NOT `/`: Spark's `/` is double division and
+      // epoch nanos (~1.7e18) exceed double's 53-bit mantissa → ±1µs
+      // drift vs DuckDB's exact truncation (caught by q_join_asof)
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
       .drop("ts")
   }
 }

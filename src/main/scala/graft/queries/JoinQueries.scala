@@ -5,7 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.Determinism._
 
-/** Join operators (SURVEY.md §2-B #6–#16). */
+/** Join operators (SURVEY.md §2-B #6–#16).
+  *
+  * Scale notes per join kind:
+  *  - fact⋈fact equi joins (inner/full): shuffle-hash/sort-merge on
+  *    the key — at 100 TB both sides would be bucketed on orderkey so
+  *    the Exchange disappears; the declared plan is identical.
+  *  - fact⋈dim: explicit `broadcast()` hints on the small side (dims
+  *    here are ≤20k rows even at sf0.1) → BroadcastHashJoin, no
+  *    shuffle of the fact table.
+  *  - theta/range: broadcast-nested-loop with the SMALL side
+  *    broadcast; the range join is a dim-bucket broadcast (7 rows) so
+  *    NL cost is rows×7, linear.
+  *  - as-of: implemented as join + partial-aggregable max(struct) —
+  *    NOT a window over the exploded pairs — so map-side combine
+  *    keeps the shuffle small (see [[joinAsof]]).
+  */
 object JoinQueries {
 
   /** #16 q_join_star — flagship multi-join (TPC-H Q5 shape): revenue
@@ -47,9 +62,211 @@ object JoinQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** #6 q_join_inner — fact⋈fact equi join on the shuffle (SMJ/SHJ)
+    * scale path; aggregated so the output stays small while the join
+    * processes every row. */
+  def joinInner(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderstatus"), col("l_returnflag"))
+
+  /** #7 q_join_broadcast — fact⋈dim with an explicit broadcast hint
+    * (plan asserted BroadcastHashJoin in JoinPlanSpec). */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+
+  /** #8 q_join_left — left outer + null-extension arithmetic. All
+    * custkeys have orders (FIXTURES), so misses are manufactured by
+    * pre-filtering the right side to high-value urgent orders. */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val big = orders(s, d)
+      .filter(col("o_totalprice") > 250000 && col("o_orderpriority") === "1-URGENT")
+    customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_big"),
+        coalesce(dsum(col("o_totalprice")), dec38(lit(0))).as("sum_big"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** #9 q_join_full — full outer between two filtered per-customer
+    * aggregates (each side misses some custkeys). */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey").as("a_custkey")).agg(count(lit(1)).as("n_p"))
+    val b = o.filter(col("o_totalprice") > 300000)
+      .groupBy(col("o_custkey").as("b_custkey")).agg(count(lit(1)).as("n_big"))
+    a.join(b, col("a_custkey") === col("b_custkey"), "full")
+      .select(coalesce(col("a_custkey"), col("b_custkey")).as("custkey"),
+        coalesce(col("n_p"), lit(0L)).as("n_p"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"))
+      .orderBy(col("custkey"))
+  }
+
+  /** #10 q_join_semi — EXISTS via left-semi (no right columns, no
+    * row multiplication; Catalyst plans the same for a rewritten
+    * EXISTS subquery). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** #11 q_join_anti — NOT EXISTS via left-anti: parts with no
+    * shipment after 2001-01-01. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .join(lineitem(s, d).filter(col("l_shipdate") >= lit("2001-01-01")),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
+  /** #12 q_join_cross — cartesian product of the two fixed-size dims
+    * (5×25); any bigger cross is a design bug at scale. */
+  def joinCross(s: SparkSession, d: String): DataFrame =
+    region(s, d).crossJoin(nation(s, d))
+      .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+      .orderBy(col("r_regionkey"), col("n_nationkey"))
+
+  /** #13 q_join_theta — inequality join (broadcast-nested-loop path),
+    * aggregated per supplier. */
+  def joinTheta(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(supplier(s, d)), col("s_acctbal") > col("c_acctbal"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_poorer_cust"))
+      .orderBy(col("s_suppkey"))
+
+  /** #14 q_join_range — point-in-range join of orders against an
+    * inline year-bucket dimension (7 rows, broadcast NL ⇒ linear). */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val years = (1995 to 2001).map(y => (y, s"$y-01-01", s"${y + 1}-01-01"))
+      .toDF("yr", "d_start_s", "d_end_s")
+      .select(col("yr"), to_timestamp(col("d_start_s")).as("d_start"),
+        to_timestamp(col("d_end_s")).as("d_end"))
+    orders(s, d)
+      .join(broadcast(years),
+        col("o_orderdate") >= col("d_start") && col("o_orderdate") < col("d_end"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("yr"))
+  }
+
+  /** #15 q_join_asof — for each purchase event, the latest
+    * prior-or-equal signup by the same user.
+    *
+    * Spark has no ASOF join; rather than the window-over-joined-pairs
+    * form (full sort of the exploded pairs), pairs are reduced with a
+    * partial-aggregable `max(struct(ts, id))` — map-side combine
+    * shrinks each partition to one candidate per purchase before the
+    * shuffle. At 100 TB: range-partition both sides by (user, time)
+    * and this same aggregation stays the scale path.
+    */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts2").as("p_ts"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts2").as("s_ts"),
+        col("event_id").as("s_id"))
+    p.join(sg, col("user_id") === col("s_user") && col("s_ts") <= col("p_ts"))
+      .groupBy(col("p_id"), col("user_id"), col("p_ts"))
+      .agg(max(struct(col("s_ts"), col("s_id"))).as("m"))
+      .select(col("p_id"), col("user_id"), col("p_ts"),
+        col("m.s_ts").as("signup_ts"), col("m.s_id").as("signup_event"))
+      .orderBy(col("p_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_join_star" -> (joinStar _))
+    "q_join_star" -> (joinStar _),
+    "q_join_inner" -> (joinInner _),
+    "q_join_broadcast" -> (joinBroadcast _),
+    "q_join_left" -> (joinLeft _),
+    "q_join_full" -> (joinFull _),
+    "q_join_semi" -> (joinSemi _),
+    "q_join_anti" -> (joinAnti _),
+    "q_join_cross" -> (joinCross _),
+    "q_join_theta" -> (joinTheta _),
+    "q_join_range" -> (joinRange _),
+    "q_join_asof" -> (joinAsof _))
 
   val oracle: Map[String, String] = Map(
-    "q_join_star" -> joinStarSql)
+    "q_join_star" -> joinStarSql,
+    "q_join_inner" ->
+      """SELECT o_orderstatus, l_returnflag, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus, l_returnflag
+        |ORDER BY o_orderstatus, l_returnflag""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_big,
+        | COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)),
+        |          CAST(0 AS DECIMAL(38,4))) AS sum_big
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders
+        |  WHERE o_totalprice > 250000 AND o_orderpriority = '1-URGENT') o
+        | ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+        | COALESCE(n_p, 0) AS n_p, COALESCE(n_big, 0) AS n_big
+        |FROM (SELECT o_custkey, COUNT(*) AS n_p FROM orders
+        |      WHERE o_orderstatus = 'P' GROUP BY o_custkey) a
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+        |      WHERE o_totalprice > 300000 GROUP BY o_custkey) b
+        | ON a.o_custkey = b.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY p_partkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "q_join_theta" ->
+      """SELECT s_suppkey, COUNT(*) AS n_poorer_cust
+        |FROM customer JOIN supplier ON s_acctbal > c_acctbal
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT yr, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+        |FROM orders JOIN (
+        |  SELECT yr, make_timestamp(yr, 1, 1, 0, 0, 0) AS d_start,
+        |         make_timestamp(yr + 1, 1, 1, 0, 0, 0) AS d_end
+        |  FROM (SELECT UNNEST(range(1995, 2002)) AS yr)) y
+        | ON o_orderdate >= d_start AND o_orderdate < d_end
+        |GROUP BY yr ORDER BY yr""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p_id, user_id, p_ts, signup_ts, signup_event FROM (
+        |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+        |         s.ts AS signup_ts, s.event_id AS signup_event,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |           ORDER BY s.ts DESC, s.event_id DESC) AS rn
+        |  FROM events p
+        |  JOIN events s ON s.user_id = p.user_id AND s.ts <= p.ts
+        |   AND s.event_type = 'signup'
+        |  WHERE p.event_type = 'purchase') t
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin)
 }
