@@ -44,9 +44,135 @@ object AggQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** #17 q_agg_global — grand aggregate, no keys: one partial agg per
+    * partition, one-row final combine — the cheapest shuffle there is. */
+  def aggGlobal(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      davg(col("l_discount")).as("avg_disc"))
+
+  /** #19 q_agg_distinct — COUNT/SUM(DISTINCT): Catalyst plans Expand +
+    * two aggregation rounds; distinct-on-decimal keeps the SUM exact. */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        dec38(sum_distinct(dec(col("o_totalprice")))).as("sum_distinct_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  /** #20 q_agg_having — post-aggregation filter (Catalyst pushes it
+    * into the final HashAggregate's result projection). */
+  def aggHaving(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("o_custkey"))
+
+  /** #21 q_agg_rollup — hierarchical subtotals region→nation→grand
+    * with GROUPING() markers disambiguating the generated NULLs. */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping(col("r_name")).as("g_r"), grouping(col("n_name")).as("g_n"),
+        count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .select(col("g_r"), col("g_n"),
+        col("r_name"), col("n_name"), col("n_cust"), col("sum_bal"))
+      .orderBy(col("g_r"), col("g_n"),
+        asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** #22 q_agg_cube — all key subsets over returnflag×linestatus. */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).as("g_f"),
+        grouping(col("l_linestatus")).as("g_s"),
+        count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("g_f"), col("g_s"),
+        col("l_returnflag"), col("l_linestatus"), col("n_rows"), col("sum_qty"))
+      .orderBy(col("g_f"), col("g_s"),
+        asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** #23 q_agg_gsets — explicit GROUPING SETS; the SAME SQL text runs
+    * in Spark (over a temp view) and in the DuckDB oracle. */
+  val aggGsetsSql: String =
+    """SELECT GROUPING(o_orderstatus) AS g_s, GROUPING(o_orderpriority) AS g_p,
+      | o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  def aggGsets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(aggGsetsSql)
+  }
+
+  /** #24 q_agg_collect — ordered list aggregation: collect_list is
+    * unordered across partitions, so sort INSIDE the array (exact for
+    * int lists) to make the value deterministic. */
+  def aggCollect(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000)
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"))
+      .orderBy(col("o_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_group" -> (aggGroup _))
+    "q_agg_group" -> (aggGroup _),
+    "q_agg_global" -> (aggGlobal _),
+    "q_agg_distinct" -> (aggDistinct _),
+    "q_agg_having" -> (aggHaving _),
+    "q_agg_rollup" -> (aggRollup _),
+    "q_agg_cube" -> (aggCube _),
+    "q_agg_gsets" -> (aggGsets _),
+    "q_agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
-    "q_agg_group" -> aggGroupSql)
+    "q_agg_group" -> aggGroupSql,
+    "q_agg_global" ->
+      """SELECT COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+        | MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        | ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(l_discount), 4) AS avg_disc
+        |FROM lineitem""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+        | CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_distinct_price,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n,
+        | r_name, n_name, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_bal
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT GROUPING(l_returnflag) AS g_f, GROUPING(l_linestatus) AS g_s,
+        | l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_f, g_s, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_agg_gsets" -> aggGsetsSql,
+    "q_agg_collect" ->
+      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
 }
