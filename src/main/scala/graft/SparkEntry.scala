@@ -9,10 +9,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AggQueries.queries ++ JoinQueries.queries ++
-    ScanQueries.queries ++ SortSetQueries.queries
+    ScanQueries.queries ++ SortSetQueries.queries ++
+    WindowQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     AggQueries.oracle ++ JoinQueries.oracle ++
-    ScanQueries.oracle ++ SortSetQueries.oracle
+    ScanQueries.oracle ++ SortSetQueries.oracle ++
+    WindowQueries.oracle
 }

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.Determinism._
+
+/** Window-function operators (SURVEY.md §2-B #25–#30) and the
+  * batch-equivalent streaming window semantics (#47–#49).
+  *
+  * Scale notes: a window spec `partitionBy(k).orderBy(o)` plans a
+  * single hash shuffle on k followed by a per-partition sort — the
+  * same shape at 100 TB provided the partition key has enough
+  * cardinality (o_custkey / user_id do; a GLOBAL window with no
+  * partitionBy would serialize and is deliberately absent here).
+  * Time windows (#47-49) use the SAME `window()`/`session_window()`
+  * expressions Structured Streaming executes incrementally, so the
+  * batch-graded semantics transfer verbatim to the streaming module.
+  *
+  * Determinism: every window ORDER BY includes a unique tie-break key
+  * (D1); window sums are decimal (D2); rank ratios rounded (D2).
+  */
+object WindowQueries {
+
+  /** #25 q_win_rank — row_number/rank/dense_rank per customer over
+    * orders by price; unique (price, orderkey) order key. */
+  def winRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** #26 q_win_topk — top-3 orders per customer: the windowed-filter
+    * form Catalyst optimizes with a rank-limit pushdown
+    * (WindowGroupLimit) so each partition keeps only 3 rows pre-sort. */
+  def winTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** #27 q_win_lag — lag/lead with defaults over each user's event
+    * timeline (D3 timestamps, event_id tie-break). */
+  def winLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts2"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts2"), col("value"),
+        lag(col("value"), 1, -1.0).over(w).as("prev_value"),
+        lead(col("event_type"), 1, "none").over(w).as("next_type"))
+      .orderBy(col("user_id"), col("ts2"), col("event_id"))
+  }
+
+  /** #28 q_win_running — running decimal sum per customer,
+    * ROWS UNBOUNDED PRECEDING..CURRENT (order-exact via D2). */
+  def winRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        dec38(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** #29 q_win_range_frame — value-based RANGE frame (100 ids back)
+    * on the integer event_id axis, exact decimal sums. */
+  def winRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("event_id"))
+      .rangeBetween(-100, 0)
+    events(s, d)
+      .select(col("event_type"), col("event_id"),
+        count(lit(1)).over(w).as("n_in_range"),
+        dec38(sum(dec(col("value"))).over(w)).as("sum_in_range"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** #30 q_win_analytic — ntile/percent_rank/cume_dist/first/last
+    * with explicit full-partition frames for the value functions. */
+  def winAnalytic(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cume"),
+        first(col("o_orderkey")).over(wFull).as("cheapest_key"),
+        last(col("o_orderkey")).over(wFull).as("priciest_key"))
+      .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  /** #47 q_win_tumbling — 1-hour tumbling window per event_type: the
+    * exact `window()` expression Structured Streaming aggregates
+    * incrementally; batch expands it via Expand+filter. */
+  def winTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** #48 q_win_sliding — 1-hour window sliding every 30 min: each
+    * event lands in 2 windows (Expand ×2 — the generator fan-out). */
+  def winSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts2"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** #49 q_win_session — 5-min-gap session windows per user.
+    * `session_window` is the same expression the streaming engine
+    * executes with a state store; batch plans a sort + merge of
+    * overlapping [ts, ts+gap) intervals per key. */
+  def winSession(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts2"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> (winRank _),
+    "q_win_topk" -> (winTopk _),
+    "q_win_lag" -> (winLag _),
+    "q_win_running" -> (winRunning _),
+    "q_win_range_frame" -> (winRangeFrame _),
+    "q_win_analytic" -> (winAnalytic _),
+    "q_win_tumbling" -> (winTumbling _),
+    "q_win_sliding" -> (winSliding _),
+    "q_win_session" -> (winSession _))
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_lag" ->
+      """SELECT user_id, event_id, ts AS ts2, value,
+        | LAG(value, 1, -1.0) OVER w AS prev_value,
+        | LEAD(event_type, 1, 'none') OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))
+        |   AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_win_range_frame" ->
+      """SELECT event_type, event_id,
+        | COUNT(*) OVER w AS n_in_range,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS sum_in_range
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, event_id""".stripMargin,
+    "q_win_analytic" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        | NTILE(4) OVER w AS quartile,
+        | ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+        | ROUND(CUME_DIST() OVER w, 4) AS cume,
+        | FIRST_VALUE(o_orderkey) OVER wf AS cheapest_key,
+        | LAST_VALUE(o_orderkey) OVER wf AS priciest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+    "q_win_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_win_sliding" ->
+      """SELECT to_timestamp(floor(epoch(ts)/1800)*1800
+        |         - 1800 * shift) AS ws,
+        |       event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        |FROM events, (SELECT UNNEST([0, 1]) AS shift) s
+        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_win_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           < INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_session
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 5 MINUTE AS session_end, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        |FROM islands GROUP BY user_id, island
+        |ORDER BY user_id, session_start""".stripMargin)
+}
