@@ -10,11 +10,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AggQueries.queries ++ JoinQueries.queries ++
     ScanQueries.queries ++ SortSetQueries.queries ++
-    WindowQueries.queries
+    WindowQueries.queries ++ ScalarQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     AggQueries.oracle ++ JoinQueries.oracle ++
     ScanQueries.oracle ++ SortSetQueries.oracle ++
-    WindowQueries.oracle
+    WindowQueries.oracle ++ ScalarQueries.oracle
 }
