@@ -10,11 +10,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AggQueries.queries ++ JoinQueries.queries ++
     ScanQueries.queries ++ SortSetQueries.queries ++
-    WindowQueries.queries ++ ScalarQueries.queries
+    WindowQueries.queries ++ ScalarQueries.queries ++
+    SemiStructQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     AggQueries.oracle ++ JoinQueries.oracle ++
     ScanQueries.oracle ++ SortSetQueries.oracle ++
-    WindowQueries.oracle ++ ScalarQueries.oracle
+    WindowQueries.oracle ++ ScalarQueries.oracle ++
+    SemiStructQueries.oracle
 }
