@@ -11,12 +11,14 @@ object SparkEntry {
     AggQueries.queries ++ JoinQueries.queries ++
     ScanQueries.queries ++ SortSetQueries.queries ++
     WindowQueries.queries ++ ScalarQueries.queries ++
-    SemiStructQueries.queries
+    SemiStructQueries.queries ++ TextQueries.queries ++
+    SimQueries.queries ++ UdxQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     AggQueries.oracle ++ JoinQueries.oracle ++
     ScanQueries.oracle ++ SortSetQueries.oracle ++
     WindowQueries.oracle ++ ScalarQueries.oracle ++
-    SemiStructQueries.oracle
+    SemiStructQueries.oracle ++ TextQueries.oracle ++
+    SimQueries.oracle ++ UdxQueries.oracle
 }

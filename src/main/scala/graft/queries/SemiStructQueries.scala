@@ -38,10 +38,12 @@ object SemiStructQueries {
       .select(col("vec_id"),
         size(col("embedding")).as("dim"),
         // widen float32→double BEFORE rounding: Spark's round preserves
-        // FloatType and a rounded float re-narrows (0.1235 → 0.12349999…)
-        r4(element_at(col("embedding"), 1).cast("double")).as("first_elem"),
-        r4(element_at(col("embedding"), -1).cast("double")).as("last_elem"),
-        r4(element_at(slice(col("embedding"), 3, 2), 1).cast("double")).as("third_elem"),
+        // FloatType and a rounded float re-narrows (0.1235 → 0.12349999…);
+        // `+ 0.0` canonicalizes -0.0 → +0.0 (IEEE) — engines disagree on
+        // the sign of a zero rounded from a small negative
+        (r4(element_at(col("embedding"), 1).cast("double")) + 0.0).as("first_elem"),
+        (r4(element_at(col("embedding"), -1).cast("double")) + 0.0).as("last_elem"),
+        (r4(element_at(slice(col("embedding"), 3, 2), 1).cast("double")) + 0.0).as("third_elem"),
         array_contains(col("embedding"), 0.0f).as("has_zero"))
       .orderBy(col("vec_id"))
 
@@ -82,9 +84,9 @@ object SemiStructQueries {
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "q_array_funcs" ->
       """SELECT vec_id, len(embedding) AS dim,
-        | ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
-        | ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS last_elem,
-        | ROUND(CAST(embedding[3:4][1] AS DOUBLE), 4) AS third_elem,
+        | ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_elem,
+        | ROUND(CAST(embedding[-1] AS DOUBLE), 4) + 0.0 AS last_elem,
+        | ROUND(CAST(embedding[3:4][1] AS DOUBLE), 4) + 0.0 AS third_elem,
         | list_contains(embedding, 0.0) AS has_zero
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_explode" ->

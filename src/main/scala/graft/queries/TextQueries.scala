@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.Determinism._
+
+/** Text-analysis / dedup operators for LLM-data pipelines
+  * (SURVEY.md §2-B #50–#53).
+  *
+  * Scale notes:
+  *  - exact dedup is a hash-partitioned groupBy on a 256-bit content
+  *    hash — shuffles hashes, not full texts, and scales linearly
+  *    (same pattern dedups 100 TB of documents).
+  *  - TF-IDF is pure relational algebra: two aggregations + one
+  *    broadcast of the (tiny) doc-frequency table; the corpus size N
+  *    joins in via a broadcast 1-row aggregate, never `.collect()`.
+  *  - Jaccard self-join is keyed on token (inverted-index join), not
+  *    a cross join; at 100 TB the scale path is MinHash-LSH (see
+  *    graft.functions.MinHashDedup), which bounds candidate pairs per
+  *    band-bucket instead of per token.
+  */
+object TextQueries {
+
+  /** #50 q_dedup_exact — content-hash dedup keeping min doc_id
+    * (deterministic, unlike dropDuplicates row-choice — D4). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** #51 q_text_stats — per-language corpus stats incl. token counts
+    * and the n_chars==length(text) integrity check. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        davg(col("n_chars")).as("avg_chars"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        sum(when(col("n_chars") === length(col("text")), 0).otherwise(1))
+          .as("n_bad_len"))
+      .orderBy(col("lang"))
+
+  /** #52 q_text_tfidf — TF-IDF with top-3 terms per doc. Ranking is
+    * on the ROUNDED score (+ term tie-break): the rounding absorbs
+    * last-ulp ln() differences between engines so the rank is stable. */
+  def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tokens = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        r4(col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** #53 q_text_jaccard — near-dup pairs via inverted-index self-join
+    * on tokens (German subset keeps the candidate set tractable;
+    * the 100 TB path is MinHash-LSH, see class Scaladoc). */
+  def textJaccard(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d).filter(col("lang") === "de")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .distinct()
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = tok.as("a")
+      .join(tok.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sz_a") + col("sz_b") - col("inter")).as("un"),
+        r4(col("inter").cast("double") /
+           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_text_stats" -> (textStats _),
+    "q_text_tfidf" -> (textTfidf _),
+    "q_text_jaccard" -> (textJaccard _))
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)/COUNT(n_chars), 4) AS avg_chars,
+        | SUM(len(string_split(text, ' '))) AS n_tokens,
+        | SUM(CASE WHEN n_chars = LENGTH(text) THEN 0 ELSE 1 END) AS n_bad_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rn FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_text_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS token
+        |    FROM documents WHERE lang = 'de') t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b
+        |    ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |  sa.sz + sb.sz - inter AS un,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM inter
+        | JOIN sizes sa ON sa.doc_id = doc_a
+        | JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)
+}
