@@ -12,7 +12,8 @@ object SparkEntry {
     ScanQueries.queries ++ SortSetQueries.queries ++
     WindowQueries.queries ++ ScalarQueries.queries ++
     SemiStructQueries.queries ++ TextQueries.queries ++
-    SimQueries.queries ++ UdxQueries.queries
+    SimQueries.queries ++ UdxQueries.queries ++
+    DedupQueries.queries ++ TextAnalysisQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +21,6 @@ object SparkEntry {
     ScanQueries.oracle ++ SortSetQueries.oracle ++
     WindowQueries.oracle ++ ScalarQueries.oracle ++
     SemiStructQueries.oracle ++ TextQueries.oracle ++
-    SimQueries.oracle ++ UdxQueries.oracle
+    SimQueries.oracle ++ UdxQueries.oracle ++
+    DedupQueries.oracle ++ TextAnalysisQueries.oracle
 }

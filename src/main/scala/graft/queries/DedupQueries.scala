@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.Determinism._
+
+/** Near-duplicate detection operators for LLM training-data pipelines
+  * (north-star extensions beyond SURVEY.md §2-B #50/#53): MinHash-LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup — each
+  * oracle-graded against DuckDB running the identical algorithm.
+  *
+  * Cross-engine hashing: there is no hash function whose bits match
+  * between Spark and DuckDB builtins (murmur seeds differ), so these
+  * queries derive integer hashes from `md5()` hex (identical in both)
+  * via HEXVAL — a 6-hex-digit (24-bit) positional decode using only
+  * `instr`/`substr` arithmetic, which both dialects share verbatim.
+  * At 100 TB you'd swap HEXVAL for a codegen'd 64-bit Expression
+  * (xxHash of the UTF-8 bytes); the pipeline shape is unchanged.
+  *
+  * Scale notes:
+  *  - MinHash-LSH is THE 100 TB near-dup path: signatures are a
+  *    per-doc aggregation (linear, shuffle on doc_id), candidate
+  *    generation is an equi-join on (band, signature) — bounded by
+  *    bucket sizes, never O(n²) over the corpus.
+  *  - SimHash is one groupBy(doc) + one groupBy(fingerprint): two
+  *    linear shuffles.
+  *  - n-gram/embedding forms are verification-grade (subset-scoped
+  *    here); their 100 TB path is LSH candidates first, these kernels
+  *    second.
+  */
+object DedupQueries {
+
+  /** 24-bit integer from the first 6 hex chars of an md5 expression —
+    * same SQL text valid in Spark and DuckDB. */
+  private def hexval(m: String): String =
+    (1 to 6).map(j =>
+      s"(instr('0123456789abcdef', substr($m, $j, 1)) - 1) * ${math.pow(16, 6 - j).toLong}"
+    ).mkString("(", " + ", ")")
+
+  // ---------------------------------------------------------------
+  // #59 q_dedup_minhash — MinHash(16) signatures, 4 bands × 4 rows,
+  // candidates from band-bucket join, verified with exact Jaccard
+  // ≥ 0.8 (the standard LSH candidate→verify shape). Scoped to one
+  // language: the closed 31-word vocabulary makes token-set Jaccard
+  // intrinsically high, so an unscoped run is mostly-dense — the
+  // 100 TB shape (bounded buckets) is unchanged by the scope filter.
+  // ---------------------------------------------------------------
+
+  private def minhashSql(tokenizer: String, intDiv: String, bandAgg: String,
+      strTy: String) =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, token FROM ($tokenizer) raw),
+       |hashed AS (
+       |  SELECT doc_id, i, ${hexval(s"md5(concat(cast(i AS $strTy), ':', token))")} AS h
+       |  FROM tok CROSS JOIN hash_ids),
+       |sig AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i $intDiv 4 AS band, $bandAgg AS bsig
+       |  FROM sig GROUP BY doc_id, i $intDiv 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cand c
+       |   JOIN tok ta ON ta.doc_id = c.doc_a
+       |   JOIN tok tb ON tb.doc_id = c.doc_b AND ta.token = tb.token
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b, i.n_inter,
+       |  ROUND(CAST(i.n_inter AS DOUBLE)/(sa.sz + sb.sz - i.n_inter), 4) AS jaccard
+       |FROM inter i
+       | JOIN sizes sa ON sa.doc_id = i.doc_a
+       | JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE ROUND(CAST(i.n_inter AS DOUBLE)/(sa.sz + sb.sz - i.n_inter), 4) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("documents")
+    s.range(0, 16).selectExpr("cast(id AS INT) AS i")
+      .createOrReplaceTempView("hash_ids")
+    s.sql(minhashSql(
+      "SELECT doc_id, explode(split(lower(text), ' ')) AS token FROM documents WHERE lang = 'fr'",
+      "div",
+      "array_join(transform(array_sort(collect_list(struct(i, mh))), x -> cast(x.mh AS STRING)), ',')",
+      "STRING"))
+  }
+
+  val dedupMinhashOracle: String = {
+    val body = minhashSql(
+      "SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token FROM documents WHERE lang = 'fr'",
+      "//",
+      "string_agg(mh, ',' ORDER BY i)",
+      "VARCHAR")
+    s"""WITH hash_ids AS (SELECT CAST(UNNEST(range(0, 16)) AS INT) AS i),
+       |${body.stripPrefix("WITH ")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // #60 q_dedup_simhash — 24-bit SimHash fingerprints + cluster size.
+  // ---------------------------------------------------------------
+
+  private def simhashSql(tokenizer: String, intDiv: String) =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, token FROM ($tokenizer) raw),
+       |th AS (SELECT doc_id, ${hexval("md5(token)")} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN (h $intDiv CAST(POWER(2, j) AS BIGINT)) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS s
+       |  FROM th CROSS JOIN bit_ids GROUP BY doc_id, j),
+       |fp AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc_id)
+       |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_same
+       |FROM fp ORDER BY doc_id""".stripMargin
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("documents")
+    s.range(0, 24).selectExpr("cast(id AS INT) AS j")
+      .createOrReplaceTempView("bit_ids")
+    s.sql(simhashSql(
+      "SELECT doc_id, explode(split(lower(text), ' ')) AS token FROM documents",
+      "div"))
+  }
+
+  val dedupSimhashOracle: String = {
+    val body = simhashSql(
+      "SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token FROM documents",
+      "//")
+    s"""WITH bit_ids AS (SELECT CAST(UNNEST(range(0, 24)) AS INT) AS j),
+       |${body.stripPrefix("WITH ")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // #61 q_dedup_ngram — bigram-shingle Jaccard near-dup (Spanish
+  // subset; inverted-index join on the shingle, τ = 0.05).
+  // ---------------------------------------------------------------
+
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).filter(col("lang") === "es")
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit("_"), col("nxt")).as("bg"))
+      .distinct()
+    val sizes = big.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = big.as("a")
+      .join(big.as("b"), col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        r4(col("n_inter").cast("double") /
+           (col("sz_a") + col("sz_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupNgramOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+      |    UNNEST(string_split(lower(text), ' ')) AS tok
+      |  FROM documents WHERE lang = 'es'),
+      |big AS (
+      |  SELECT DISTINCT doc_id, bg FROM (
+      |    SELECT doc_id,
+      |      tok || '_' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      |    FROM toks) t
+      |  WHERE bg IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM big GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM big a JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_inter,
+      |  ROUND(CAST(n_inter AS DOUBLE)/(sa.sz + sb.sz - n_inter), 4) AS jaccard
+      |FROM inter
+      | JOIN sizes sa ON sa.doc_id = doc_a
+      | JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE ROUND(CAST(n_inter AS DOUBLE)/(sa.sz + sb.sz - n_inter), 4) >= 0.05
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // #62 q_dedup_embed — embedding-cosine near-dup within each label
+  // cluster (rounded-score threshold so both engines agree at the
+  // boundary; τ = 0.4 per the measured intra-label distribution).
+  // ---------------------------------------------------------------
+
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val pairs = e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dotd(col("a.embedding"), col("b.embedding")) /
+          (sqrt(dotd(col("a.embedding"), col("a.embedding"))) *
+           sqrt(dotd(col("b.embedding"), col("b.embedding")))), 3).as("cos_sim"))
+    pairs.filter(col("cos_sim") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val dedupEmbedOracle: String =
+    """SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 3) AS cos_sim
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 3) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_embed" -> (dedupEmbed _))
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" -> dedupMinhashOracle,
+    "q_dedup_simhash" -> dedupSimhashOracle,
+    "q_dedup_ngram" -> dedupNgramOracle,
+    "q_dedup_embed" -> dedupEmbedOracle)
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.Determinism._
+
+/** Text-analysis operators for LLM training-data pipelines
+  * (north-star extensions): corpus-derived language ID, quality
+  * scoring, tokenizer-style counting, and rolling-hash document
+  * fingerprinting.
+  *
+  * Scale notes: lang-ID builds its per-language profile relationally
+  * (two aggregations + a top-k window over a table with ≤ |vocab|×|langs|
+  * rows — broadcastable) and scores documents with one broadcast
+  * join; no model download, no driver-side state. Quality/token
+  * queries are pure per-row projections inside whole-stage codegen.
+  * The fingerprint is a positional polynomial hash aggregated per
+  * doc — one linear shuffle, the standard sharding-safe form of a
+  * rolling hash.
+  */
+object TextAnalysisQueries {
+
+  /** 24-bit integer from the first 6 hex chars of an md5 expression
+    * (shared Spark/DuckDB SQL — see DedupQueries). */
+  private def hexval(m: String): String =
+    (1 to 6).map(j =>
+      s"(instr('0123456789abcdef', substr($m, $j, 1)) - 1) * ${math.pow(16, 6 - j).toLong}"
+    ).mkString("(", " + ", ")")
+
+  /** #63 q_lang_id — n-gram-profile language ID: top-5 tokens per
+    * language learned from the corpus, documents scored by profile
+    * overlap, argmax with deterministic tie-break. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tokens = docs.select(col("doc_id"), col("lang"),
+      explode(split(lower(col("text")), " ")).as("token"))
+    val prof = tokens.groupBy(col("lang").as("lang_p"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val wProf = Window.partitionBy(col("lang_p"))
+      .orderBy(col("freq").desc, col("token"))
+    val top5 = prof.withColumn("rk", row_number().over(wProf))
+      .filter(col("rk") <= 5).select(col("lang_p"), col("token"))
+    val scores = tokens.select(col("doc_id"), col("token")).distinct()
+      .join(broadcast(top5), "token")
+      .groupBy(col("doc_id"), col("lang_p"))
+      .agg(count(lit(1)).as("score"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang_p"))
+    val pred = scores.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang_p").as("pred_lang"), col("score"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred_lang"), lit("unknown")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("pred_lang"), lit("unknown")) === col("lang")).as("hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #64 q_quality_score — length/diversity heuristics: token count,
+    * type-token ratio, mean token length, quality band. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_uniq"),
+        col("n_chars"))
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+        r4(col("n_uniq").cast("double") / col("n_tok")).as("ttr"),
+        r4((col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok"))
+          .as("avg_tok_len"))
+      .withColumn("quality",
+        when(col("n_tok") >= 30 && col("ttr") >= 0.6, "high")
+          .when(col("n_tok") >= 10, "mid")
+          .otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #65 q_token_count — whitespace and regex ("BPE-ish") token
+    * counting per document. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        regexp_count(col("text"), lit("[a-z]+")).as("n_alpha"),
+        regexp_count(col("text"), lit("[aeiou]")).as("n_vowel"),
+        regexp_count(col("text"), lit("[a-z]{1,4}")).as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** #66 q_fingerprint — positional polynomial document fingerprint
+    * (sharding-safe rolling hash: Σ h(tok)·w(pos) mod p). */
+  private def fingerprintSql(tokenizer: String) =
+    s"""WITH tokpos AS ($tokenizer)
+       |SELECT doc_id,
+       |  SUM(${hexval("md5(token)")} * (((pos + 1) * 2654435761) % 1000003))
+       |    % 1000000007 AS fingerprint
+       |FROM tokpos GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("documents")
+    s.sql(fingerprintSql(
+      """SELECT doc_id, pos, token FROM documents
+        | LATERAL VIEW posexplode(split(lower(text), ' ')) t AS pos, token""".stripMargin))
+  }
+
+  val fingerprintOracle: String = fingerprintSql(
+    """SELECT doc_id,
+      |  generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos,
+      |  UNNEST(string_split(lower(text), ' ')) AS token
+      |FROM documents""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> (langId _),
+    "q_quality_score" -> (qualityScore _),
+    "q_token_count" -> (tokenCount _),
+    "q_fingerprint" -> (fingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "q_lang_id" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, lang, UNNEST(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |prof AS (
+        |  SELECT lang AS lang_p, token, COUNT(*) AS freq
+        |  FROM tokens GROUP BY 1, 2),
+        |top5 AS (
+        |  SELECT lang_p, token FROM (
+        |    SELECT lang_p, token,
+        |      ROW_NUMBER() OVER (PARTITION BY lang_p
+        |        ORDER BY freq DESC, token) AS rk
+        |    FROM prof) t WHERE rk <= 5),
+        |scores AS (
+        |  SELECT dt.doc_id, top5.lang_p, COUNT(*) AS score
+        |  FROM (SELECT DISTINCT doc_id, token FROM tokens) dt
+        |   JOIN top5 ON dt.token = top5.token
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, lang_p AS pred_lang, score FROM (
+        |    SELECT doc_id, lang_p, score,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, lang_p) AS rk
+        |    FROM scores) t WHERE rk = 1)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(p.pred_lang, 'unknown') AS pred_lang,
+        |  COALESCE(p.score, 0) AS score,
+        |  COALESCE(p.pred_lang, 'unknown') = d.lang AS hit
+        |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id, n_tok, n_uniq,
+        | ROUND(CAST(n_uniq AS DOUBLE) / n_tok, 4) AS ttr,
+        | ROUND(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 4) AS avg_tok_len,
+        | CASE WHEN n_tok >= 30 AND ROUND(CAST(n_uniq AS DOUBLE) / n_tok, 4) >= 0.6
+        |        THEN 'high'
+        |      WHEN n_tok >= 10 THEN 'mid' ELSE 'low' END AS quality
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(lower(text), ' ')) AS n_tok,
+        |    len(list_distinct(string_split(lower(text), ' '))) AS n_uniq
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_ws,
+        | len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
+        | len(regexp_extract_all(text, '[aeiou]')) AS n_vowel,
+        | len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" -> fingerprintOracle)
+}
