@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `Array[Float]`
+  * embedding column (north-star extension; the oracle-graded
+  * brute-force form is q_sim_cosine).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine against every row — the
+  *    baseline, O(n·d) per query, fine for reranking candidate sets.
+  *  - [[lshTopK]]: random-hyperplane LSH — each vector hashed to a
+  *    sign-bit bucket; only the query's bucket (and optionally
+  *    Hamming-adjacent buckets via `probes`) is scored. At 100 TB the
+  *    table is written bucketed/partitioned by `bucket`, so a query
+  *    prunes to one partition: candidate scan is |corpus|/2^bits on
+  *    average — the IVF-style scale path.
+  *
+  * Hyperplanes are derived deterministically from a seed (golden-ratio
+  * mixing), so bucket assignment is reproducible across runs/engines.
+  */
+object Ann {
+
+  /** Sequential double fold of a·b (same kernel as q_sim_cosine). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic pseudo-random hyperplane matrix (bits × dim). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (b, j) =>
+      // splitmix-style integer mix → uniform in [-1, 1]
+      var z = seed + b.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+
+  /** Sign-bit LSH bucket id of `emb` under `planes` as a Column. */
+  def bucketCol(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(emb, lit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k of `query` (an Array[Float] literal) over
+    * `table(idCol, embCol)`. */
+  def bruteForceTopK(table: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
+    table.select(col(idCol), cosine(col(embCol), q).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** LSH-pruned top-k: score only vectors in the query's bucket and
+    * up to `probes` Hamming-1 neighbor buckets (recall knob). */
+  def lshTopK(table: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int, bits: Int = 8, probes: Int = 2): DataFrame = {
+    val planes = hyperplanes(bits, query.length)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val proj = p.zip(query).map { case (w, x) => w * x.toDouble }.sum
+      if (proj >= 0) 1L << i else 0L
+    }.sum
+    val wanted = (qBucket +: (0 until math.min(probes, bits))
+      .map(i => qBucket ^ (1L << i))).distinct
+    val q = typedLit(query)
+    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
+    table
+      .withColumn("bucket", bucketCol(col(embCol), planes))
+      // at scale: table pre-bucketed on disk → this filter is
+      // partition pruning, not a scan
+      .filter(col("bucket").isin(wanted: _*))
+      .select(col(idCol), cosine(col(embCol), q).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

@@ -201,16 +201,19 @@ object DedupQueries {
       lit(0.0), (acc, x) => acc + x)
 
   def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    // precompute each vector's self-norm ONCE (O(n·d)) instead of
+    // twice per pair (O(n²·d)) — sqrt(na) of the precomputed value is
+    // bit-identical to inline recomputation, so the oracle still matches
     val e = embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"))
     val pairs = e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dotd(col("a.embedding"), col("b.embedding")) /
-          (sqrt(dotd(col("a.embedding"), col("a.embedding"))) *
-           sqrt(dotd(col("b.embedding"), col("b.embedding")))), 3).as("cos_sim"))
+          (col("a.nrm") * col("b.nrm")), 3).as("cos_sim"))
     pairs.filter(col("cos_sim") >= 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -1,0 +1,240 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Reference-equivalent streaming pipeline (SURVEY.md §2-A, §3.4).
+  *
+  * The reference (mozilla-services/cloudtrail-streamer, a Go Lambda —
+  * SURVEY.md §0; /root/reference is empty so loci are
+  * `[upstream: main.go — unverified]`) streams CloudTrail log files
+  * from S3 to Kinesis: decode trigger → fetch object → gunzip → parse
+  * `{"Records":[…]}` → fan out records → batched PutRecords (≤500)
+  * with partial-failure retry. This module re-expresses that as
+  * Structured Streaming:
+  *
+  *  - trigger decode (A1) → file-source listing + offset log;
+  *  - S3 GET + gunzip (A2–A3) → executor-side text source (`.gz`
+  *    decompressed transparently by the Hadoop codec; gzip is
+  *    non-splittable so 1 file = 1 task, matching the reference's
+  *    file-at-a-time unit);
+  *  - envelope parse (A4) → `from_json` with an explicit
+  *    [[envelopeSchema]] (PERMISSIVE; bad JSON → null → dead-letter,
+  *    mirroring the reference's log-and-skip);
+  *  - record fan-out (A5) → `explode`;
+  *  - projection / partition key (A6–A7) → `to_json(struct(...))` +
+  *    `eventID` key;
+  *  - batched sink + retry (A8–A9) → [[RecordSink]] via
+  *    `foreachBatch` + `foreachPartition` with `grouped(500)` and
+  *    bounded exponential retry;
+  *  - redelivery dedup → `dropDuplicatesWithinWatermark("eventID")`.
+  *
+  * Scale: parallelism = files × partitions (the reference's "many
+  * Lambda instances" becomes executor tasks); state (dedup,
+  * sessionization) is keyed + watermarked so state stores stay
+  * bounded; `maxFilesPerTrigger` is the admission control knob.
+  */
+object CloudTrailPipeline {
+
+  /** Stable CloudTrail envelope (AWS-published record contents —
+    * `[aws-public]`, FIXTURES.md §B). Open-ended payloads
+    * (`requestParameters`, `responseElements`) stay raw JSON strings:
+    * pass-through semantics, no 100 TB schema-inference scan. */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("eventVersion", StringType),
+    StructField("eventTime", TimestampType),
+    StructField("eventSource", StringType),
+    StructField("eventName", StringType),
+    StructField("awsRegion", StringType),
+    StructField("sourceIPAddress", StringType),
+    StructField("userAgent", StringType),
+    StructField("userIdentity", StructType(Seq(
+      StructField("type", StringType),
+      StructField("principalId", StringType),
+      StructField("arn", StringType),
+      StructField("accountId", StringType),
+      StructField("accessKeyId", StringType)))),
+    StructField("requestParameters", StringType),
+    StructField("responseElements", StringType),
+    StructField("requestID", StringType),
+    StructField("eventID", StringType),
+    StructField("eventType", StringType),
+    StructField("recipientAccountId", StringType),
+    StructField("readOnly", BooleanType),
+    StructField("errorCode", StringType),
+    StructField("errorMessage", StringType)))
+
+  val envelopeSchema: StructType =
+    StructType(Seq(StructField("Records", ArrayType(recordSchema))))
+
+  /** A4–A6: one JSON envelope line → N typed records (+ source file).
+    * Null envelopes (malformed JSON) are routed out by [[deadLetters]]
+    * rather than poisoning the stream (A10). */
+  def decodeEnvelopes(raw: DataFrame): DataFrame = {
+    raw
+      .select(col("value").as("raw_json"),
+        from_json(col("value"), envelopeSchema,
+          Map("mode" -> "PERMISSIVE")).as("env"))
+      .filter(col("env").isNotNull && col("env.Records").isNotNull)
+      .select(explode(col("env.Records")).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** A10: the complement of [[decodeEnvelopes]] — undecodable lines. */
+  def deadLetters(raw: DataFrame): DataFrame =
+    raw
+      .select(col("value"),
+        from_json(col("value"), envelopeSchema).as("env"))
+      .filter(col("env").isNull || col("env.Records").isNull)
+      .select(col("value").as("bad_record"))
+
+  /** Streaming dedup of CloudTrail redeliveries on the natural key
+    * (`eventID`), state bounded by the watermark. */
+  def dedup(records: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    records
+      .withWatermark("eventTime", watermark)
+      .dropDuplicatesWithinWatermark("eventID")
+
+  /** #47-compatible tumbling counts per eventSource with late-data
+    * drop — identical expression to the batch-graded q_win_tumbling. */
+  def tumblingCounts(records: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    records
+      .withWatermark("eventTime", watermark)
+      .groupBy(window(col("eventTime"), "1 hour").as("w"), col("eventSource"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("eventSource"), col("n"))
+
+  /** A6–A7: serialize each record to its own JSON bytes + partition
+    * key — the reference's per-record Kinesis entry. */
+  def toSinkEntries(records: DataFrame): DataFrame =
+    records.select(
+      coalesce(col("eventID"), lit("no-id")).as("partitionKey"),
+      to_json(struct(records.columns.map(col): _*)).as("data"))
+
+  /** Sink abstraction over Kinesis `PutRecords` semantics (no
+    * connector exists offline — SURVEY.md §8.4): one call receives
+    * ≤ [[RecordSink.MaxBatch]] entries and reports per-record
+    * failures, like `FailedRecordCount`. Implementations must be
+    * idempotent per (partitionKey, data) for exactly-once via
+    * micro-batch replay. */
+  trait RecordSink extends Serializable {
+    /** @return indices within `batch` that failed (to be retried). */
+    def put(batch: Seq[(String, String)]): Seq[Int]
+  }
+
+  object RecordSink { val MaxBatch = 500 }
+
+  /** A8–A9: drain a partition through the sink in ≤500-record calls,
+    * retrying the failed subset with bounded backoff — the
+    * reference's partial-failure loop. Throws when retries exhaust,
+    * so the task (and micro-batch) fails and replays: at-least-once
+    * delivery into an idempotent sink = effectively-once. */
+  def drainPartition(rows: Iterator[(String, String)], sink: RecordSink,
+      maxRetries: Int = 3, backoffMs: Long = 50): Long = {
+    var sent = 0L
+    rows.grouped(RecordSink.MaxBatch).foreach { batch =>
+      var pending = batch.toSeq
+      var attempt = 0
+      while (pending.nonEmpty) {
+        val failed = sink.put(pending)
+        sent += pending.size - failed.size
+        pending = failed.map(pending)
+        if (pending.nonEmpty) {
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new RuntimeException(
+              s"sink failed ${pending.size} records after $maxRetries retries")
+          Thread.sleep(backoffMs * (1L << (attempt - 1)))
+        }
+      }
+    }
+    sent
+  }
+
+  /** Full pipeline: gzip JSON landing dir → decode → dedup →
+    * batched/retrying sink via foreachBatch, checkpointed. */
+  def run(spark: SparkSession, inPath: String, checkpoint: String,
+      sink: RecordSink, maxFilesPerTrigger: Int = 100): StreamingQuery = {
+    val raw = spark.readStream
+      .format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(inPath)
+    val entries = toSinkEntries(dedup(decodeEnvelopes(raw)))
+    entries.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          drainPartition(
+            it.map(r => (r.getString(0), r.getString(1))), sink)
+          ()
+        }
+      }
+      .start()
+  }
+
+  // -------------------------------------------------------------
+  // Custom stateful operator: per-user session state machine
+  // (SURVEY.md §2-B "stateful sessionization" ✗ row).
+  // -------------------------------------------------------------
+
+  case class UserEvent(userId: Long, eventType: String, ts: java.sql.Timestamp)
+  case class SessionState(nEvents: Long, start: Long, lastTs: Long)
+  case class SessionOut(userId: Long, nEvents: Long, durationMs: Long)
+
+  /** flatMapGroupsWithState session machine: emits a session summary
+    * when a user is silent past the gap. State is per-key and
+    * WATERMARK-bounded (EventTimeTimeout): sessions close when event
+    * time — not wall clock — passes lastTs+gap, which is replay-safe
+    * and deterministic at 100 TB. (ProcessingTimeTimeout is a trap
+    * here: its `shouldRunAnotherBatch` is unconditionally true, so
+    * the micro-batch engine spins batches nonstop even when idle.) */
+  def sessionize(events: Dataset[UserEvent],
+      gapMs: Long = 5 * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 second")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.nEvents, s.lastTs - s.start))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            // No new rows (e.g. a timeout-check batch for another key):
+            // do NOT touch state — re-arming the timeout here would
+            // push it out forever and busy-loop the micro-batch engine.
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var closed = List.empty[SessionOut]
+              var cur = state.getOption
+              sorted.foreach { e =>
+                val t = e.ts.getTime
+                cur match {
+                  case Some(s) if t - s.lastTs < gapMs =>
+                    cur = Some(s.copy(nEvents = s.nEvents + 1, lastTs = t))
+                  case Some(s) =>
+                    closed ::= SessionOut(userId, s.nEvents, s.lastTs - s.start)
+                    cur = Some(SessionState(1, t, t))
+                  case None =>
+                    cur = Some(SessionState(1, t, t))
+                }
+              }
+              cur.foreach { s =>
+                state.update(s)
+                // must be strictly past the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(state.getCurrentWatermarkMs + 1, s.lastTs + gapMs))
+              }
+              closed.reverseIterator
+            }
+          }
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal._
+
+/** Multimodal plumbing tests: binary columns round-trip, partition-
+  * local decode, deterministic features, generator-style frame
+  * sampling (no real codecs in the container — FakeCodec stands in,
+  * the Spark-side shapes are real). */
+class MultimodalSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private lazy val corpus = Multimodal.syntheticCorpus(spark, 99).cache()
+
+  test("synthetic corpus covers all modalities with binary payloads") {
+    val byMod = corpus.groupByKey(_.modality).count().collect().toMap
+    assert(byMod.keySet === Set("image", "audio", "video"))
+    assert(corpus.collect().forall(_.bytes.nonEmpty))
+  }
+
+  test("feature extraction is partition-local, typed, fixed-dim, normalized") {
+    val f = extractFeatures(corpus).collect()
+    assert(f.length === 99)
+    assert(f.forall(_.features.length === FakeCodec.FeatureDim))
+    // L1-normalized histogram sums to ~1
+    assert(f.forall(r => math.abs(r.features.map(_.toDouble).sum - 1.0) < 1e-5))
+  }
+
+  test("features are deterministic across repartitioning") {
+    val a = extractFeatures(corpus).collect().map(r => r.mediaId -> r.checksum).toMap
+    val b = extractFeatures(corpus.repartition(7)).collect()
+      .map(r => r.mediaId -> r.checksum).toMap
+    assert(a === b)
+  }
+
+  test("resize preserves ids and sets target dims") {
+    val r = resizeAll(corpus.filter(_.modality == "image"), 8, 8).collect()
+    assert(r.forall(x => x.width === 8 && x.height === 8))
+    assert(r.forall(_.bytes.length <= 64))
+  }
+
+  test("frame sampling explodes videos into pseudo-frames") {
+    val vids = corpus.filter(_.modality == "video")
+    val frames = sampleFrames(vids, everyMs = 1000)
+    val perVid = frames.groupByKey(_.mediaId / 1000).count().collect().toMap
+    val expected = vids.collect().map(v =>
+      v.mediaId -> math.max(1, (v.durationMs / 1000).toInt).toLong).toMap
+    assert(perVid === expected)
+    assert(frames.collect().forall(_.modality == "image"))
+  }
+
+  test("extracted features feed the similarity kernel (compose with ANN)") {
+    val feats = extractFeatures(corpus)
+      .select($"mediaId".as("vec_id"), $"features".as("embedding"))
+    val q = extractFeatures(corpus).filter(_.mediaId == 0L)
+      .collect().head.features
+    val top = graft.functions.Ann.bruteForceTopK(feats.toDF(), "vec_id", "embedding", q, 5)
+    val rows = top.collect()
+    assert(rows.length === 5)
+    assert(rows.head.getLong(0) === 0L) // self is nearest
+  }
+}

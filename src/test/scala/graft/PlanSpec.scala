@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries._
+
+/** Physical-plan assertions for the scale claims in SURVEY.md §4:
+  * filters reach the parquet scan, projections prune columns, small
+  * dims broadcast, top-k short-circuits — the properties that decide
+  * whether a plan survives 100 TB, asserted so regressions fail CI. */
+class PlanSpec extends GraftSpecBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q_scan_pushdown pushes the filter to parquet") {
+    val p = plan(ScanQueries.scanPushdown(spark, sf))
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual"), p.take(2000))
+  }
+
+  test("q_scan_project prunes to the selected columns") {
+    val p = plan(ScanQueries.scanProject(spark, sf))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey"), read)
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"), read)
+  }
+
+  test("q_join_broadcast uses BroadcastHashJoin") {
+    val p = plan(JoinQueries.joinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_join_star broadcasts all dimensions (single fact shuffle)") {
+    val p = plan(JoinQueries.joinStar(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_limit plans TakeOrderedAndProject (no full sort)") {
+    val p = plan(ScanQueries.limitQ(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_agg_group is a 2-phase hash aggregate inside codegen") {
+    val df = AggQueries.aggGroup(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_sum"), p.take(2000)) // map-side combine
+    assert(p.contains("HashAggregate"), p.take(2000))
+    df.collect() // finalize AQE so codegen spans materialize
+    // codegen stages print as "*(n) Operator" in the final plan
+    assert(plan(df).contains("*("), plan(df).take(2000))
+  }
+
+  test("q_win_topk plans a rank-limit pushdown (WindowGroupLimit)") {
+    val p = plan(WindowQueries.winTopk(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+}

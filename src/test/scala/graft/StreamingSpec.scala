@@ -1,0 +1,171 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.CloudTrailPipeline
+import graft.streaming.CloudTrailPipeline._
+
+/** Streaming pipeline tests mirroring the reference's unit-test
+  * intent (SURVEY.md §5.1: fixture envelopes, fan-out counts, error
+  * paths) plus the Structured-Streaming-only semantics (watermark
+  * late-drop, dedup-within-watermark, stateful sessions). */
+class StreamingSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def envelope(ids: String*): String =
+    s"""{"Records": [${ids.map(i =>
+        s"""{"eventID": "$i", "eventName": "PutObject", "eventTime": "2024-01-01T00:0${i.take(1)}:00Z", "eventSource": "s3.amazonaws.com", "awsRegion": "us-west-2"}""")
+      .mkString(",")}]}"""
+
+  test("envelope decode fans out one row per record (A4-A5)") {
+    val raw = Seq(envelope("1", "2", "3"), envelope("4")).toDF("value")
+    val out = decodeEnvelopes(raw)
+    assert(out.count() === 4)
+    assert(out.select("eventID").as[String].collect().sorted === Array("1", "2", "3", "4"))
+    assert(out.schema.fieldNames.contains("userIdentity"))
+  }
+
+  test("malformed JSON and empty envelopes go to dead letters, not downstream (A10)") {
+    val raw = Seq(envelope("1"), "{not json", """{"other": 1}""").toDF("value")
+    assert(decodeEnvelopes(raw).count() === 1)
+    assert(deadLetters(raw).count() === 2)
+  }
+
+  test("sink entries carry partition key + serialized record (A6-A7)") {
+    val raw = Seq(envelope("7")).toDF("value")
+    val e = toSinkEntries(decodeEnvelopes(raw)).as[(String, String)].collect()
+    assert(e.length === 1)
+    assert(e.head._1 === "7")
+    assert(e.head._2.contains("\"eventName\":\"PutObject\""))
+  }
+
+  test("drainPartition batches at 500 and retries failed subsets (A8-A9)") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var failedOnce = false
+    val sink = new RecordSink {
+      def put(batch: Seq[(String, String)]): Seq[Int] = {
+        calls += batch.size
+        if (!failedOnce && batch.size > 1) { failedOnce = true; Seq(0, 1) }
+        else Seq.empty
+      }
+    }
+    val rows = (1 to 1200).iterator.map(i => (s"k$i", s"d$i"))
+    val sent = drainPartition(rows, sink)
+    assert(sent === 1200)
+    assert(calls.take(2) === Seq(500, 2), calls) // 500-cap + failed-subset retry
+    assert(calls.sum === 1202)
+  }
+
+  test("drainPartition gives up after bounded retries") {
+    val sink = new RecordSink {
+      def put(batch: Seq[(String, String)]): Seq[Int] = batch.indices
+    }
+    intercept[RuntimeException] {
+      drainPartition(Iterator(("k", "v")), sink, maxRetries = 2, backoffMs = 1)
+    }
+  }
+
+  test("streaming dedup drops redelivered eventIDs within the watermark") {
+    val mem = MemoryStream[(String, Timestamp)](spark)
+    val df = mem.toDF().toDF("eventID", "eventTime")
+    val q = CloudTrailPipeline.dedup(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData(("a", t), ("a", t), ("b", t))
+      q.processAllAvailable()
+      mem.addData(("a", t)) // redelivery in a later batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling agg drops late rows (append mode)") {
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val df = mem.toDF().toDF("eventTime", "eventSource")
+    val q = tumblingCounts(df, "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((Timestamp.valueOf("2024-01-01 00:30:00"), "s3"))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0
+      mem.addData((Timestamp.valueOf("2024-01-01 05:00:00"), "s3"))
+      q.processAllAvailable()
+      // this row is hours late → dropped, hour-0 window stays n=1
+      mem.addData((Timestamp.valueOf("2024-01-01 00:40:00"), "s3"))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 09:00:00"), "s3"))
+      q.processAllAvailable()
+      val hour0 = spark.table("win_out")
+        .filter(col("ws") === Timestamp.valueOf("2024-01-01 00:00:00"))
+        .select("n").as[Long].collect()
+      assert(hour0.toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    val mem = MemoryStream[UserEvent](spark)
+    val q = sessionize(mem.toDS(), gapMs = 2000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      mem.addData(
+        UserEvent(1, "click", new Timestamp(base)),
+        UserEvent(1, "view", new Timestamp(base + 1000)),
+        // > 2 s event-time silence → new session; the first closes in-batch
+        UserEvent(1, "click", new Timestamp(base + 150000)))
+      q.processAllAvailable()
+      val first = spark.table("sess_out").as[SessionOut].collect()
+      assert(first.length === 1)
+      assert(first.head.nEvents === 2 && first.head.durationMs === 1000)
+      // advance the watermark far past the open session's gap → the
+      // event-time timeout fires and closes it
+      mem.addData(UserEvent(2, "click", new Timestamp(base + 300000)))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, "click", new Timestamp(base + 400000)))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[SessionOut].collect()
+      // user1's open session closed by event-time timeout; user2's
+      // first session closed in-batch by its second event's gap
+      assert(out.length === 3, out.mkString(","))
+      assert(out.exists(s => s.userId === 1 && s.nEvents === 1 && s.durationMs === 0))
+      assert(out.exists(s => s.userId === 2 && s.nEvents === 1 && s.durationMs === 0))
+    } finally q.stop()
+  }
+
+  test("end-to-end file pipeline: gzip envelope files → sink (A1-A10)") {
+    val dir = java.nio.file.Files.createTempDirectory("ct_in").toFile
+    val chk = java.nio.file.Files.createTempDirectory("ct_chk").toFile
+    // two gzipped landing files, 3 + 1 records, one duplicated eventID
+    def writeGz(name: String, content: String): Unit = {
+      val os = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name)))
+      os.write(content.getBytes("UTF-8")); os.close()
+    }
+    writeGz("f1.json.gz", envelope("1", "2", "3"))
+    writeGz("f2.json.gz", envelope("3", "4"))
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    TestSink.records = got
+    val q = CloudTrailPipeline.run(spark, dir.getAbsolutePath,
+      chk.getAbsolutePath, TestSink)
+    try q.processAllAvailable() finally q.stop()
+    val keys = got.toArray(Array.empty[String]).toSeq
+    assert(keys.sorted === Seq("1", "2", "3", "4")) // dedup dropped one "3"
+  }
+}
+
+/** Serializable collector sink (object-held so executor threads in
+  * local mode share the buffer). */
+object TestSink extends CloudTrailPipeline.RecordSink {
+  @transient var records: java.util.List[String] = _
+  def put(batch: Seq[(String, String)]): Seq[Int] = {
+    batch.foreach { case (k, _) => records.add(k) }
+    Seq.empty
+  }
+}
