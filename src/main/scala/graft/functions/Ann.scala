@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Sequential double fold of a·b (same kernel as q_sim_cosine). */
+  /** Sequential double fold of a·b (same kernel as q_sim_cosine) —
+    * codegen'd custom Expression, bit-identical to the higher-order
+    * `aggregate(zip_with(...))` form. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.FloatVecDot.dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

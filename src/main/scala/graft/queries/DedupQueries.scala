@@ -53,8 +53,9 @@ object DedupQueries {
     s"""WITH tok AS (
        |  SELECT DISTINCT doc_id, token FROM ($tokenizer) raw),
        |hashed AS (
-       |  SELECT doc_id, i, ${hexval(s"md5(concat(cast(i AS $strTy), ':', token))")} AS h
-       |  FROM tok CROSS JOIN hash_ids),
+       |  SELECT doc_id, i, ${hexval("m")} AS h FROM (
+       |    SELECT doc_id, i, md5(concat(cast(i AS $strTy), ':', token)) AS m
+       |    FROM tok CROSS JOIN hash_ids) hm),
        |sig AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
        |bands AS (
        |  SELECT doc_id, i $intDiv 4 AS band, $bandAgg AS bsig
@@ -106,7 +107,8 @@ object DedupQueries {
   private def simhashSql(tokenizer: String, intDiv: String) =
     s"""WITH tok AS (
        |  SELECT DISTINCT doc_id, token FROM ($tokenizer) raw),
-       |th AS (SELECT doc_id, ${hexval("md5(token)")} AS h FROM tok),
+       |th AS (SELECT doc_id, ${hexval("m")} AS h FROM
+       |  (SELECT doc_id, md5(token) AS m FROM tok) tm),
        |bits AS (
        |  SELECT doc_id, j,
        |    SUM(CASE WHEN (h $intDiv CAST(POWER(2, j) AS BIGINT)) % 2 = 1
@@ -142,13 +144,16 @@ object DedupQueries {
   // ---------------------------------------------------------------
 
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d).filter(col("lang") === "es")
-      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val big = toks
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat(col("tok"), lit("_"), col("nxt")).as("bg"))
+    // bigrams via zip_with over offset slices — stays inside the scan
+    // stage (the window-lead formulation shuffles + sorts per doc for
+    // what is a purely row-local computation)
+    val toks = split(lower(col("text")), " ")
+    val big = documents(s, d).filter(col("lang") === "es")
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit("_"), b))).as("bg"))
       .distinct()
     val sizes = big.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = big.as("a")
@@ -196,9 +201,9 @@ object DedupQueries {
   // boundary; τ = 0.4 per the measured intra-label distribution).
   // ---------------------------------------------------------------
 
+  /** Codegen'd float-vector dot (see SimQueries.dot / FloatVecDot). */
   private def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.FloatVecDot.dot(a, b)
 
   def dedupEmbed(s: SparkSession, d: String): DataFrame = {
     // precompute each vector's self-norm ONCE (O(n·d)) instead of

@@ -28,10 +28,14 @@ object SimQueries {
 
   private val dbl = "double"
 
-  /** Sequential double fold of a.b over float arrays. */
+  /** Sequential double fold of a·b over float arrays — a codegen'd
+    * custom Expression (FloatVecDot). Bit-identical to the
+    * declarative `aggregate(zip_with(a,b,_*_),0d,_+_)` form it
+    * replaced (same left-to-right double accumulation), but runs
+    * inside whole-stage codegen instead of the interpreted
+    * higher-order-function path. */
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x.cast(dbl) * y.cast(dbl)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.FloatVecDot.dot(a, b)
 
   /** #54 q_sim_cosine — brute-force cosine top-10 vs query vec 0;
     * ranked on the ROUNDED score + vec_id so rank survives last-ulp

@@ -94,11 +94,12 @@ object TextAnalysisQueries {
   /** #66 q_fingerprint — positional polynomial document fingerprint
     * (sharding-safe rolling hash: Σ h(tok)·w(pos) mod p). */
   private def fingerprintSql(tokenizer: String) =
-    s"""WITH tokpos AS ($tokenizer)
+    s"""WITH tokpos AS ($tokenizer),
+       |tokh AS (SELECT doc_id, pos, md5(token) AS m FROM tokpos)
        |SELECT doc_id,
-       |  SUM(${hexval("md5(token)")} * (((pos + 1) * 2654435761) % 1000003))
+       |  SUM(${hexval("m")} * (((pos + 1) * 2654435761) % 1000003))
        |    % 1000000007 AS fingerprint
-       |FROM tokpos GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM tokh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     documents(s, d).createOrReplaceTempView("documents")
