@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection tool: for each named query (default: all), execute
+  * at the given sf dir and print the exchange/join/scan skeleton of
+  * the FINAL (AQE-resolved) physical plan. This is the iteration loop
+  * the scale review runs on: count the shuffles, check the join
+  * strategies, confirm pushdown.
+  *
+  * Usage: graft.Explain [sfDir] [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = args.drop(1).toSet
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq("Exchange", "Join", "Broadcast", "HashAggregate",
+      "WindowGroupLimit", "TakeOrderedAndProject", "PushedFilters", "Window")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          df.collect()
+          val p = df.queryExecution.executedPlan.toString
+          val nEx = p.linesIterator.count(_.trim.startsWith("Exchange"))
+          println(s"===== $name  (exchanges: $nEx)")
+          p.linesIterator
+            .filter(l => interesting.exists(l.contains))
+            .foreach(l => println("  " + l.trim.take(150)))
+        } catch { case e: Throwable =>
+          println(s"===== $name FAILED: ${e.getMessage.take(200)}")
+        }
+      }
+    spark.stop()
+  }
+}
