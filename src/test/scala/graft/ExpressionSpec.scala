@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.{FloatVecDot, NGramShingles}
+
+/** Custom-expression tests: bit-compat of the codegen'd dot with the
+  * declarative higher-order form, and the n-gram Generator against
+  * its zip_with twin. */
+class ExpressionSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("FloatVecDot is bit-identical to the aggregate/zip_with fold") {
+    val e = Tables.embeddings(spark, sf)
+    val ho = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = e.select(
+        FloatVecDot.dot(col("embedding"), col("embedding")).as("a"),
+        ho.as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() === 0)
+  }
+
+  test("FloatVecDot handles nulls and runs inside codegen") {
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(3f, 4f))),
+      (None, Some(Array(1f))),
+      (Some(Array(1f)), None)
+    ).toDF("a", "b")
+    val out = df.select(FloatVecDot.dot(col("a"), col("b")).as("d")).collect()
+    assert(out(0).getDouble(0) === 11.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+  }
+
+  test("NGramShingles(2) matches the zip_with bigram formulation") {
+    val toks = split(lower(col("text")), " ")
+    val docs = Tables.documents(spark, sf)
+    val viaGen = docs.select(col("doc_id"),
+        NGramShingles.shingles(split(lower(col("text")), " "), 2).as("bg"))
+      .groupBy("doc_id").count()
+    val viaZip = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit("_"), b))).as("bg"))
+      .groupBy("doc_id").count()
+    val joined = viaGen.as("g").join(viaZip.as("z"), "doc_id")
+      .filter(col("g.count") =!= col("z.count"))
+    assert(joined.count() === 0)
+    // and the shingle VALUES match
+    val g = docs.select(NGramShingles.shingles(toks, 2).as("s"))
+      .groupBy("s").count().orderBy("s").collect()
+    val z = docs.select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit("_"), b))).as("s"))
+      .groupBy("s").count().orderBy("s").collect()
+    assert(g.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+           z.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("NGramShingles(3) produces m-n+1 shingles per doc") {
+    val df = Seq((1L, "a b c d e")).toDF("id", "text")
+    val out = df.select(
+      NGramShingles.shingles(split(col("text"), " "), 3).as("s")).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a_b_c", "b_c_d", "c_d_e"))
+  }
+}
