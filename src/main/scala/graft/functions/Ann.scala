@@ -63,6 +63,39 @@ object Ann {
       .filter(col("rn") <= k)
   }
 
+  /** IVF-pruned top-k: a KMeans coarse quantizer assigns every vector
+    * to a centroid; a query scores only the `nprobe` clusters whose
+    * centroids are nearest. At 100 TB the assignment is precomputed
+    * and the table partitioned by cluster id, so a query reads
+    * nprobe/k of the corpus. Seeded KMeans keeps assignment
+    * reproducible. */
+  def ivfTopK(table: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int, nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.feature.{VectorAssembler => _}
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = table.sparkSession
+    import spark.implicits._
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val withFeat = table.withColumn("features", toVec(col(embCol)))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nClusters).setSeed(42L).setMaxIter(10)
+      .fit(withFeat)
+    val centers = km.clusterCenters
+    val qv = Vectors.dense(query.map(_.toDouble))
+    val wanted = centers.zipWithIndex
+      .sortBy { case (c, _) => Vectors.sqdist(c, qv) }
+      .take(nprobe).map(_._2)
+    val q = typedLit(query)
+    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
+    km.transform(withFeat)
+      // at scale: table pre-partitioned by prediction → partition pruning
+      .filter(col("prediction").isin(wanted.map(Integer.valueOf): _*))
+      .select(col(idCol), cosine(col(embCol), q).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** LSH-pruned top-k: score only vectors in the query's bucket and
     * up to `probes` Hamming-1 neighbor buckets (recall knob). */
   def lshTopK(table: DataFrame, idCol: String, embCol: String,

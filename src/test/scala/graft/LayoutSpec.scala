@@ -45,6 +45,48 @@ class LayoutSpec extends GraftSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("date-partitioned events layout prunes partitions on a date filter") {
+    spark.sql("DROP TABLE IF EXISTS events_p")
+    val loc = new java.io.File("spark-warehouse/events_p")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    val ev = Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts2")))
+      .select("event_id", "user_id", "event_type", "value", "event_date")
+    Layout.writePartitionedBucketed(ev, "events_p", "event_date", 4, "user_id")
+    val q = Layout.read(spark, "events_p")
+      .filter(col("event_date") === "2024-01-05")
+      .groupBy("event_type").count()
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    // the date predicate must be a PartitionFilter on the scan (pruned
+    // directories), not a post-scan Filter
+    assert(p.contains("PartitionFilters") && p.contains("event_date"), p.take(3000))
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("2024-01-05") || scanLine.contains("19727"),
+      scanLine.take(500))
+  }
+
+  test("IVF top-k returns exact-kernel scores from the probed clusters") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    val ivf = graft.functions.Ann.ivfTopK(e, "vec_id", "embedding", q, 10,
+      nClusters = 8, nprobe = 2).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.head.getLong(0) === 0L) // query's own cluster is probed first
+    val brute = graft.functions.Ann.bruteForceTopK(e, "vec_id", "embedding", q, 500)
+      .select("vec_id", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { r =>
+      assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
   test("vec_dot SQL function registers and matches the Column API") {
     GraftExtensions.register(spark)
     Tables.embeddings(spark, sf).limit(10).createOrReplaceTempView("emb_t")

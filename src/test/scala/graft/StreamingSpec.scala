@@ -138,6 +138,31 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("checkpoint restart does not redeliver committed files (exactly-once line)") {
+    val dir = java.nio.file.Files.createTempDirectory("ct_in2").toFile
+    val chk = java.nio.file.Files.createTempDirectory("ct_chk2").toFile
+    def writeGz(name: String, content: String): Unit = {
+      val os = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name)))
+      os.write(content.getBytes("UTF-8")); os.close()
+    }
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    TestSink.records = got
+    writeGz("f1.json.gz", envelope("1", "2"))
+    val q1 = CloudTrailPipeline.run(spark, dir.getAbsolutePath,
+      chk.getAbsolutePath, TestSink)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got.toArray(Array.empty[String]).sorted.toSeq === Seq("1", "2"))
+    // restart from the same checkpoint with a new file present
+    writeGz("f2.json.gz", envelope("8"))
+    val q2 = CloudTrailPipeline.run(spark, dir.getAbsolutePath,
+      chk.getAbsolutePath, TestSink)
+    try q2.processAllAvailable() finally q2.stop()
+    // f1's records were committed in the offset log → only "8" is new
+    assert(got.toArray(Array.empty[String]).sorted.toSeq === Seq("1", "2", "8"))
+  }
+
   test("end-to-end file pipeline: gzip envelope files → sink (A1-A10)") {
     val dir = java.nio.file.Files.createTempDirectory("ct_in").toFile
     val chk = java.nio.file.Files.createTempDirectory("ct_chk").toFile
