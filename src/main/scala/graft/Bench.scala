@@ -34,7 +34,12 @@ object Bench {
         df.persist().count()
       } catch { case NonFatal(_) => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // time the oracle-graded surface (capability rows — seeded ML
+    // models, sketches — are correctness-declared but not part of the
+    // comparable bench total)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -13,7 +13,8 @@ object SparkEntry {
     WindowQueries.queries ++ ScalarQueries.queries ++
     SemiStructQueries.queries ++ TextQueries.queries ++
     SimQueries.queries ++ UdxQueries.queries ++
-    DedupQueries.queries ++ TextAnalysisQueries.queries
+    DedupQueries.queries ++ TextAnalysisQueries.queries ++
+    CapabilityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

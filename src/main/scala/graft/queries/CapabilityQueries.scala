@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Declared-but-not-oracle-matched capability queries (SURVEY.md §2-B
+  * ✗ rows): results that CANNOT hash-match a DuckDB oracle — approx
+  * sketches, seeded ML models, engine-specific plumbing — declared
+  * without an `oracleSql` entry so the driver records the weaker
+  * rows-only check. Each is deterministic across runs (seeded /
+  * synthetic / commutative merges) and covered by ScalaTest
+  * properties (PropertySpec, LayoutSpec, MultimodalSpec).
+  */
+object CapabilityQueries {
+
+  /** HLL++ distinct-count sketch (±5%-of-exact property-tested).
+    * Sketch merge is commutative ⇒ deterministic under AQE. */
+  def aggApprox(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("event_id")).as("approx_events"))
+      .orderBy(col("event_type"))
+
+  /** MLlib MinHashLSH near-dup candidates (seeded; recall ⊇ exact
+    * high-Jaccard pairs property-tested). */
+  def lshMl(s: SparkSession, d: String): DataFrame =
+    graft.functions.MinHashDedup
+      .nearDuplicates(s, documents(s, d), maxDistance = 0.3, numHashTables = 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Random-hyperplane LSH-bucketed cosine top-10 (deterministic
+    * seeded hyperplanes). */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    graft.functions.Ann.lshTopK(e, "vec_id", "embedding", q, 10)
+  }
+
+  /** IVF (KMeans coarse quantizer) cosine top-10 (seeded). */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    graft.functions.Ann.ivfTopK(e, "vec_id", "embedding", q, 10)
+  }
+
+  /** Multimodal decode→featurize plumbing over the deterministic
+    * synthetic media corpus (real codecs absent in this container). */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.multimodal.Multimodal
+      .extractFeatures(graft.multimodal.Multimodal.syntheticCorpus(s, 200))
+      .select($"mediaId", $"modality", $"nBytes", $"checksum")
+      .orderBy($"mediaId")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_approx" -> (aggApprox _),
+    "q_lsh_ml" -> (lshMl _),
+    "q_ann_lsh" -> (annLsh _),
+    "q_ann_ivf" -> (annIvf _),
+    "q_multimodal_features" -> (multimodalFeatures _))
+
+  /** No oracle entries by design (see class doc). */
+  val oracle: Map[String, String] = Map.empty
+}
