@@ -31,12 +31,26 @@ object Tables {
     * also lets a single `.persist()` (Bench) serve all queries.
     * The memo holds lazy PLANS, not data — Verify semantics are
     * unchanged and filter/projection pushdown still applies. */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // weak on the session: a stopped SparkSession (tests, notebooks
+  // cycling sessions) must not be pinned for the JVM lifetime by its
+  // cached plans
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
 
-  /** Plain parquet table scan (memoized). */
+  private def sessionMemo(spark: SparkSession) = {
+    val m = memo.get(spark)
+    if (m != null) m
+    else {
+      val fresh = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+      val prev = memo.putIfAbsent(spark, fresh)
+      if (prev != null) prev else fresh
+    }
+  }
+
+  /** Plain parquet table scan (memoized per session). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    memo.getOrElseUpdate((spark, sfDir, name),
+    sessionMemo(spark).getOrElseUpdate((sfDir, name),
       spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
@@ -59,7 +73,7 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    memo.getOrElseUpdate((spark, sfDir, "events_decoded"),
+    sessionMemo(spark).getOrElseUpdate((sfDir, "events_decoded"),
       eventsDecoded(spark, sfDir))
   }
 

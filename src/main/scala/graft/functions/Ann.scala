@@ -71,7 +71,6 @@ object Ann {
     * reproducible. */
   def ivfTopK(table: DataFrame, idCol: String, embCol: String,
       query: Array[Float], k: Int, nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.feature.{VectorAssembler => _}
     import org.apache.spark.ml.linalg.Vectors
     val spark = table.sparkSession
     import spark.implicits._

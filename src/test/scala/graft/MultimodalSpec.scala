@@ -42,7 +42,8 @@ class MultimodalSpec extends GraftSpecBase {
   test("frame sampling explodes videos into pseudo-frames") {
     val vids = corpus.filter(_.modality == "video")
     val frames = sampleFrames(vids, everyMs = 1000)
-    val perVid = frames.groupByKey(_.mediaId / 1000).count().collect().toMap
+    val perVid = frames.groupByKey(_.mediaId / FakeCodec.MaxFrames)
+      .count().collect().toMap
     val expected = vids.collect().map(v =>
       v.mediaId -> math.max(1, (v.durationMs / 1000).toInt).toLong).toMap
     assert(perVid === expected)
