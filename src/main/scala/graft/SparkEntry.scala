@@ -14,7 +14,7 @@ object SparkEntry {
     SemiStructQueries.queries ++ TextQueries.queries ++
     SimQueries.queries ++ UdxQueries.queries ++
     DedupQueries.queries ++ TextAnalysisQueries.queries ++
-    CapabilityQueries.queries
+    CapabilityQueries.queries ++ RelExtraQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +23,6 @@ object SparkEntry {
     WindowQueries.oracle ++ ScalarQueries.oracle ++
     SemiStructQueries.oracle ++ TextQueries.oracle ++
     SimQueries.oracle ++ UdxQueries.oracle ++
-    DedupQueries.oracle ++ TextAnalysisQueries.oracle
+    DedupQueries.oracle ++ TextAnalysisQueries.oracle ++
+    RelExtraQueries.oracle
 }
