@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Typed pipeline configuration (reference operator A12: the Go
+  * Lambda read `CT_*` environment variables for stream name, region
+  * and debug — SURVEY.md §2-A). One immutable read at startup; no
+  * config lookups on the hot path. */
+case class PipelineConfig(
+    inPath: String,
+    checkpoint: String,
+    sinkName: String,
+    maxFilesPerTrigger: Int,
+    watermark: String,
+    debug: Boolean)
+
+object PipelineConfig {
+  /** Environment surface mirroring the reference's `CT_*` family. */
+  def fromEnv(env: Map[String, String] = sys.env): PipelineConfig =
+    PipelineConfig(
+      inPath = env.getOrElse("GRAFT_CT_IN_PATH", "/tmp/cloudtrail/landing"),
+      checkpoint = env.getOrElse("GRAFT_CT_CHECKPOINT", "/tmp/cloudtrail/chk"),
+      sinkName = env.getOrElse("GRAFT_CT_SINK", "default"),
+      maxFilesPerTrigger =
+        env.getOrElse("GRAFT_CT_MAX_FILES_PER_TRIGGER", "100").toInt,
+      watermark = env.getOrElse("GRAFT_CT_WATERMARK", "10 minutes"),
+      debug = env.getOrElse("GRAFT_CT_DEBUG", "false").toBoolean)
+}
+
+/** Structured progress logging (reference operator A11: mozlog-format
+  * JSON summaries of files processed / record counts / errors —
+  * SURVEY.md §2-A). Emits one JSON line per micro-batch with the
+  * fields an operator dashboards at scale: rows in, processing rate,
+  * batch duration, state rows. */
+class JsonProgressListener(log: String => Unit = Console.err.println)
+    extends StreamingQueryListener {
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit =
+    log(s"""{"type":"stream.start","id":"${e.id}","name":${q(e.name)}}""")
+
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p = e.progress
+    val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+    log(s"""{"type":"stream.progress","id":"${p.id}","batch":${p.batchId},""" +
+      s""""rows":${p.numInputRows},"rowsPerSec":${safe(p.processedRowsPerSecond)},""" +
+      s""""durationMs":${p.durationMs.getOrDefault("triggerExecution", -1L)},""" +
+      s""""stateRows":$stateRows}""")
+  }
+
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+    log(s"""{"type":"stream.stop","id":"${e.id}","error":${q(e.exception.orNull)}}""")
+
+  private def safe(d: Double): String =
+    if (d.isNaN || d.isInfinite) "0" else d.toString
+  private def q(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}
+
+object JsonProgressListener {
+  /** Attach a listener to the session; returns it for removal. */
+  def attach(spark: SparkSession,
+      log: String => Unit = Console.err.println): JsonProgressListener = {
+    val l = new JsonProgressListener(log)
+    spark.streams.addListener(l)
+    l
+  }
+}

@@ -138,6 +138,41 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("PipelineConfig reads the CT_* env surface with defaults (A12)") {
+    val c = graft.streaming.PipelineConfig.fromEnv(Map(
+      "GRAFT_CT_IN_PATH" -> "/data/landing",
+      "GRAFT_CT_MAX_FILES_PER_TRIGGER" -> "7",
+      "GRAFT_CT_DEBUG" -> "true"))
+    assert(c.inPath === "/data/landing")
+    assert(c.maxFilesPerTrigger === 7)
+    assert(c.debug && c.watermark === "10 minutes" && c.sinkName === "default")
+  }
+
+  test("JsonProgressListener emits structured batch summaries (A11)") {
+    val lines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = graft.streaming.JsonProgressListener.attach(spark, s => { lines.add(s); () })
+    val mem = MemoryStream[(String, Timestamp)](spark)
+    val df = mem.toDF().toDF("eventID", "eventTime")
+    val q = df.writeStream.format("memory").queryName("prog_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(("x", Timestamp.valueOf("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.streams.removeListener(l)
+    }
+    // listener events are async — wait briefly for delivery
+    val deadline = System.currentTimeMillis() + 10000
+    while (!lines.toArray.exists(_.toString.contains("stream.progress")) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val all = lines.toArray(Array.empty[String]).toSeq
+    assert(all.exists(_.contains("\"type\":\"stream.start\"")), all.mkString("\n"))
+    val prog = all.filter(_.contains("stream.progress"))
+    assert(prog.exists(_.contains("\"rows\":1")), all.mkString("\n"))
+  }
+
   test("checkpoint restart does not redeliver committed files (exactly-once line)") {
     val dir = java.nio.file.Files.createTempDirectory("ct_in2").toFile
     val chk = java.nio.file.Files.createTempDirectory("ct_chk2").toFile
