@@ -89,7 +89,7 @@ object Ann {
     val w = Window.orderBy(col("cos_sim").desc, col(idCol))
     km.transform(withFeat)
       // at scale: table pre-partitioned by prediction → partition pruning
-      .filter(col("prediction").isin(wanted.map(Integer.valueOf): _*))
+      .filter(col("prediction").isin(wanted.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col(idCol), cosine(col(embCol), q).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

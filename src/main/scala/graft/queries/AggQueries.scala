@@ -125,8 +125,37 @@ object AggQueries {
       .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"))
       .orderBy(col("o_custkey"))
 
+  /** q_percentile — exact interpolated percentiles per group (both
+    * engines use the (n-1)·p linear-interpolation definition). */
+  def aggPercentile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(r4(percentile(col("o_totalprice"), lit(0.5))).as("p50"),
+        r4(percentile(col("o_totalprice"), lit(0.9))).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q_stats — variance/stddev computed from EXACT decimal power sums
+    * (sum x, sum x²), so both engines derive bit-identical doubles —
+    * the builtin one-pass stddev would drift at the last ulp with
+    * partial aggregation. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("s1"),
+        sum(dec6(col("o_totalprice") * col("o_totalprice"))).cast("double").as("s2"))
+      .select(col("o_orderstatus"), col("n"),
+        r4((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("var_samp"),
+        r4(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+          .as("stddev_samp"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
+    "q_percentile" -> (aggPercentile _),
+    "q_stats" -> (aggStats _),
     "q_agg_global" -> (aggGlobal _),
     "q_agg_distinct" -> (aggDistinct _),
     "q_agg_having" -> (aggHaving _),
@@ -137,6 +166,22 @@ object AggQueries {
 
   val oracle: Map[String, String] = Map(
     "q_agg_group" -> aggGroupSql,
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_stats" ->
+      """SELECT o_orderstatus, n,
+        | ROUND((s2 - s1*s1/n) / (n - 1), 4) AS var_samp,
+        | ROUND(SQRT((s2 - s1*s1/n) / (n - 1)), 4) AS stddev_samp
+        |FROM (
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM orders GROUP BY o_orderstatus) t
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_agg_global" ->
       """SELECT COUNT(*) AS n_rows,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,

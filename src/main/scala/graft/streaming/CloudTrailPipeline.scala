@@ -112,7 +112,7 @@ object CloudTrailPipeline {
   def toSinkEntries(records: DataFrame): DataFrame =
     records.select(
       coalesce(col("eventID"), lit("no-id")).as("partitionKey"),
-      to_json(struct(records.columns.map(col): _*)).as("data"))
+      to_json(struct(records.columns.toIndexedSeq.map(col): _*)).as("data"))
 
   /** Sink abstraction over Kinesis `PutRecords` semantics (no
     * connector exists offline — SURVEY.md §8.4): one call receives
@@ -230,7 +230,7 @@ object CloudTrailPipeline {
                 state.update(s)
                 // must be strictly past the current watermark
                 state.setTimeoutTimestamp(
-                  math.max(state.getCurrentWatermarkMs + 1, s.lastTs + gapMs))
+                  math.max(state.getCurrentWatermarkMs() + 1, s.lastTs + gapMs))
               }
               closed.reverseIterator
             }
