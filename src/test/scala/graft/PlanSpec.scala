@@ -53,4 +53,26 @@ class PlanSpec extends GraftSpecBase {
     val p = plan(WindowQueries.winTopk(spark, sf))
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
+
+  test("q_join_asof reduces pairs with a partial-aggregable max(struct), not a window") {
+    val p = plan(JoinQueries.joinAsof(spark, sf))
+    assert(p.contains("partial_max"), p.take(3000)) // map-side combine
+    assert(!p.contains("Window"), p.take(3000))     // no exploded-pair sort
+  }
+
+  test("q_join_semi plans a semi join (no row multiplication)") {
+    val p = plan(JoinQueries.joinSemi(spark, sf))
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("q_join_theta plans a broadcast nested-loop with the small side built") {
+    val p = plan(JoinQueries.joinTheta(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q_sim_cosine broadcasts the 1-row query vector (no shuffle of the corpus)") {
+    val p = plan(SimQueries.simCosine(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
 }
