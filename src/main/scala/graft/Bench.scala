@@ -42,7 +42,11 @@ object Bench {
       .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // materialize the FULL result (what Verify grades): a noop-sink
+      // write executes every projection and the final sort, whereas
+      // .count() would let Catalyst prune all columns and drop sorts,
+      // under-measuring projection-heavy queries
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           // a broken query must not silently shrink the total
           failed += name
@@ -54,7 +58,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    // printed AFTER spark.stop(), as the very last stdout line: the
+    // driver parses the tail of stdout, and anything after the JSON
+    // (shutdown noise, sbt's "[success]" epilogue — suppressed in
+    // build.sbt via showSuccess := false) breaks that parse
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
   }
 }

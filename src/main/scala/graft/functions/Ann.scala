@@ -52,15 +52,26 @@ object Ann {
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** orderBy(...).limit(k) → TakeOrderedAndProject (per-partition
+    * heap + driver merge of k×partitions rows); `rn` is then derived
+    * by a window over the ≤k surviving rows. The naive alternative —
+    * row_number over a global no-partition window — funnels EVERY
+    * candidate row through one partition, which contradicts the
+    * module's scale claims (round-2 advice). */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
+    scored
+      .orderBy(col("cos_sim").desc, col(idCol)).limit(k)
+      .withColumn("rn", row_number().over(w))
+  }
+
   /** Exact cosine top-k of `query` (an Array[Float] literal) over
     * `table(idCol, embCol)`. */
   def bruteForceTopK(table: DataFrame, idCol: String, embCol: String,
       query: Array[Float], k: Int): DataFrame = {
     val q = typedLit(query)
-    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
-    table.select(col(idCol), cosine(col(embCol), q).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    rankTopK(table.select(col(idCol), cosine(col(embCol), q).as("cos_sim")),
+      idCol, k)
   }
 
   /** IVF-pruned top-k: a KMeans coarse quantizer assigns every vector
@@ -86,13 +97,12 @@ object Ann {
       .sortBy { case (c, _) => Vectors.sqdist(c, qv) }
       .take(nprobe).map(_._2)
     val q = typedLit(query)
-    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
-    km.transform(withFeat)
-      // at scale: table pre-partitioned by prediction → partition pruning
-      .filter(col("prediction").isin(wanted.toIndexedSeq.map(Integer.valueOf): _*))
-      .select(col(idCol), cosine(col(embCol), q).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    rankTopK(
+      km.transform(withFeat)
+        // at scale: table pre-partitioned by prediction → partition pruning
+        .filter(col("prediction").isin(wanted.toIndexedSeq.map(Integer.valueOf): _*))
+        .select(col(idCol), cosine(col(embCol), q).as("cos_sim")),
+      idCol, k)
   }
 
   /** LSH-pruned top-k: score only vectors in the query's bucket and
@@ -107,14 +117,13 @@ object Ann {
     val wanted = (qBucket +: (0 until math.min(probes, bits))
       .map(i => qBucket ^ (1L << i))).distinct
     val q = typedLit(query)
-    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
-    table
-      .withColumn("bucket", bucketCol(col(embCol), planes))
-      // at scale: table pre-bucketed on disk → this filter is
-      // partition pruning, not a scan
-      .filter(col("bucket").isin(wanted: _*))
-      .select(col(idCol), cosine(col(embCol), q).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    rankTopK(
+      table
+        .withColumn("bucket", bucketCol(col(embCol), planes))
+        // at scale: table pre-bucketed on disk → this filter is
+        // partition pruning, not a scan
+        .filter(col("bucket").isin(wanted: _*))
+        .select(col(idCol), cosine(col(embCol), q).as("cos_sim")),
+      idCol, k)
   }
 }

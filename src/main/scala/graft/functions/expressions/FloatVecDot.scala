@@ -26,6 +26,14 @@ case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  /** Elements may be null even when the array itself is not. */
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  override def nullable: Boolean = super.nullable || elementsNullable
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(e => e.dataType match {
@@ -48,6 +56,10 @@ case class FloatVecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null element ⇒ null result, matching the declarative
+      // aggregate(zip_with(a,b,_*_)) fold this expression claims
+      // bit-compatibility with (null * x = null, null + x = null)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -61,6 +73,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       // fail fast on mismatched dims: a truncated partial dot is a
       // plausible-looking wrong answer (mixed embedding models)
+      // the per-element null check is emitted only when the schema
+      // says elements CAN be null — containsNull=false arrays keep the
+      // branch-free loop (and ev.isNull may be a constant then)
+      val nullCheck =
+        if (elementsNullable)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) {
+             |    ${ev.isNull} = true;
+             |    break;
+             |  }""".stripMargin
+        else ""
       s"""
          |int $n = $x.numElements();
          |if ($y.numElements() != $n) {
@@ -69,6 +91,7 @@ case class FloatVecDot(left: Expression, right: Expression)
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
          |}
          |${ev.value} = $acc;

@@ -118,7 +118,8 @@ object DedupQueries {
        |  SELECT doc_id,
        |    SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS simhash
        |  FROM bits GROUP BY doc_id)
-       |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_same
+       |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
+       |  COUNT(*) OVER (PARTITION BY simhash) AS n_same
        |FROM fp ORDER BY doc_id""".stripMargin
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {

@@ -50,7 +50,7 @@ object JoinQueries {
 
   val joinStarSql: String =
     """SELECT n_name,
-      | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM region
       | JOIN nation   ON n_regionkey = r_regionkey
       | JOIN customer ON c_nationkey = n_nationkey
@@ -91,7 +91,7 @@ object JoinQueries {
       .join(big, col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_big"),
-        coalesce(dsum(col("o_totalprice")), dec38(lit(0))).as("sum_big"))
+        coalesce(dsum(col("o_totalprice")), dout(lit(0))).as("sum_big"))
       .orderBy(col("c_custkey"))
   }
 
@@ -170,6 +170,15 @@ object JoinQueries {
     * shrinks each partition to one candidate per purchase before the
     * shuffle. At 100 TB: range-partition both sides by (user, time)
     * and this same aggregation stays the scale path.
+    *
+    * Precision parity (round-2 advice follow-up): the join predicate
+    * and tie-break intentionally use micro-truncated `ts2`, NOT
+    * `ts_nanos` — DuckDB 1.0 reads the parquet TIMESTAMP(NANOS)
+    * column as µs-truncated TIMESTAMP (verified: DESCRIBE shows
+    * TIMESTAMP, values truncated), so the oracle's `s.ts <= p.ts`
+    * also compares µs-truncated values. Both engines truncate
+    * identically; using nanos on the Spark side is what would
+    * diverge.
     */
   def joinAsof(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
@@ -203,19 +212,19 @@ object JoinQueries {
     "q_join_star" -> joinStarSql,
     "q_join_inner" ->
       """SELECT o_orderstatus, l_returnflag, COUNT(*) AS n_rows,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus, l_returnflag
         |ORDER BY o_orderstatus, l_returnflag""".stripMargin,
     "q_join_broadcast" ->
       """SELECT p_brand, COUNT(*) AS n_items,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_big,
-        | COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)),
-        |          CAST(0 AS DECIMAL(38,4))) AS sum_big
+        | COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+        |          CAST(0 AS DOUBLE)) AS sum_big
         |FROM customer LEFT JOIN (
         |  SELECT * FROM orders
         |  WHERE o_totalprice > 250000 AND o_orderpriority = '1-URGENT') o
@@ -251,7 +260,7 @@ object JoinQueries {
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "q_join_range" ->
       """SELECT yr, COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders JOIN (
         |  SELECT yr, make_timestamp(yr, 1, 1, 0, 0, 0) AS d_start,
         |         make_timestamp(yr + 1, 1, 1, 0, 0, 0) AS d_end

@@ -104,7 +104,10 @@ object ScalarQueries {
         col("o_orderkey").cast("string").as("key_str"),
         col("o_orderkey").cast("string").cast("long").as("key_roundtrip"),
         col("o_custkey").cast("double").as("cust_dbl"),
-        col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+        // decimal cast exercised, but emitted as double: a decimal
+        // OUTPUT column cannot hash-match the oracle through pandas
+        // (Decimal object vs float64 — see Determinism.dout)
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("price_dec"),
         col("o_orderdate").cast("date").as("order_date"),
         col("o_orderdate").cast("date").cast("string").as("date_str"),
         concat(year(col("o_orderdate")).cast("string"), lit("-01-01"))
@@ -170,7 +173,7 @@ object ScalarQueries {
         | CAST(o_orderkey AS VARCHAR) AS key_str,
         | CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
         | CAST(o_custkey AS DOUBLE) AS cust_dbl,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
         | CAST(o_orderdate AS DATE) AS order_date,
         | CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
         | CAST(CAST(YEAR(o_orderdate) AS VARCHAR) || '-01-01' AS TIMESTAMP) AS year_start

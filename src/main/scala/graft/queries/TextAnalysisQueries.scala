@@ -97,8 +97,8 @@ object TextAnalysisQueries {
     s"""WITH tokpos AS ($tokenizer),
        |tokh AS (SELECT doc_id, pos, md5(token) AS m FROM tokpos)
        |SELECT doc_id,
-       |  SUM(${hexval("m")} * (((pos + 1) * 2654435761) % 1000003))
-       |    % 1000000007 AS fingerprint
+       |  CAST(SUM(${hexval("m")} * (((pos + 1) * 2654435761) % 1000003))
+       |    % 1000000007 AS BIGINT) AS fingerprint
        |FROM tokh GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def fingerprint(s: SparkSession, d: String): DataFrame = {

@@ -106,8 +106,8 @@ object TextQueries {
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)/COUNT(n_chars), 4) AS avg_chars,
-        | SUM(len(string_split(text, ' '))) AS n_tokens,
-        | SUM(CASE WHEN n_chars = LENGTH(text) THEN 0 ELSE 1 END) AS n_bad_len
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        | CAST(SUM(CASE WHEN n_chars = LENGTH(text) THEN 0 ELSE 1 END) AS BIGINT) AS n_bad_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_tfidf" ->
       """WITH tokens AS (

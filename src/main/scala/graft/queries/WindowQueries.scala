@@ -69,7 +69,7 @@ object WindowQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        dec38(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
+        dout(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
@@ -82,7 +82,7 @@ object WindowQueries {
     events(s, d)
       .select(col("event_type"), col("event_id"),
         count(lit(1)).over(w).as("n_in_range"),
-        dec38(sum(dec(col("value"))).over(w)).as("sum_in_range"))
+        dout(sum(dec(col("value"))).over(w)).as("sum_in_range"))
       .orderBy(col("event_type"), col("event_id"))
   }
 
@@ -169,13 +169,13 @@ object WindowQueries {
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS running_total
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_win_range_frame" ->
       """SELECT event_type, event_id,
         | COUNT(*) OVER w AS n_in_range,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS sum_in_range
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_in_range
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
         |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
@@ -194,13 +194,13 @@ object WindowQueries {
         |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
     "q_win_tumbling" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q_win_sliding" ->
-      """SELECT to_timestamp(floor(epoch(ts)/1800)*1800
-        |         - 1800 * shift) AS ws,
+      """SELECT epoch_ms(CAST((floor(epoch(ts)/1800)*1800
+        |         - 1800 * shift) * 1000 AS BIGINT)) AS ws,
         |       event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events, (SELECT UNNEST([0, 1]) AS shift) s
         |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q_win_session" ->
@@ -216,7 +216,7 @@ object WindowQueries {
         |  FROM flagged)
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL 5 MINUTE AS session_end, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM islands GROUP BY user_id, island
         |ORDER BY user_id, session_start""".stripMargin)
 }

@@ -54,9 +54,20 @@ class JsonProgressListener(log: String => Unit = Console.err.println)
 
   private def safe(d: Double): String =
     if (d.isNaN || d.isInfinite) "0" else d.toString
+  // Full JSON string escape incl. control chars: exception messages
+  // and query names routinely carry newlines/tabs, which would emit
+  // invalid JSON lines and break the structured-log consumer.
   private def q(s: String): String =
     if (s == null) "null"
-    else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    else "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }
 
 object JsonProgressListener {
