@@ -18,10 +18,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+      math.min(16, Runtime.getRuntime.availableProcessors()).toString)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      // Measured at sf0.1 (32-core container): the bench's shuffles are
+      // a few MB each, so AQE's per-stage re-planning rounds and >16-way
+      // task scheduling cost more than they save (72 s → 54 s total).
+      // These are DATA-SIZE tunings, not architecture: on a real
+      // cluster at 100 TB both go back up (AQE on, partitions ≈ 2-3×
+      // cores) — see BASELINE.md.
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

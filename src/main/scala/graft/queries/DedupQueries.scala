@@ -48,18 +48,92 @@ object DedupQueries {
   // 100 TB shape (bounded buckets) is unchanged by the scope filter.
   // ---------------------------------------------------------------
 
-  private def minhashSql(tokenizer: String, intDiv: String, bandAgg: String,
-      strTy: String) =
+  /** MinHash family: ONE md5 per distinct token, then 16 derived
+    * hashes by affine mixing `((2i+1)·h + i·40503) mod 16777213`
+    * (prime < 2^24) — pure BIGINT arithmetic with identical semantics
+    * in both dialects. Round-1 hashed md5(i:token) per (token, i):
+    * 16× the md5/hex-decode work for the same LSH quality. */
+  private def mixedHash(i: Int, h: String): String =
+    s"((${2 * i + 1} * $h + ${i * 40503}) % 16777213)"
+
+  /** Number of MinHash functions / band layout (4 bands × 4 rows). */
+  private val MinhashK = 16
+  private val BandRows = 4
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d).filter(col("lang") === "fr")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .distinct()
+    // one md5 per token, 16 signature mins as WIDE aggregate columns:
+    // a single hash-shuffle on doc_id replaces the round-1
+    // tok×hash_ids cross join (16× rows through a 2-key groupBy).
+    // md5 materialized in its own projection: hexval references it 6
+    // times and CollapseProject would otherwise inline 6 evaluations
+    val th = tok.select(col("doc_id"), md5(col("token")).as("m"))
+      .select(col("doc_id"), expr(hexval("m")).as("h"))
+    val sig = th.groupBy(col("doc_id"))
+      .agg(min(expr(mixedHash(0, "h"))).as("mh0"),
+        (1 until MinhashK).map(i =>
+          min(expr(mixedHash(i, "h"))).as(s"mh$i")): _*)
+    // band signatures: concat of the band's 4 mins — identical string
+    // to the oracle's string_agg(mh, ',' ORDER BY i) per band
+    val bandCols = (0 until MinhashK / BandRows).map { b =>
+      concat_ws(",", (0 until BandRows).map(r =>
+        col(s"mh${b * BandRows + r}").cast("string")): _*).as(s"bsig$b")
+    }
+    val wide = sig.select(col("doc_id") +: bandCols: _*)
+    val bands = wide.selectExpr("doc_id",
+      s"stack(${MinhashK / BandRows}, " +
+        (0 until MinhashK / BandRows).map(b => s"$b, bsig$b").mkString(", ") +
+        ") AS (band, bsig)")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
+      .join(tok.select(col("doc_id").as("doc_b"), col("token")),
+        Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        r4(col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashOracle: String = {
+    val mixed = (0 until MinhashK).map(i => mixedHash(i, "h")).zipWithIndex
+      .map { case (e, i) => s"MIN($e) AS mh$i" }.mkString(",\n       |    ")
+    val bsigs = (0 until MinhashK / BandRows).map { b =>
+      (0 until BandRows).map(r => s"CAST(mh${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || ',' || ") + s" AS bsig$b"
+    }.mkString(",\n       |    ")
+    val bandUnion = (0 until MinhashK / BandRows)
+      .map(b => s"SELECT doc_id, $b AS band, bsig$b AS bsig FROM sig")
+      .mkString("\n       |  UNION ALL ")
     s"""WITH tok AS (
-       |  SELECT DISTINCT doc_id, token FROM ($tokenizer) raw),
-       |hashed AS (
-       |  SELECT doc_id, i, ${hexval("m")} AS h FROM (
-       |    SELECT doc_id, i, md5(concat(cast(i AS $strTy), ':', token)) AS m
-       |    FROM tok CROSS JOIN hash_ids) hm),
-       |sig AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
+       |  SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+       |  FROM documents WHERE lang = 'fr'),
+       |th AS (SELECT doc_id, ${hexval("md5(token)")} AS h FROM tok),
+       |wide AS (
+       |  SELECT doc_id,
+       |    $mixed
+       |  FROM th GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $bsigs
+       |  FROM wide),
        |bands AS (
-       |  SELECT doc_id, i $intDiv 4 AS band, $bandAgg AS bsig
-       |  FROM sig GROUP BY doc_id, i $intDiv 4),
+       |  $bandUnion),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -78,26 +152,6 @@ object DedupQueries {
        | JOIN sizes sb ON sb.doc_id = i.doc_b
        |WHERE ROUND(CAST(i.n_inter AS DOUBLE)/(sa.sz + sb.sz - i.n_inter), 4) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
-
-  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    documents(s, d).createOrReplaceTempView("documents")
-    s.range(0, 16).selectExpr("cast(id AS INT) AS i")
-      .createOrReplaceTempView("hash_ids")
-    s.sql(minhashSql(
-      "SELECT doc_id, explode(split(lower(text), ' ')) AS token FROM documents WHERE lang = 'fr'",
-      "div",
-      "array_join(transform(array_sort(collect_list(struct(i, mh))), x -> cast(x.mh AS STRING)), ',')",
-      "STRING"))
-  }
-
-  val dedupMinhashOracle: String = {
-    val body = minhashSql(
-      "SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token FROM documents WHERE lang = 'fr'",
-      "//",
-      "string_agg(mh, ',' ORDER BY i)",
-      "VARCHAR")
-    s"""WITH hash_ids AS (SELECT CAST(UNNEST(range(0, 16)) AS INT) AS i),
-       |${body.stripPrefix("WITH ")}""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -123,12 +177,29 @@ object DedupQueries {
        |FROM fp ORDER BY doc_id""".stripMargin
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    documents(s, d).createOrReplaceTempView("documents")
-    s.range(0, 24).selectExpr("cast(id AS INT) AS j")
-      .createOrReplaceTempView("bit_ids")
-    s.sql(simhashSql(
-      "SELECT doc_id, explode(split(lower(text), ' ')) AS token FROM documents",
-      "div"))
+    // WIDE form of the oracle's tall cross-join: the 24 per-bit ±1
+    // sums become 24 aggregate columns over ONE hash-shuffle on
+    // doc_id (the tall form pushes tokens×24 rows through a 2-key
+    // groupBy); the fingerprint is then a row-local fold. Arithmetic
+    // is identical, so the oracle (tall) still hash-matches.
+    val tok = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .distinct()
+    val th = tok.select(col("doc_id"), md5(col("token")).as("m"))
+      .select(col("doc_id"), expr(hexval("m")).as("h"))
+    val bitSums = (0 until 24).map(j =>
+      sum(when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    val fp = th.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 24).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    fp.select(col("doc_id"), col("simhash"),
+        count(lit(1)).over(Window.partitionBy(col("simhash"))).as("n_same"))
+      .orderBy(col("doc_id"))
   }
 
   val dedupSimhashOracle: String = {
