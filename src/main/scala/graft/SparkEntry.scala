@@ -14,7 +14,8 @@ object SparkEntry {
     SemiStructQueries.queries ++ TextQueries.queries ++
     SimQueries.queries ++ UdxQueries.queries ++
     DedupQueries.queries ++ TextAnalysisQueries.queries ++
-    CapabilityQueries.queries ++ RelExtraQueries.queries
+    CapabilityQueries.queries ++ RelExtraQueries.queries ++
+    MoreRelQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -24,5 +25,5 @@ object SparkEntry {
     SemiStructQueries.oracle ++ TextQueries.oracle ++
     SimQueries.oracle ++ UdxQueries.oracle ++
     DedupQueries.oracle ++ TextAnalysisQueries.oracle ++
-    RelExtraQueries.oracle
+    RelExtraQueries.oracle ++ MoreRelQueries.oracle
 }
