@@ -231,7 +231,73 @@ object MoreRelQueries {
     s.sql(joinLateralSql)
   }
 
+  /** q_minmax_by — argmax/argmin aggregation (max_by / arg_max): the
+    * longest and shortest document per language. The ordering key
+    * packs the tie-break INTO the integer key (n_chars·10^6 + doc_id)
+    * so both engines pick the same winner on equal lengths. */
+  def minmaxBy(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        max_by(col("doc_id"),
+          col("n_chars") * lit(1000000L) + col("doc_id")).as("longest_doc"),
+        min_by(col("doc_id"),
+          col("n_chars") * lit(1000000L) + col("doc_id")).as("shortest_doc"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("n_chars")).as("min_chars"))
+      .orderBy(col("lang"))
+
+  val minmaxByOracle: String =
+    """SELECT lang,
+      | arg_max(doc_id, CAST(n_chars AS BIGINT) * 1000000 + doc_id) AS longest_doc,
+      | arg_min(doc_id, CAST(n_chars AS BIGINT) * 1000000 + doc_id) AS shortest_doc,
+      | MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q_stats_ext — higher-moment statistics per returnflag: skewness
+    * and excess kurtosis derived from EXACT decimal power sums s1..s4
+    * (builtin one-pass skew/kurt drift under parallel reduction), plus
+    * count_if. l_quantity is integer-valued so every power is exact at
+    * scale 4. */
+  def statsExt(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count_if(q > 25).as("n_big"),
+        sum(dec(q)).cast("double").as("s1"),
+        sum(dec(q * q)).cast("double").as("s2"),
+        sum(dec(q * q * q)).cast("double").as("s3"),
+        sum(dec(q * q * q * q)).cast("double").as("s4"))
+      .select(col("l_returnflag"), col("n"), col("n_big"),
+        r4(expr("(s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) / " +
+          "pow(s2/n - (s1/n)*(s1/n), 1.5)")).as("skewness"),
+        r4(expr("(s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - " +
+          "3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) / " +
+          "pow(s2/n - (s1/n)*(s1/n), 2) - 3")).as("kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsExtOracle: String =
+    """SELECT l_returnflag, n, n_big,
+      | ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) /
+      |   pow(s2/n - (s1/n)*(s1/n), 1.5), 4) AS skewness,
+      | ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) -
+      |   3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) /
+      |   pow(s2/n - (s1/n)*(s1/n), 2) - 3, 4) AS kurtosis
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s4
+      |  FROM lineitem GROUP BY l_returnflag) t
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minmax_by" -> (minmaxBy _),
+    "q_stats_ext" -> (statsExt _),
     "q_str_agg" -> (strAgg _),
     "q_bool_bit_agg" -> (boolBitAgg _),
     "q_corr" -> (corrQ _),
@@ -242,6 +308,8 @@ object MoreRelQueries {
     "q_join_lateral" -> (joinLateral _))
 
   val oracle: Map[String, String] = Map(
+    "q_minmax_by" -> minmaxByOracle,
+    "q_stats_ext" -> statsExtOracle,
     "q_str_agg" -> strAggOracle,
     "q_bool_bit_agg" -> boolBitAggOracle,
     "q_corr" -> corrOracle,

@@ -75,4 +75,24 @@ class PlanSpec extends GraftSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       p.take(2000))
   }
+
+  test("q_gapfill broadcasts the dimension grid against aggregated facts") {
+    val p = plan(MoreRelQueries.gapfill(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q_dedup_simhash is one wide aggregate, no generator fan-out") {
+    val p = plan(DedupQueries.dedupSimhash(spark, sf))
+    // tall form would show a second Generate (bit_ids explode); wide
+    // form has exactly the tokenizer explode
+    assert(p.linesIterator.count(_.trim.startsWith("Generate")) <= 1,
+      p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000)) // map-side combine
+  }
+
+  test("q_stats_ext computes moments via partial-aggregable sums (no sort)") {
+    val p = plan(MoreRelQueries.statsExt(spark, sf))
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
