@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Reference-equivalent streaming pipeline (SURVEY.md §2-A, §3.4).
@@ -236,5 +236,76 @@ object CloudTrailPipeline {
             }
           }
       }
+  }
+
+  /** Session machine on Spark 4's `transformWithState` — the
+    * arbitrary-state successor of flatMapGroupsWithState: typed state
+    * via `ValueState` + explicit event-time TIMERS instead of a
+    * single per-key timeout. Same semantics as [[sessionize]]; lives
+    * here as the forward API for 100 TB state (RocksDB provider,
+    * per-state TTL, multiple state variables per key).
+    *
+    * Timer discipline: one timer per (key, expected close time); a
+    * firing timer only closes the session if the state still says the
+    * session is idle past the gap (stale timers from superseded
+    * registrations are ignored — `deleteTimer` needs the exact old
+    * timestamp, tracking which costs more state than ignoring).
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, UserEvent, SessionOut] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var closed = List.empty[SessionOut]
+        var cur = if (state.exists()) Some(state.get()) else None
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastTs < gapMs =>
+              cur = Some(s.copy(nEvents = s.nEvents + 1, lastTs = t))
+            case Some(s) =>
+              closed ::= SessionOut(userId, s.nEvents, s.lastTs - s.start)
+              cur = Some(SessionState(1, t, t))
+            case None =>
+              cur = Some(SessionState(1, t, t))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          getHandle.registerTimer(
+            math.max(timers.getCurrentWatermarkInMs() + 1, s.lastTs + gapMs))
+        }
+        closed.reverseIterator
+      }
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (state.exists() &&
+          state.get().lastTs + gapMs <= expired.getExpiryTimeInMs) {
+        val s = state.get()
+        state.clear()
+        Iterator(SessionOut(userId, s.nEvents, s.lastTs - s.start))
+      } else Iterator.empty // stale timer for a superseded session
+  }
+
+  /** [[sessionize]] on the transformWithState API (requires the
+    * RocksDB state store provider — set by the caller/test). */
+  def sessionizeTws(events: Dataset[UserEvent],
+      gapMs: Long = 5 * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 second")
+      .groupByKey(_.userId)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -138,6 +138,47 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches flatMapGroupsWithState semantics") {
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[UserEvent](spark)
+    val q = graft.streaming.CloudTrailPipeline.sessionizeTws(mem.toDS(), gapMs = 2000)
+      .writeStream.format("memory").queryName("sess_tws_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      mem.addData(
+        UserEvent(1, "click", new Timestamp(base)),
+        UserEvent(1, "view", new Timestamp(base + 1000)),
+        UserEvent(1, "click", new Timestamp(base + 150000)))
+      q.processAllAvailable()
+      val first = spark.table("sess_tws_out").as[SessionOut].collect()
+      assert(first.length === 1)
+      assert(first.head.nEvents === 2 && first.head.durationMs === 1000)
+      // advance the watermark past the open session's gap → the
+      // event-time TIMER fires and closes it
+      mem.addData(UserEvent(2, "click", new Timestamp(base + 300000)))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, "click", new Timestamp(base + 400000)))
+      q.processAllAvailable()
+      val out = spark.table("sess_tws_out").as[SessionOut].collect()
+      assert(out.length === 3, out.mkString(","))
+      assert(out.exists(s => s.userId === 1 && s.nEvents === 1 && s.durationMs === 0))
+      assert(out.exists(s => s.userId === 2 && s.nEvents === 1 && s.durationMs === 0))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("PipelineConfig reads the CT_* env surface with defaults (A12)") {
     val c = graft.streaming.PipelineConfig.fromEnv(Map(
       "GRAFT_CT_IN_PATH" -> "/data/landing",
