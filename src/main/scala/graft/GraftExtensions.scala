@@ -16,10 +16,15 @@ import graft.functions.expressions.FloatVecDot
   * registrations against the live function registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // custom whole-operator plans (SURVEY.md §4): as-of join exec +
+    // the filter-pushdown rule Catalyst can't derive for custom nodes
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
+  }
 }
 
 object GraftExtensions {
@@ -33,10 +38,20 @@ object GraftExtensions {
         FloatVecDot(args.head, args(1))
       }))
 
-  /** Register the custom functions into a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Register the custom functions and planner strategies into a
+    * live session (tests/notebooks, where `spark.sql.extensions` was
+    * not set at build time). */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.AsOfJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.AsOfJoinFilterPushdown
+  }
 }

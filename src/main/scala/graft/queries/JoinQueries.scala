@@ -195,7 +195,33 @@ object JoinQueries {
       .orderBy(col("p_id"))
   }
 
+  /** q_join_asof_custom — the same as-of semantics executed by the
+    * engine's own operator (graft.plans.AsOfJoinExec: co-partitioned
+    * sorted merge scan, LogicalPlan + Strategy + Exec registered via
+    * SparkSessionExtensions). Unlike the join+max(struct) form above,
+    * cost is O(n+m) per partition with NO intermediate pair rows —
+    * the shape that survives dense keys at 100 TB. Inner-filtered to
+    * match the oracle. */
+  def joinAsofCustom(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val e = events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts2").as("p_ts"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts2").as("s_ts"))
+    graft.plans.AsOfJoinPlan.asof(p, sg,
+      leftKeys = Seq(col("user_id")), rightKeys = Seq(col("s_user")),
+      leftTime = col("p_ts"), rightTime = col("s_ts"),
+      rightTie = Seq(col("s_id")))
+      .filter(col("s_id").isNotNull)
+      .select(col("p_id"), col("user_id"), col("p_ts"),
+        col("s_ts").as("signup_ts"), col("s_id").as("signup_event"))
+      .orderBy(col("p_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_custom" -> (joinAsofCustom _),
     "q_join_star" -> (joinStar _),
     "q_join_inner" -> (joinInner _),
     "q_join_broadcast" -> (joinBroadcast _),
@@ -267,15 +293,19 @@ object JoinQueries {
         |  FROM (SELECT UNNEST(range(1995, 2002)) AS yr)) y
         | ON o_orderdate >= d_start AND o_orderdate < d_end
         |GROUP BY yr ORDER BY yr""".stripMargin,
-    "q_join_asof" ->
-      """SELECT p_id, user_id, p_ts, signup_ts, signup_event FROM (
-        |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
-        |         s.ts AS signup_ts, s.event_id AS signup_event,
-        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
-        |           ORDER BY s.ts DESC, s.event_id DESC) AS rn
-        |  FROM events p
-        |  JOIN events s ON s.user_id = p.user_id AND s.ts <= p.ts
-        |   AND s.event_type = 'signup'
-        |  WHERE p.event_type = 'purchase') t
-        |WHERE rn = 1 ORDER BY p_id""".stripMargin)
+    "q_join_asof" -> asofOracleSql,
+    // the custom-exec variant computes the identical relation
+    "q_join_asof_custom" -> asofOracleSql)
+
+  private lazy val asofOracleSql: String =
+    """SELECT p_id, user_id, p_ts, signup_ts, signup_event FROM (
+      |  SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+      |         s.ts AS signup_ts, s.event_id AS signup_event,
+      |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |           ORDER BY s.ts DESC, s.event_id DESC) AS rn
+      |  FROM events p
+      |  JOIN events s ON s.user_id = p.user_id AND s.ts <= p.ts
+      |   AND s.event_type = 'signup'
+      |  WHERE p.event_type = 'purchase') t
+      |WHERE rn = 1 ORDER BY p_id""".stripMargin
 }
