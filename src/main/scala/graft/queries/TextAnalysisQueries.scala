@@ -114,7 +114,43 @@ object TextAnalysisQueries {
       |  UNNEST(string_split(lower(text), ' ')) AS token
       |FROM documents""".stripMargin)
 
+  /** q_fuzzy_match — blocked edit-distance fuzzy matching over the
+    * DISTINCT name dictionary: dedupe names first (the synthetic
+    * part names repeat heavily — pairing raw rows is a quadratic
+    * explosion of exact dups), block on the noun token, verify with
+    * Levenshtein ≤ 2, and report each fuzzy name pair with its row
+    * support. Dedupe→block→verify is THE scalable fuzzy-join shape:
+    * the quadratic verifier runs only inside blocks of the distinct-
+    * key dictionary, never across the corpus. */
+  def fuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val names = part(s, d)
+      .groupBy(lower(col("p_name")).as("nm"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", split(col("nm"), " ").getItem(1))
+    names.as("a")
+      .join(names.as("b"), col("a.blk") === col("b.blk") &&
+        col("a.nm") < col("b.nm"))
+      .select(col("a.nm").as("nm_a"), col("b.nm").as("nm_b"),
+        levenshtein(col("a.nm"), col("b.nm")).as("dist"),
+        (col("a.n_rows") + col("b.n_rows")).as("support"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("nm_a"), col("nm_b"))
+  }
+
+  val fuzzyMatchOracle: String =
+    """WITH names AS (
+      |  SELECT lower(p_name) AS nm, COUNT(*) AS n_rows
+      |  FROM part GROUP BY lower(p_name)),
+      |p AS (SELECT nm, n_rows, string_split(nm, ' ')[2] AS blk FROM names)
+      |SELECT a.nm AS nm_a, b.nm AS nm_b,
+      |  levenshtein(a.nm, b.nm) AS dist,
+      |  a.n_rows + b.n_rows AS support
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.nm < b.nm
+      |WHERE levenshtein(a.nm, b.nm) <= 2
+      |ORDER BY nm_a, nm_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_match" -> (fuzzyMatch _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
     "q_token_count" -> (tokenCount _),
@@ -171,5 +207,6 @@ object TextAnalysisQueries {
         | len(regexp_extract_all(text, '[aeiou]')) AS n_vowel,
         | len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_fingerprint" -> fingerprintOracle)
+    "q_fingerprint" -> fingerprintOracle,
+    "q_fuzzy_match" -> fuzzyMatchOracle)
 }
