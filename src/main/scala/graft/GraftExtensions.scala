@@ -36,6 +36,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot(a, b) takes two array<float> args")
         FloatVecDot(args.head, args(1))
+      }),
+    (FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.KmvDistinct].getName, "kmv_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_distinct(expr, k) takes 2 args")
+        graft.functions.expressions.KmvDistinct(args.head,
+          args(1).eval().asInstanceOf[Number].intValue())
       }))
 
   /** Register the custom functions and planner strategies into a

@@ -157,7 +157,48 @@ object AggQueries {
           .as("stddev_samp"))
       .orderBy(col("o_orderstatus"))
 
+  /** q_approx_kmv — approximate distinct count via the engine's own
+    * KMV sketch (TypedImperativeAggregate, mergeable ≤k-long state —
+    * functions/expressions/KmvDistinct.scala). Pure md5 + integer
+    * arithmetic, so the DuckDB oracle reproduces the estimate EXACTLY
+    * (hash-graded, unlike engine-specific HLL in q_agg_approx). */
+  def aggApproxKmv(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("nd_exact"),
+        round(graft.functions.expressions.KmvDistinct.kmv(
+          col("l_orderkey").cast("string"), 256), 4).as("approx_nd"))
+      .orderBy(col("l_returnflag"))
+
+  /** 48-bit positional decode of the first 12 md5 hex chars — the
+    * SQL twin of KmvDistinct.hash48. */
+  private def hexval12(m: String): String =
+    (1 to 12).map(j =>
+      s"(instr('0123456789abcdef', substr($m, $j, 1)) - 1) * ${math.pow(16, 12 - j).toLong}"
+    ).mkString("(", " + ", ")")
+
+  val aggApproxKmvOracle: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag, ${hexval12("m")} AS hv
+       |  FROM (SELECT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS m
+       |        FROM lineitem) t),
+       |r AS (
+       |  SELECT l_returnflag, hv,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+       |  FROM h),
+       |x AS (SELECT * FROM r WHERE rn = LEAST(nd, 256))
+       |SELECT x.l_returnflag AS l_returnflag, e.nd_exact,
+       |  ROUND(CASE WHEN x.nd < 256 THEN CAST(x.nd AS DOUBLE)
+       |        ELSE 255 * POW(2.0, 48) / CAST(x.hv AS DOUBLE) END, 4) AS approx_nd
+       |FROM x JOIN (
+       |  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS nd_exact
+       |  FROM lineitem GROUP BY l_returnflag) e
+       | ON e.l_returnflag = x.l_returnflag
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_kmv" -> (aggApproxKmv _),
     "q_agg_group" -> (aggGroup _),
     "q_percentile" -> (aggPercentile _),
     "q_stats" -> (aggStats _),
@@ -170,6 +211,7 @@ object AggQueries {
     "q_agg_collect" -> (aggCollect _))
 
   val oracle: Map[String, String] = Map(
+    "q_approx_kmv" -> aggApproxKmvOracle,
     "q_agg_group" -> aggGroupSql,
     "q_percentile" ->
       """SELECT o_orderstatus,

@@ -33,6 +33,35 @@ class ExpressionSpec extends GraftSpecBase {
     assert(out(1).isNullAt(0) && out(2).isNullAt(0))
   }
 
+  test("KmvDistinct estimates within KMV error bounds and is partition-invariant") {
+    import graft.functions.expressions.KmvDistinct
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    val est = li.select(KmvDistinct.kmv(col("l_orderkey").cast("string"), 256)
+      .as("e")).collect()(0).getDouble(0)
+    // KMV relative standard error ~ 1/sqrt(k-2) ≈ 6.3% at k=256; 4σ bound
+    assert(math.abs(est - exact) / exact < 0.25, s"est=$est exact=$exact")
+    // merge correctness: estimate must not depend on partitioning
+    val est2 = li.repartition(7).select(
+      KmvDistinct.kmv(col("l_orderkey").cast("string"), 256).as("e"))
+      .collect()(0).getDouble(0)
+    assert(est === est2)
+    // exact mode below k distinct values
+    val small = li.limit(50).select(
+      KmvDistinct.kmv(col("l_orderkey").cast("string"), 256).as("e"),
+      countDistinct(col("l_orderkey")).as("n")).collect()(0)
+    assert(small.getDouble(0) === small.getLong(1).toDouble)
+  }
+
+  test("kmv_distinct is registered as a SQL function") {
+    GraftExtensions.register(spark)
+    Tables.lineitem(spark, sf).createOrReplaceTempView("li_kmv")
+    val r = spark.sql(
+      "SELECT kmv_distinct(CAST(l_orderkey AS STRING), 256) FROM li_kmv")
+      .collect()(0).getDouble(0)
+    assert(r > 0)
+  }
+
   test("NGramShingles(2) matches the zip_with bigram formulation") {
     val toks = split(lower(col("text")), " ")
     val docs = Tables.documents(spark, sf)
