@@ -15,7 +15,7 @@ object SparkEntry {
     SimQueries.queries ++ UdxQueries.queries ++
     DedupQueries.queries ++ TextAnalysisQueries.queries ++
     CapabilityQueries.queries ++ RelExtraQueries.queries ++
-    MoreRelQueries.queries
+    MoreRelQueries.queries ++ PipelineQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +25,6 @@ object SparkEntry {
     SemiStructQueries.oracle ++ TextQueries.oracle ++
     SimQueries.oracle ++ UdxQueries.oracle ++
     DedupQueries.oracle ++ TextAnalysisQueries.oracle ++
-    RelExtraQueries.oracle ++ MoreRelQueries.oracle
+    RelExtraQueries.oracle ++ MoreRelQueries.oracle ++
+    PipelineQueries.oracle
 }

@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.Determinism._
+
+/** Round-2 widening #2: event-pipeline analytics a production
+  * training-data / clickstream pipeline needs beyond the core
+  * relational surface — conversion funnels, cohort retention,
+  * deterministic hash sampling, least-squares regression, grouped
+  * mode, token-distribution entropy, event-transition bigrams,
+  * privacy pseudonymization, skew-salted joins, and latest-record
+  * compaction.
+  *
+  * Scale notes (100 TB): every query is expressed as declarative
+  * groupBy/window/join so Catalyst picks 2-phase hash aggregation and
+  * shuffle-or-broadcast joins. The funnel/retention per-user frames
+  * shuffle once on `user_id` (the natural event partition key at
+  * scale); hash sampling happens BEFORE any shuffle, so at 100 TB it
+  * prunes the scan output down to the sampled fraction first;
+  * the salted join demonstrates the standard hot-key mitigation:
+  * replicate the build side k ways and spread the probe side across
+  * the replicas, turning one straggler partition into k uniform ones
+  * (same technique AQE skew-join applies adaptively).
+  */
+object PipelineQueries {
+
+  /** q_funnel — 3-stage conversion funnel over `events`: users who
+    * signed up, then viewed AFTER their first signup, then purchased
+    * AFTER that first qualifying view. Classic min-timestamp chain:
+    * each stage is one keyed aggregate joined to the previous stage,
+    * so the whole funnel is |stages| shuffles on `user_id` (and at
+    * scale each join is co-partitioned with the previous aggregate —
+    * the sort orders reuse). */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts2")).as("t0"))
+    val vi = e.filter(col("event_type") === "view")
+      .join(su, "user_id").filter(col("ts2") > col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ts2")).as("t1"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .join(vi, "user_id").filter(col("ts2") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts2")).as("t2"))
+    su.agg(count(lit(1)).as("users")).select(lit("1_signup").as("stage"), col("users"))
+      .unionAll(vi.agg(count(lit(1)).as("users")).select(lit("2_view").as("stage"), col("users")))
+      .unionAll(pu.agg(count(lit(1)).as("users")).select(lit("3_purchase").as("stage"), col("users")))
+      .orderBy(col("stage"))
+  }
+
+  val funnelOracle: String =
+    """WITH su AS (SELECT user_id, min(ts) AS t0 FROM events
+      |            WHERE event_type='signup' GROUP BY 1),
+      |vi AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+      |       JOIN su ON e.user_id = su.user_id AND e.ts > su.t0
+      |       WHERE e.event_type='view' GROUP BY 1),
+      |pu AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |       JOIN vi ON e.user_id = vi.user_id AND e.ts > vi.t1
+      |       WHERE e.event_type='purchase' GROUP BY 1)
+      |SELECT '1_signup' AS stage, (SELECT count(*) FROM su)::BIGINT AS users
+      |UNION ALL
+      |SELECT '2_view', (SELECT count(*) FROM vi)::BIGINT
+      |UNION ALL
+      |SELECT '3_purchase', (SELECT count(*) FROM pu)::BIGINT
+      |ORDER BY stage""".stripMargin
+
+  /** q_retention — cohort retention: users grouped by first-activity
+    * day, counted as retained on each later day-offset (first week).
+    * One `user_id` aggregate + one co-partitioned join back to the
+    * fact, then a tiny (cohort, offset) aggregate. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val first = e.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts2"))).as("cohort"))
+    e.join(first, "user_id")
+      .select(col("cohort"),
+        datediff(to_date(col("ts2")), col("cohort")).as("day_off"),
+        col("user_id"))
+      .filter(col("day_off") <= 7)
+      .distinct()
+      .groupBy(col("cohort"), col("day_off"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("cohort"), col("day_off"))
+  }
+
+  val retentionOracle: String =
+    """WITH first AS (
+      |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+      |  FROM events GROUP BY 1)
+      |SELECT cohort, day_off, count(*)::BIGINT AS users FROM (
+      |  SELECT DISTINCT f.cohort,
+      |    date_diff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS day_off,
+      |    e.user_id
+      |  FROM events e JOIN first f ON e.user_id = f.user_id)
+      |WHERE day_off <= 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_sample_hash — deterministic hash sampling: keep orders whose
+    * md5(key) starts with '0' or '1' (a stable 1/8-ish cluster
+    * sample by orderkey), then aggregate the sampled lineitems.
+    * Unlike TABLESAMPLE/rand() this is reproducible across engines,
+    * runs, AND partitionings — the property a training-data pipeline
+    * needs for holdout splits. The filter evaluates at scan time
+    * (before any shuffle), so at 100 TB the downstream agg sees only
+    * the sample. */
+  def sampleHash(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1)
+        .isin("0", "1"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
+  val sampleHashOracle: String =
+    """SELECT l_returnflag, count(*)::BIGINT AS n,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_regr — least-squares regression of extendedprice on quantity
+    * per returnflag, computed from EXACT decimal moment sums (D2:
+    * parallel double reduction is order-dependent; decimal sums are
+    * not), converted to double only for the final division. */
+  def regr(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).as("sx"),
+        sum(dec(col("l_extendedprice"))).as("sy"),
+        sum(dec(col("l_quantity") * col("l_quantity"))).as("sxx"),
+        sum(dec(col("l_quantity") * col("l_extendedprice"))).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round((dout(col("n") * col("sxy") - col("sx") * col("sy")) /
+               dout(col("n") * col("sxx") - col("sx") * col("sx"))), 4)
+          .as("slope"),
+        round((dout(col("sy")) - (dout(col("n") * col("sxy") - col("sx") * col("sy")) /
+               dout(col("n") * col("sxx") - col("sx") * col("sx"))) * dout(col("sx"))) /
+              col("n"), 4).as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val regrOracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*)::BIGINT AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+      |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS sxx,
+      |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 4) AS slope,
+      |  ROUND((CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 4) AS intercept
+      |FROM m ORDER BY 1""".stripMargin
+
+  /** q_mode — deterministic grouped mode: most frequent brand per
+    * part-type prefix, ties broken lexicographically (built-in
+    * `mode()` is tie-nondeterministic in both engines — D4). Count +
+    * row_number is the scalable form: one keyed aggregate, then a
+    * tiny per-group window. */
+  def modeQ(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+      .withColumn("type_prefix", split(col("p_type"), " ").getItem(0))
+    val counted = p.groupBy(col("type_prefix"), col("p_brand"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("type_prefix"))
+      .orderBy(col("cnt").desc, col("p_brand"))
+    counted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("type_prefix"), col("p_brand").as("mode_brand"), col("cnt"))
+      .orderBy(col("type_prefix"))
+  }
+
+  val modeOracle: String =
+    """WITH c AS (
+      |  SELECT string_split(p_type, ' ')[1] AS type_prefix, p_brand,
+      |         count(*)::BIGINT AS cnt
+      |  FROM part GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY type_prefix
+      |        ORDER BY cnt DESC, p_brand) AS rn FROM c)
+      |SELECT type_prefix, p_brand AS mode_brand, cnt
+      |FROM r WHERE rn = 1 ORDER BY type_prefix""".stripMargin
+
+  /** q_entropy — Shannon entropy of the token distribution per
+    * language: H = -Σ p·ln p over the (closed, 31-word — FIXTURES.md)
+    * vocabulary. Token counts are exact longs; the double Σ runs over
+    * ≤|vocab| terms so ROUND(,4) absorbs reduction-order ulps. */
+  def entropy(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("lang"),
+      explode(split(lower(col("text")), " ")).as("token"))
+    val counts = toks.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_tokens"))
+    counts.join(totals, "lang")
+      .withColumn("p", col("cnt").cast("double") / col("total").cast("double"))
+      .groupBy(col("lang"))
+      .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy"),
+        max(col("n_tokens")).as("n_distinct_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val entropyOracle: String =
+    """WITH toks AS (
+      |  SELECT lang, UNNEST(string_split(LOWER(text), ' ')) AS token
+      |  FROM documents),
+      |c AS (SELECT lang, token, count(*)::BIGINT AS cnt FROM toks GROUP BY 1,2),
+      |t AS (SELECT lang, SUM(cnt)::BIGINT AS total, count(*)::BIGINT AS n_tokens
+      |      FROM c GROUP BY 1)
+      |SELECT c.lang,
+      |  ROUND(-SUM((CAST(cnt AS DOUBLE)/CAST(total AS DOUBLE)) *
+      |             ln(CAST(cnt AS DOUBLE)/CAST(total AS DOUBLE))), 4) AS entropy,
+      |  MAX(n_tokens) AS n_distinct_tokens
+      |FROM c JOIN t ON c.lang = t.lang
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_seq_adjacent — event-transition bigrams: for each user's
+    * time-ordered event stream, count (previous_type → current_type)
+    * transitions. One window shuffle on `user_id` + one tiny
+    * aggregate over ≤|types|² keys — the Markov-chain building block
+    * for session modeling. */
+  def seqAdjacent(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts2"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val seqAdjacentOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type, count(*)::BIGINT AS n
+      |FROM seq WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_pseudonymize — privacy-preserving key transformation: replace
+    * `user_id` with a salted SHA-256 pseudonym (stable across runs
+    * and engines, irreversible without the salt), then aggregate per
+    * pseudonym. The map side is pure projection — no extra shuffle
+    * beyond the aggregate's own. */
+  def pseudonymize(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("pseudo_id",
+        substring(sha2(concat(col("user_id").cast("string"), lit("|graft")), 256), 1, 16))
+      .groupBy(col("pseudo_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("pseudo_id"))
+
+  val pseudonymizeOracle: String =
+    """SELECT substr(sha256(CAST(user_id AS VARCHAR) || '|graft'), 1, 16) AS pseudo_id,
+      | count(*)::BIGINT AS n_events,
+      | count(DISTINCT event_type)::BIGINT AS n_types,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_join_skew — skew-mitigated (salted) join: replicate each
+    * `orders` build row across SALT buckets and spread `lineitem`
+    * probe rows uniformly over them, so one hot orderkey lands on
+    * SALT partitions instead of one straggler. Result is provably
+    * identical to the plain join (each probe row meets exactly the
+    * one replica with its salt), so the oracle is the unsalted SQL.
+    * This is the manual form of what AQE skew-join does adaptively;
+    * at 100 TB prefer AQE unless the skew is known a priori. */
+  def joinSkew(s: SparkSession, d: String): DataFrame = {
+    val SALT = 8
+    val probe = lineitem(s, d)
+      .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(SALT)))
+    val build = orders(s, d)
+      .withColumn("salt", explode(lit((0 until SALT).toArray)))
+      .withColumn("salt", col("salt").cast("long"))
+    probe.join(build,
+        probe("l_orderkey") === build("o_orderkey") &&
+        probe("salt") === build("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val joinSkewOracle: String =
+    """SELECT o_orderstatus, count(*)::BIGINT AS n,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_dedup_latest — latest-record compaction (CDC/upsert pattern):
+    * keep the newest event per (user, type) by (ts, event_id)
+    * descending. Window row_number is the scalable form — one shuffle
+    * on the compaction key, no global sort. */
+  def dedupLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts2").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("ts2").as("last_ts"), col("event_id").as("last_event_id"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val dedupLatestOracle: String =
+    """SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+      |  value AS last_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |  ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (funnel _),
+    "q_retention" -> (retention _),
+    "q_sample_hash" -> (sampleHash _),
+    "q_regr" -> (regr _),
+    "q_mode" -> (modeQ _),
+    "q_entropy" -> (entropy _),
+    "q_seq_adjacent" -> (seqAdjacent _),
+    "q_pseudonymize" -> (pseudonymize _),
+    "q_join_skew" -> (joinSkew _),
+    "q_dedup_latest" -> (dedupLatest _))
+
+  def oracle: Map[String, String] = Map(
+    "q_funnel" -> funnelOracle,
+    "q_retention" -> retentionOracle,
+    "q_sample_hash" -> sampleHashOracle,
+    "q_regr" -> regrOracle,
+    "q_mode" -> modeOracle,
+    "q_entropy" -> entropyOracle,
+    "q_seq_adjacent" -> seqAdjacentOracle,
+    "q_pseudonymize" -> pseudonymizeOracle,
+    "q_join_skew" -> joinSkewOracle,
+    "q_dedup_latest" -> dedupLatestOracle)
+}
