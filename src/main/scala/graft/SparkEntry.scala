@@ -15,7 +15,8 @@ object SparkEntry {
     SimQueries.queries ++ UdxQueries.queries ++
     DedupQueries.queries ++ TextAnalysisQueries.queries ++
     CapabilityQueries.queries ++ RelExtraQueries.queries ++
-    MoreRelQueries.queries ++ PipelineQueries.queries
+    MoreRelQueries.queries ++ PipelineQueries.queries ++
+    WideSurfaceQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -26,5 +27,5 @@ object SparkEntry {
     SimQueries.oracle ++ UdxQueries.oracle ++
     DedupQueries.oracle ++ TextAnalysisQueries.oracle ++
     RelExtraQueries.oracle ++ MoreRelQueries.oracle ++
-    PipelineQueries.oracle
+    PipelineQueries.oracle ++ WideSurfaceQueries.oracle
 }

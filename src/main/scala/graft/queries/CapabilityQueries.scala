@@ -57,7 +57,29 @@ object CapabilityQueries {
       .orderBy($"mediaId")
   }
 
+  /** Bloom-filter semi-join pre-filter: build a filter over the keys
+    * of URGENT orders, probe every lineitem. At 100 TB this is the
+    * standard shuffle-avoidance trick (ship a few MB of bits instead
+    * of a join's shuffle); Spark's own runtime row-group filtering
+    * uses the same structure. False-positive rows (bounded by fpp)
+    * make the count engine-specific ⇒ capability row, with the
+    * superset/recall property asserted in PropertySpec. */
+  def bloomFilter(s: SparkSession, d: String): DataFrame = {
+    val urgentKeys = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bf = urgentKeys.stat.bloomFilter("o_orderkey",
+      expectedNumItems = 100000L, fpp = 0.01)
+    val bfBc = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfBc.value.mightContain(k))
+    lineitem(s, d)
+      .filter(mightContain(col("l_orderkey")))
+      .agg(count(lit(1)).as("n_probe_positive"),
+        countDistinct(col("l_orderkey")).as("n_keys"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_filter" -> (bloomFilter _),
     "q_agg_approx" -> (aggApprox _),
     "q_lsh_ml" -> (lshMl _),
     "q_ann_lsh" -> (annLsh _),

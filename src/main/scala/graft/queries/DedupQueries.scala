@@ -305,13 +305,115 @@ object DedupQueries {
       |    CAST(b.embedding AS DOUBLE[])), 3) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q_dedup_cluster — connected components over the near-dup graph:
+    * group mutually-similar documents into clusters (the step AFTER
+    * pair detection that real dedup pipelines need — keep one doc per
+    * component, not per pair). Edges are the bigram-Jaccard pairs of
+    * [[dedupNgram]]; components are found by iterative min-label
+    * propagation: every node repeatedly takes the smallest label in
+    * its neighborhood until fixpoint. Deterministic (min is
+    * order-free) and distributed — each round is ONE keyed shuffle,
+    * and rounds ≤ graph diameter (near-dup components are shallow;
+    * at 100 TB switch the inner loop to the large-star/small-star
+    * contraction, same driver-loop shape, O(log n) rounds, with
+    * `localCheckpoint()` every few rounds to truncate lineage).
+    * Oracle: the same components via a transitive-closure recursive
+    * CTE (NOT recursive min-label propagation — SQL's working-table
+    * semantics stall it: once a (node,label) pair has appeared, UNION
+    * drops it from later working tables and multi-hop paths never
+    * finish propagating; verified against union-find ground truth).
+    * Edges use τ=0.1 (τ=0.05 merges everything into one component at
+    * every SF — no clustering structure left to grade). */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgram(s, d)
+      .filter(col("jaccard") >= 0.1)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    // localCheckpoint each round: the new frontier's plan would
+    // otherwise NEST the entire previous round's plan — analysis
+    // re-walks a tree that doubles per round and the driver dies on
+    // heap long before the data is big (observed at sf0.1, ~50
+    // rounds). Truncating lineage per round is the standard shape
+    // for iterative DataFrame algorithms (on a cluster, checkpoint
+    // to reliable storage instead if executor loss must be
+    // survivable).
+    var labels = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("lbl"))
+      .toDF("id", "lbl")
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 10000, "label propagation failed to converge")
+      // toDF re-aliases every attribute — required: labels derives
+      // from sym, and reusing its attrs in a sym-join would trip
+      // Spark's ambiguous-self-join detection
+      val prop = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = prop.join(labels.toDF("id2", "old_lbl"),
+          col("src") === col("id2"))
+        .select(col("src"),
+          least(col("nbr_lbl"), col("old_lbl")).as("new_lbl"),
+          col("old_lbl"))
+        .localCheckpoint()
+      converged = next.filter(col("new_lbl") =!= col("old_lbl")).isEmpty
+      labels = next.select(col("src"), col("new_lbl")).toDF("id", "lbl")
+    }
+    val out = labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy(col("doc_id"))
+    sym.unpersist()
+    out
+  }
+
+  /** Transitive-closure fixpoint (see [[dedupCluster]] doc for why
+    * not label propagation). The edge CTEs repeat
+    * [[dedupNgramOracle]]'s bigram pipeline verbatim. */
+  val dedupClusterOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+      |    UNNEST(string_split(lower(text), ' ')) AS tok
+      |  FROM documents WHERE lang = 'es'),
+      |big AS (
+      |  SELECT DISTINCT doc_id, bg FROM (
+      |    SELECT doc_id,
+      |      tok || '_' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      |    FROM toks) t
+      |  WHERE bg IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM big GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM big a JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |e AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE ROUND(CAST(n_inter AS DOUBLE)/(sa.sz + sb.sz - n_inter), 4) >= 0.1),
+      |sym AS (SELECT doc_a AS node, doc_b AS nbr FROM e
+      |        UNION ALL SELECT doc_b, doc_a FROM e),
+      |reach AS (
+      |  SELECT node, nbr AS r FROM sym
+      |  UNION
+      |  SELECT reach.node, s.nbr FROM reach JOIN sym s ON reach.r = s.node
+      |)
+      |SELECT node AS doc_id, least(node, min(r)) AS cluster
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_cluster" -> (dedupCluster _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_embed" -> (dedupEmbed _))
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_cluster" -> dedupClusterOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhashOracle,
     "q_dedup_ngram" -> dedupNgramOracle,

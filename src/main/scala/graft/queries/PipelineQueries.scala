@@ -322,6 +322,97 @@ object PipelineQueries {
       |  ORDER BY ts DESC, event_id DESC) = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q_win_time_range — trailing 10-minute rolling average per user:
+    * a TIME-based RANGE frame (vs q_win_range_frame's integer frame).
+    * Spark's rangeBetween needs a numeric sort key, so the frame is
+    * declared over `unix_micros(ts2)` with a ±600e6 µs bound —
+    * identical frame SETS to DuckDB's `RANGE INTERVAL '10 minutes'
+    * PRECEDING`. The frame sum is decimal-exact (D2: frame membership
+    * is a set, but the reduction order is engine-private). */
+  def winTimeRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts2")))
+      .rangeBetween(-600000000L, 0L)
+    events(s, d)
+      .withColumn("roll_avg",
+        round(sum(dec(col("value"))).over(w).cast("double") /
+          count(col("value")).over(w), 4))
+      .select(col("user_id"), col("ts2").as("ts"), col("event_id"),
+        col("roll_avg"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val winTimeRangeOracle: String =
+    """SELECT user_id, ts, event_id,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |        / COUNT(value) OVER w, 4) AS roll_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** q_percentile_disc — discrete (order-statistic) median per group:
+    * the smallest actual value whose cumulative distribution reaches
+    * 0.5 — vs q_percentile's interpolated form. cume_dist + min is
+    * the ANSI-portable phrasing; both engines compute the same exact
+    * count ratio. */
+  def percentileDisc(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"))
+    orders(s, d)
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("cd") >= 0.5)
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("o_totalprice")).as("p50_disc"),
+        count(lit(1)).as("n_at_or_above"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val percentileDiscOracle: String =
+    """SELECT o_orderpriority, min(o_totalprice) AS p50_disc,
+      |  count(*)::BIGINT AS n_at_or_above
+      |FROM (SELECT o_orderpriority, o_totalprice,
+      |        cume_dist() OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice) AS cd
+      |      FROM orders)
+      |WHERE cd >= 0.5 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_ngram_freq — top-3 bigrams per language. Spark builds bigrams
+    * with zip_with over adjacent slices — a pure per-row projection,
+    * NO per-document window shuffle (the scale path: only the final
+    * (lang, bigram) aggregate shuffles). The oracle mirrors the same
+    * bigram set with a DuckDB list comprehension. */
+  def ngramFreq(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("toks", split(lower(col("text")), " "))
+    val bigrams = docs.select(col("lang"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val counted = bigrams.groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("freq").desc, col("bigram"))
+    counted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("lang"), col("bigram"), col("freq"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val ngramFreqOracle: String =
+    """WITH toks AS (
+      |  SELECT lang, string_split(LOWER(text), ' ') AS l FROM documents),
+      |bg AS (
+      |  SELECT lang, unnest(list_transform(range(1, len(l)),
+      |    i -> l[i] || ' ' || l[i+1])) AS bigram FROM toks),
+      |c AS (SELECT lang, bigram, count(*)::BIGINT AS freq
+      |      FROM bg GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |        ORDER BY freq DESC, bigram) AS rk FROM c)
+      |SELECT lang, bigram, freq, rk FROM r WHERE rk <= 3
+      |ORDER BY lang, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _),
@@ -332,7 +423,10 @@ object PipelineQueries {
     "q_seq_adjacent" -> (seqAdjacent _),
     "q_pseudonymize" -> (pseudonymize _),
     "q_join_skew" -> (joinSkew _),
-    "q_dedup_latest" -> (dedupLatest _))
+    "q_dedup_latest" -> (dedupLatest _),
+    "q_win_time_range" -> (winTimeRange _),
+    "q_percentile_disc" -> (percentileDisc _),
+    "q_ngram_freq" -> (ngramFreq _))
 
   def oracle: Map[String, String] = Map(
     "q_funnel" -> funnelOracle,
@@ -344,5 +438,8 @@ object PipelineQueries {
     "q_seq_adjacent" -> seqAdjacentOracle,
     "q_pseudonymize" -> pseudonymizeOracle,
     "q_join_skew" -> joinSkewOracle,
-    "q_dedup_latest" -> dedupLatestOracle)
+    "q_dedup_latest" -> dedupLatestOracle,
+    "q_win_time_range" -> winTimeRangeOracle,
+    "q_percentile_disc" -> percentileDiscOracle,
+    "q_ngram_freq" -> ngramFreqOracle)
 }

@@ -92,4 +92,20 @@ class PropertySpec extends GraftSpecBase {
     // the query's own vector is always in its own bucket → rank 1
     assert(lsh.head.getLong(0) === 0L)
   }
+
+  test("bloom pre-filter admits a superset of the exact semi-join") {
+    val exact = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val probed = CapabilityQueries.bloomFilter(spark, sf).collect()(0)
+    val (nProbe, nKeys) = (probed.getLong(0), probed.getLong(1))
+    // no false negatives: every true match passes the filter
+    assert(nProbe >= exact.count())
+    // fpp=1% over ~1500 candidate keys: the superset is tight
+    val exactKeys = exact.select("l_orderkey").distinct().count()
+    assert(nKeys >= exactKeys && nKeys <= exactKeys + 100,
+      s"expected tight superset: bloom=$nKeys exact=$exactKeys")
+  }
 }

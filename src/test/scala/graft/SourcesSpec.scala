@@ -51,6 +51,20 @@ class SourcesSpec extends GraftSpecBase {
     assert(back.count() === Tables.documents(spark, sf).count())
   }
 
+  test("ORC round-trip preserves values and pushes filters") {
+    val dir = tmp("graft_orc")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("int").as("n_chars"))
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.except(docs).count() === 0 && docs.except(back).count() === 0)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      s"ORC scan must show pushed filters:\n$plan")
+  }
+
   test("partitioned parquet layout prunes partitions at the source") {
     val dir = tmp("graft_part")
     Tables.documents(spark, sf)

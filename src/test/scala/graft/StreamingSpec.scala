@@ -259,6 +259,32 @@ class StreamingSpec extends GraftSpecBase {
     val keys = got.toArray(Array.empty[String]).toSeq
     assert(keys.sorted === Seq("1", "2", "3", "4")) // dedup dropped one "3"
   }
+
+  test("stream-stream interval join matches clicks to purchases within 1h") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val buys = MemoryStream[(Long, Timestamp)](spark)
+    val c = clicks.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "2 hours")
+    val b = buys.toDF().toDF("b_user", "b_ts").withWatermark("b_ts", "2 hours")
+    // interval condition bounds the state: each side keeps ≤ watermark
+    // + interval of history, the scale prerequisite for an unbounded
+    // two-stream join
+    val joined = c.join(b,
+      expr("""c_user = b_user AND
+              b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 1 HOUR"""))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, Timestamp.valueOf("2024-01-01 10:05:00")))
+      buys.addData((1L, Timestamp.valueOf("2024-01-01 10:30:00")), // in window
+        (2L, Timestamp.valueOf("2024-01-01 12:00:00"))) // outside 1h
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("c_user").as[Long].collect().toSeq
+      assert(rows === Seq(1L), s"only user 1 purchases within 1h, got $rows")
+    } finally q.stop()
+  }
 }
 
 /** Serializable collector sink (object-held so executor threads in
