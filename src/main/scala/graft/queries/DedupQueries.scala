@@ -328,9 +328,15 @@ object DedupQueries {
     val pairs = dedupNgram(s, d)
       .filter(col("jaccard") >= 0.1)
       .select(col("doc_a"), col("doc_b"))
+    // coalesce(2): the frontier is orders of magnitude smaller than
+    // the corpus (only docs WITH near-dup edges); a dozen near-empty
+    // partitions per round would be pure task-scheduling overhead.
+    // At scale AQE's post-shuffle coalescing makes this sizing
+    // automatic.
     val sym = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
+      .coalesce(2)
       .persist()
     // localCheckpoint each round: the new frontier's plan would
     // otherwise NEST the entire previous round's plan — analysis
@@ -344,24 +350,37 @@ object DedupQueries {
       .agg(least(min(col("dst")), col("src")).as("lbl"))
       .toDF("id", "lbl")
       .localCheckpoint()
+    // Each round: new_lbl(v) = min over the lbls of {v, lbl(v),
+    // neighbors(v)}. Including lbl(v) itself is pointer jumping —
+    // label paths halve every round, so rounds are O(log diameter)
+    // instead of O(diameter) (a 50-hop chain converges in ~6 rounds,
+    // not 50); including v keeps labels monotonically non-increasing.
+    // The whole round is ONE join + ONE aggregate by phrasing all
+    // three sources as edges: sym ∪ (v→v) ∪ (v→lbl(v)), then
+    // min(lbl(dst)) per src. Convergence = Σlbl unchanged (labels
+    // are non-increasing positive ints, so Σ strictly decreases
+    // until fixpoint) — a single cheap agg action per round, no
+    // old-vs-new join. toDF everywhere re-aliases attributes so the
+    // labels-derives-from-sym self-joins stay unambiguous.
+    var prevSum = Long.MaxValue
     var converged = false
     var rounds = 0
     while (!converged) {
       rounds += 1
-      require(rounds <= 10000, "label propagation failed to converge")
-      // toDF re-aliases every attribute — required: labels derives
-      // from sym, and reusing its attrs in a sym-join would trip
-      // Spark's ambiguous-self-join detection
-      val prop = sym.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = prop.join(labels.toDF("id2", "old_lbl"),
-          col("src") === col("id2"))
-        .select(col("src"),
-          least(col("nbr_lbl"), col("old_lbl")).as("new_lbl"),
-          col("old_lbl"))
+      require(rounds <= 64, "label propagation failed to converge")
+      val aug = sym
+        .union(labels.select(col("id"), col("id")))
+        .union(labels.select(col("id"), col("lbl")))
+        .toDF("s", "d")
+      labels = aug.join(labels.toDF("id2", "lbl2"), col("d") === col("id2"))
+        .groupBy(col("s")).agg(min(col("lbl2")).as("l"))
+        .toDF("id", "lbl")
+        .coalesce(2)
         .localCheckpoint()
-      converged = next.filter(col("new_lbl") =!= col("old_lbl")).isEmpty
-      labels = next.select(col("src"), col("new_lbl")).toDF("id", "lbl")
+      val sum = labels.agg(org.apache.spark.sql.functions.sum(col("lbl")))
+        .first().getLong(0)
+      converged = sum == prevSum
+      prevSum = sum
     }
     val out = labels
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
