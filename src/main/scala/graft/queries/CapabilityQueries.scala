@@ -78,7 +78,22 @@ object CapabilityQueries {
         countDistinct(col("l_orderkey")).as("n_keys"))
   }
 
+  /** Mergeable quantile sketch (percentile_approx / GK): the
+    * streaming-friendly alternative to exact percentiles — relative
+    * accuracy is property-tested against q_percentile's exact
+    * interpolation; sketch internals differ across engines so no
+    * hash oracle. */
+  def approxQuantile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("p90_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_quantile" -> (approxQuantile _),
     "q_bloom_filter" -> (bloomFilter _),
     "q_agg_approx" -> (aggApprox _),
     "q_lsh_ml" -> (lshMl _),

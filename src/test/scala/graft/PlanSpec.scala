@@ -95,4 +95,42 @@ class PlanSpec extends GraftSpecBase {
     assert(p.contains("partial_sum"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("q_sample_hash filters at the scan stage, before any exchange") {
+    val p = plan(PipelineQueries.sampleHash(spark, sf))
+    // the md5 filter cannot push into parquet, but it must sit in the
+    // scan stage: Filter below the first Exchange
+    val filterIdx = p.indexOf("Filter")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(filterIdx >= 0 && exchangeIdx >= 0 && filterIdx > exchangeIdx,
+      // executedPlan prints top-down: scan-stage Filter appears AFTER
+      // the agg Exchange textually
+      p.take(3000))
+  }
+
+  test("q_retention broadcasts the per-user cohort aggregate") {
+    val p = plan(PipelineQueries.retention(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q_ngram_freq builds bigrams without a per-document window") {
+    val p = plan(PipelineQueries.ngramFreq(spark, sf))
+    // zip_with stays in the project/generate stage; the only Window is
+    // the final tiny per-language top-k
+    assert(p.contains("Generate"), p.take(3000))
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"expected at most the top-k window, got $windows")
+  }
+
+  test("q_join_skew spreads the probe side across salt replicas") {
+    val p = plan(PipelineQueries.joinSkew(spark, sf))
+    assert(p.contains("Generate") || p.contains("explode"), p.take(3000))
+    assert(p.contains("xxhash64"), p.take(3000))
+  }
+
+  test("q_time_bucket aggregates in two phases (map-side combine)") {
+    val p = plan(WideSurfaceQueries.timeBucket(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(3000))
+  }
 }

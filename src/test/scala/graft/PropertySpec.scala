@@ -93,6 +93,21 @@ class PropertySpec extends GraftSpecBase {
     assert(lsh.head.getLong(0) === 0L)
   }
 
+  test("approx quantiles land within 5% of exact percentiles") {
+    val approx = CapabilityQueries.approxQuantile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    approx.foreach { case (k, (a50, a90)) =>
+      val (e50, e90) = exact(k)
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.05, s"$k p90: $a90 vs $e90")
+    }
+  }
+
   test("bloom pre-filter admits a superset of the exact semi-join") {
     val exact = Tables.lineitem(spark, sf)
       .join(Tables.orders(spark, sf)
