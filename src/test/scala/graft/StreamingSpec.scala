@@ -285,6 +285,43 @@ class StreamingSpec extends GraftSpecBase {
       assert(rows === Seq(1L), s"only user 1 purchases within 1h, got $rows")
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER join emits null-extended rows after watermark") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val buys = MemoryStream[(Long, Timestamp)](spark)
+    val c = clicks.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("b_user", "b_ts").withWatermark("b_ts", "10 minutes")
+    val joined = c.join(b,
+      expr("""c_user = b_user AND
+              b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 1 HOUR"""),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_left")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      buys.addData((1L, Timestamp.valueOf("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // user 2's null-extension cannot be emitted yet: its join window
+      // is still open until the watermark passes c_ts + 1h
+      // advance both watermarks far past the window
+      clicks.addData((9L, Timestamp.valueOf("2024-01-01 15:00:00")))
+      buys.addData((9L, Timestamp.valueOf("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      // one more batch so the state-eviction results flush
+      clicks.addData((8L, Timestamp.valueOf("2024-01-01 15:30:00")))
+      buys.addData((8L, Timestamp.valueOf("2024-01-01 15:30:00")))
+      q.processAllAvailable()
+      val byUser = spark.table("ssj_left")
+        .select(col("c_user"), col("b_user"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(byUser(1L) === Some(1L), "matched row joins normally")
+      assert(byUser.contains(2L) && byUser(2L) === None,
+        s"unmatched click must null-extend after watermark passes: $byUser")
+    } finally q.stop()
+  }
 }
 
 /** Serializable collector sink (object-held so executor threads in
