@@ -147,13 +147,81 @@ object WideSurfaceQueries {
       |  ROUND(CAST(rev AS DOUBLE) * 100.0 / SUM(CAST(rev AS DOUBLE)) OVER (), 4) AS pct
       |FROM rev ORDER BY n_name""".stripMargin
 
+  /** q_agg_filter — per-aggregate FILTER clauses: one pass over the
+    * fact computing differently-scoped aggregates (vs CASE-WHEN
+    * emulation). One 2-phase hash aggregate — the conditions
+    * evaluate map-side. */
+  def aggFilter(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""SELECT o_orderstatus,
+            |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+            |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            |    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_sum,
+            |  COUNT(*) AS n
+            |FROM orders GROUP BY o_orderstatus
+            |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val aggFilterOracle: String =
+    """SELECT o_orderstatus,
+      |  (COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT'))::BIGINT AS n_urgent,
+      |  (COUNT(*) FILTER (WHERE o_totalprice > 200000))::BIGINT AS n_big,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_sum,
+      |  COUNT(*)::BIGINT AS n
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** q_array_setops — array set algebra between each document's token
+    * set and the next document's (lead over doc_id within language):
+    * intersect/union/except sizes plus the sorted intersection
+    * re-joined to a scalar (array outputs can't cross the grading
+    * harness). The set ops are row-local (codegen'd); the only
+    * shuffle is the lead window on (lang, doc_id). */
+  def arraySetops(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        array_sort(array_distinct(split(lower(col("text")), " "))).as("toks"))
+      .withColumn("next_toks", lead(col("toks"), 1).over(w))
+      .filter(col("next_toks").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(array_intersect(col("toks"), col("next_toks"))).as("n_inter"),
+        size(array_union(col("toks"), col("next_toks"))).as("n_union"),
+        size(array_except(col("toks"), col("next_toks"))).as("n_only_mine"),
+        array_join(array_sort(array_intersect(col("toks"), col("next_toks"))), ",")
+          .as("common"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val arraySetopsOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_sort(list_distinct(string_split(lower(text), ' '))) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, toks,
+      |    lead(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS next_toks
+      |  FROM t)
+      |SELECT doc_id, lang,
+      |  len(list_intersect(toks, next_toks))::BIGINT AS n_inter,
+      |  len(list_distinct(list_concat(toks, next_toks)))::BIGINT AS n_union,
+      |  len(list_filter(toks, x -> NOT list_contains(next_toks, x)))::BIGINT AS n_only_mine,
+      |  -- DuckDB: array_to_string([]) is NULL; Spark's array_join([]) is ''
+      |  coalesce(array_to_string(list_sort(list_intersect(toks, next_toks)), ','), '') AS common
+      |FROM p WHERE next_toks IS NOT NULL
+      |ORDER BY lang, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_regex_extract_all" -> (regexExtractAll _),
     "q_split_part" -> (splitPart _),
     "q_time_bucket" -> (timeBucket _),
     "q_weighted_avg" -> (weightedAvg _),
     "q_join_nullsafe" -> (joinNullsafe _),
-    "q_pct_of_total" -> (pctOfTotal _))
+    "q_pct_of_total" -> (pctOfTotal _),
+    "q_agg_filter" -> (aggFilter _),
+    "q_array_setops" -> (arraySetops _))
 
   def oracle: Map[String, String] = Map(
     "q_regex_extract_all" -> regexExtractAllOracle,
@@ -161,5 +229,7 @@ object WideSurfaceQueries {
     "q_time_bucket" -> timeBucketOracle,
     "q_weighted_avg" -> weightedAvgOracle,
     "q_join_nullsafe" -> joinNullsafeOracle,
-    "q_pct_of_total" -> pctOfTotalOracle)
+    "q_pct_of_total" -> pctOfTotalOracle,
+    "q_agg_filter" -> aggFilterOracle,
+    "q_array_setops" -> arraySetopsOracle)
 }
