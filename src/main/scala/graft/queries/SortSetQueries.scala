@@ -71,7 +71,29 @@ object SortSetQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** q_intersect_all — bag intersection (multiplicity = min of the
+    * two sides, vs q_intersect's set semantics): custkeys appearing
+    * in both F and O orders, once per matched pair. Plans as a
+    * counted anti-multiplicity join — still one keyed shuffle. */
+  def intersectAllQ(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersectAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q_except_all — bag difference (multiplicity = left minus right,
+    * floored at zero). */
+  def exceptAllQ(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_intersect_all" -> (intersectAllQ _),
+    "q_except_all" -> (exceptAllQ _),
     "q_sort_multi" -> (sortMulti _),
     "q_topk_global" -> (topkGlobal _),
     "q_union_all" -> (unionAll _),
@@ -80,6 +102,16 @@ object SortSetQueries {
     "q_except" -> (exceptQ _))
 
   val oracle: Map[String, String] = Map(
+    "q_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderstatus,
         | CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price_or_null

@@ -21,6 +21,20 @@ class PropertySpec extends GraftSpecBase {
     assert(d <= a)
   }
 
+  test("bag set-ops respect multiplicity algebra") {
+    val o = Tables.orders(spark, sf)
+    def cnts(status: String) = o.filter(col("o_orderstatus") === status)
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f = cnts("F"); val oo = cnts("O"); val p = cnts("P")
+    val ia = SortSetQueries.intersectAllQ(spark, sf).count()
+    assert(ia === f.keysIterator.map(k => math.min(f(k), oo.getOrElse(k, 0L))).sum,
+      "INTERSECT ALL = sum of per-key min multiplicities")
+    val ea = SortSetQueries.exceptAllQ(spark, sf).count()
+    assert(ea === f.keysIterator.map(k => math.max(f(k) - p.getOrElse(k, 0L), 0L)).sum,
+      "EXCEPT ALL = sum of per-key left-minus-right floored at 0")
+  }
+
   test("cosine similarities are bounded in [-1, 1]") {
     val rows = SimQueries.simPairs(spark, sf)
       .select("cos_sim").collect().map(_.getDouble(0))
