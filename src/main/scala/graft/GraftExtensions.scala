@@ -44,6 +44,15 @@ object GraftExtensions {
         require(args.length == 2, "kmv_distinct(expr, k) takes 2 args")
         graft.functions.expressions.KmvDistinct(args.head,
           args(1).eval().asInstanceOf[Number].intValue())
+      }),
+    (FunctionIdentifier("ngram_shingles"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.NGramShingles].getName,
+        "ngram_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "ngram_shingles(text, n) takes 2 args")
+        graft.functions.expressions.NGramShingles(args.head,
+          args(1).eval().asInstanceOf[Number].intValue())
       }))
 
   /** Register the custom functions and planner strategies into a

@@ -222,6 +222,7 @@ object JoinQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_asof_custom" -> (joinAsofCustom _),
+    "q_join_asof_fwd" -> (joinAsofFwd _),
     "q_join_star" -> (joinStar _),
     "q_join_inner" -> (joinInner _),
     "q_join_broadcast" -> (joinBroadcast _),
@@ -295,7 +296,41 @@ object JoinQueries {
         |GROUP BY yr ORDER BY yr""".stripMargin,
     "q_join_asof" -> asofOracleSql,
     // the custom-exec variant computes the identical relation
-    "q_join_asof_custom" -> asofOracleSql)
+    "q_join_asof_custom" -> asofOracleSql,
+    "q_join_asof_fwd" -> asofFwdOracleSql)
+
+  /** q_join_asof_fwd — FORWARD as-of: for each signup, the EARLIEST
+    * purchase at-or-after it (time-to-conversion, the mirror of
+    * [[joinAsof]]'s backward lookup). Same partial-aggregable
+    * min(struct) reduction — no per-key window sort. DuckDB's ASOF
+    * JOIN is backward-only, so the oracle uses the explicit ANSI
+    * window form. */
+  def joinAsofFwd(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id"), col("ts2").as("s_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts2").as("p_ts"),
+        col("event_id").as("p_id"))
+    sg.join(p, col("user_id") === col("p_user") && col("p_ts") >= col("s_ts"))
+      .groupBy(col("s_id"), col("user_id"), col("s_ts"))
+      .agg(min(struct(col("p_ts"), col("p_id"))).as("m"))
+      .select(col("s_id"), col("user_id"), col("s_ts"),
+        col("m.p_ts").as("purchase_ts"), col("m.p_id").as("purchase_event"))
+      .orderBy(col("s_id"))
+  }
+
+  private lazy val asofFwdOracleSql: String =
+    """SELECT s_id, user_id, s_ts, purchase_ts, purchase_event FROM (
+      |  SELECT s.event_id AS s_id, s.user_id, s.ts AS s_ts,
+      |         p.ts AS purchase_ts, p.event_id AS purchase_event,
+      |         ROW_NUMBER() OVER (PARTITION BY s.event_id
+      |           ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      |  FROM events s
+      |  JOIN events p ON p.user_id = s.user_id AND p.ts >= s.ts
+      |   AND p.event_type = 'purchase'
+      |  WHERE s.event_type = 'signup') t
+      |WHERE rn = 1 ORDER BY s_id""".stripMargin
 
   private lazy val asofOracleSql: String =
     """SELECT p_id, user_id, p_ts, signup_ts, signup_event FROM (

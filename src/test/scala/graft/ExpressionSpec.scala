@@ -62,6 +62,21 @@ class ExpressionSpec extends GraftSpecBase {
     assert(r > 0)
   }
 
+  test("ngram_shingles is registered as a SQL generator") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_ng")
+    val n = spark.sql(
+      """SELECT doc_id, s.shingle
+        |FROM docs_ng LATERAL VIEW
+        |  ngram_shingles(split(lower(text), ' '), 2) s AS shingle""".stripMargin)
+      .count()
+    // one bigram per adjacent token pair across the corpus
+    val expected = Tables.documents(spark, sf)
+      .select((size(split(col("text"), " ")) - 1).as("k"))
+      .agg(sum(col("k"))).collect()(0).getLong(0)
+    assert(n === expected)
+  }
+
   test("NGramShingles(2) matches the zip_with bigram formulation") {
     val toks = split(lower(col("text")), " ")
     val docs = Tables.documents(spark, sf)
