@@ -139,6 +139,71 @@ object MoreRelQueries {
       |FROM events
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** q_interpolate — LINEAR interpolation of missing sensor values
+    * (error rows null their value; each null is rebuilt from the
+    * straight line between the surrounding non-null readings, nulls
+    * at the series edges fall back to the one available side). The
+    * standard time-series repair next to forward-fill
+    * ([[winIgnoreNulls]]) and zero-fill ([[gapfill]]). Two frames per
+    * row — both run in the SAME single window sort on (user, ts). */
+  def interpolate(s: SparkSession, d: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("tn"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("tn"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val base = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts2"),
+        unix_micros(col("ts2")).as("tn"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")).as("good"))
+    base
+      .withColumn("pv", last(col("good"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(col("good").isNotNull, col("tn")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("good"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(when(col("good").isNotNull, col("tn")),
+        ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("event_id"), col("ts2").as("ts"),
+        col("good"),
+        round(
+          when(col("good").isNotNull, col("good"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("tn") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double")), 4).as("repaired"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val interpolateOracle: String =
+    """WITH base AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS tn,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS good
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ts, tn, good,
+      |    last_value(good IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN good IS NOT NULL THEN tn END IGNORE NULLS)
+      |      OVER wp AS pt,
+      |    first_value(good IGNORE NULLS) OVER wn AS nv,
+      |    first_value(CASE WHEN good IS NOT NULL THEN tn END IGNORE NULLS)
+      |      OVER wn AS nt
+      |  FROM base
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY tn, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wn AS (PARTITION BY user_id ORDER BY tn, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, event_id, ts, good,
+      |  ROUND(CASE
+      |    WHEN good IS NOT NULL THEN good
+      |    WHEN pv IS NULL THEN nv
+      |    WHEN nv IS NULL THEN pv
+      |    ELSE pv + (nv - pv) * CAST(tn - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)
+      |  END, 4) AS repaired
+      |FROM f ORDER BY user_id, ts, event_id""".stripMargin
+
   /** q_gapfill — dense hourly time series per event type: the
     * hour×type grid is generated (sequence + explode ≙ generator),
     * facts left-joined onto it, empty cells filled with zeros. The
@@ -303,6 +368,7 @@ object MoreRelQueries {
     "q_corr" -> (corrQ _),
     "q_histogram" -> (histogram _),
     "q_win_ignore_nulls" -> (winIgnoreNulls _),
+    "q_interpolate" -> (interpolate _),
     "q_gapfill" -> (gapfill _),
     "q_cte_recursive" -> (cteRecursive _),
     "q_join_lateral" -> (joinLateral _))
@@ -315,6 +381,7 @@ object MoreRelQueries {
     "q_corr" -> corrOracle,
     "q_histogram" -> histogramOracle,
     "q_win_ignore_nulls" -> winIgnoreNullsOracle,
+    "q_interpolate" -> interpolateOracle,
     "q_gapfill" -> gapfillOracle,
     "q_cte_recursive" -> cteRecursiveSql,
     "q_join_lateral" -> joinLateralSql)

@@ -31,6 +31,26 @@ class MoreRelSpec extends GraftSpecBase {
     df.unpersist()
   }
 
+  test("q_interpolate repairs nulls within neighbor bounds, passes values through") {
+    val df = MoreRelQueries.interpolate(spark, sf).cache()
+    // non-null readings are returned as-is (mod rounding)
+    val bad = df.filter(col("good").isNotNull &&
+      abs(col("repaired") - round(col("good"), 4)) > 1e-9)
+    assert(bad.count() === 0)
+    // repaired interior nulls lie within [min, max] of the series'
+    // value range per user (linearity bound)
+    val range = MoreRelQueries.interpolate(spark, sf)
+      .filter(col("good").isNotNull)
+      .groupBy("user_id")
+      .agg(min("good").as("lo"), max("good").as("hi"))
+    val out = df.filter(col("good").isNull && col("repaired").isNotNull)
+      .join(range, "user_id")
+      .filter(col("repaired") < col("lo") - 1e-9 ||
+        col("repaired") > col("hi") + 1e-9)
+    assert(out.count() === 0, "interpolation cannot overshoot the neighbors")
+    df.unpersist()
+  }
+
   test("q_win_ignore_nulls forward-fills error gaps") {
     val df = MoreRelQueries.winIgnoreNulls(spark, sf)
     // filled equals good_value on non-null rows
