@@ -413,6 +413,37 @@ object PipelineQueries {
       |SELECT lang, bigram, freq, rk FROM r WHERE rk <= 3
       |ORDER BY lang, rk""".stripMargin
 
+  /** q_zscore — per-group feature standardization ((x-μ)/σ, the
+    * feature-engineering staple before model training): group moments
+    * via window sums over the ALREADY-partitioned column, no second
+    * scan or join. D2: μ and σ come from exact decimal Σx and Σx²
+    * (population σ via E[x²]−E[x]²), converted to double only for
+    * the final arithmetic — identical operands ⇒ identical IEEE
+    * results in both engines. */
+  def zscore(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    val n = count(col("value")).over(w)
+    val mean = sum(dec(col("value"))).over(w).cast("double") / n
+    val ex2 = sum(dec6(col("value") * col("value"))).over(w).cast("double") / n
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - mean) / sqrt(ex2 - mean * mean), 4).as("z"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val zscoreOracle: String =
+    """WITH f AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+      |      / COUNT(value) OVER w AS mean,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |      / COUNT(value) OVER w AS ex2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type))
+      |SELECT event_id, event_type, value,
+      |  ROUND((value - mean) / sqrt(ex2 - mean * mean), 4) AS z
+      |FROM f ORDER BY event_type, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _),
@@ -426,7 +457,8 @@ object PipelineQueries {
     "q_dedup_latest" -> (dedupLatest _),
     "q_win_time_range" -> (winTimeRange _),
     "q_percentile_disc" -> (percentileDisc _),
-    "q_ngram_freq" -> (ngramFreq _))
+    "q_ngram_freq" -> (ngramFreq _),
+    "q_zscore" -> (zscore _))
 
   def oracle: Map[String, String] = Map(
     "q_funnel" -> funnelOracle,
@@ -441,5 +473,6 @@ object PipelineQueries {
     "q_dedup_latest" -> dedupLatestOracle,
     "q_win_time_range" -> winTimeRangeOracle,
     "q_percentile_disc" -> percentileDiscOracle,
-    "q_ngram_freq" -> ngramFreqOracle)
+    "q_ngram_freq" -> ngramFreqOracle,
+    "q_zscore" -> zscoreOracle)
 }
