@@ -305,6 +305,101 @@ object DedupQueries {
       |    CAST(b.embedding AS DOUBLE[])), 3) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q_minhash_est — grades the MinHash ESTIMATOR itself: for every
+    * adjacent pair of fr docs (lead over doc_id — deterministic pairs
+    * without the band join), the estimated Jaccard = fraction of the
+    * 16 signature mins that agree, next to the exact Jaccard it
+    * approximates. Gradeable cross-engine because the hash family is
+    * md5-derived (identical bits in both engines) — the estimate is a
+    * pure function of the data, not of engine internals. The
+    * signature build is the same single doc_id shuffle as
+    * [[dedupMinhash]]. The unpartitioned lead() window runs over the
+    * AGGREGATED signature relation (|docs| rows, not tokens) — fine
+    * at this fixture's scope; at 100 TB pair via the band join
+    * ([[dedupMinhash]]) instead of adjacency. */
+  def minhashEst(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d).filter(col("lang") === "fr")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .distinct()
+    val th = tok.select(col("doc_id"), md5(col("token")).as("m"))
+      .select(col("doc_id"), expr(hexval("m")).as("h"))
+    val sig = th.groupBy(col("doc_id"))
+      .agg(min(expr(mixedHash(0, "h"))).as("mh0"),
+        (1 until MinhashK).map(i =>
+          min(expr(mixedHash(i, "h"))).as(s"mh$i")): _*)
+    val w = Window.orderBy(col("doc_id"))
+    val sigCols = (0 until MinhashK).map(i => col(s"mh$i"))
+    val nextCols = (0 until MinhashK).map(i =>
+      lead(col(s"mh$i"), 1).over(w).as(s"nx$i"))
+    val paired = sig
+      .select(col("doc_id") +: (sigCols ++ nextCols): _*)
+      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
+      .filter(col("doc_b").isNotNull)
+    val agree = (0 until MinhashK).map(i =>
+      when(col(s"mh$i") === col(s"nx$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = paired.select(col("doc_id").as("doc_a"), col("doc_b"),
+      round(agree.cast("double") / MinhashK, 4).as("est_jaccard"))
+    // exact Jaccard for the same pairs
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = est.select(col("doc_a"), col("doc_b"))
+      .join(tok.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
+      .join(tok.select(col("doc_id").as("doc_b"), col("token")),
+        Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        r4(coalesce(col("n_inter"), lit(0)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("n_inter"), lit(0))))
+          .as("exact_jaccard"))
+      .orderBy(col("doc_a"))
+  }
+
+  val minhashEstOracle: String = {
+    val mixed = (0 until MinhashK).map(i =>
+      s"MIN(${mixedHash(i, "h")}) AS mh$i").mkString(",\n       |    ")
+    val leads = (0 until MinhashK).map(i =>
+      s"lead(mh$i) OVER (ORDER BY doc_id) AS nx$i").mkString(",\n       |    ")
+    val agree = (0 until MinhashK).map(i =>
+      s"CASE WHEN mh$i = nx$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+       |  FROM documents WHERE lang = 'fr'),
+       |th AS (SELECT doc_id, ${hexval("md5(token)")} AS h FROM tok),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mixed
+       |  FROM th GROUP BY doc_id),
+       |paired AS (
+       |  SELECT *, lead(doc_id) OVER (ORDER BY doc_id) AS doc_b,
+       |    $leads
+       |  FROM sig),
+       |est AS (
+       |  SELECT doc_id AS doc_a, doc_b,
+       |    ROUND(CAST($agree AS DOUBLE) / $MinhashK, 4) AS est_jaccard
+       |  FROM paired WHERE doc_b IS NOT NULL),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT e.doc_a, e.doc_b, COUNT(*) AS n_inter
+       |  FROM est e
+       |   JOIN tok ta ON ta.doc_id = e.doc_a
+       |   JOIN tok tb ON tb.doc_id = e.doc_b AND ta.token = tb.token
+       |  GROUP BY e.doc_a, e.doc_b)
+       |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |    / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)), 4) AS exact_jaccard
+       |FROM est e
+       | LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       | JOIN sizes sa ON sa.doc_id = e.doc_a
+       | JOIN sizes sb ON sb.doc_id = e.doc_b
+       |ORDER BY e.doc_a""".stripMargin
+  }
+
   /** q_dedup_cluster — connected components over the near-dup graph:
     * group mutually-similar documents into clusters (the step AFTER
     * pair detection that real dedup pipelines need — keep one doc per
@@ -426,6 +521,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cluster" -> (dedupCluster _),
+    "q_minhash_est" -> (minhashEst _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -433,6 +529,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_cluster" -> dedupClusterOracle,
+    "q_minhash_est" -> minhashEstOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhashOracle,
     "q_dedup_ngram" -> dedupNgramOracle,

@@ -107,6 +107,18 @@ class PropertySpec extends GraftSpecBase {
     assert(lsh.head.getLong(0) === 0L)
   }
 
+  test("minhash estimate tracks exact jaccard within K=16 sketch error") {
+    val rows = DedupQueries.minhashEst(spark, sf)
+      .select("est_jaccard", "exact_jaccard").collect()
+    assert(rows.nonEmpty)
+    val errs = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    // per-pair: binomial(16, j) stderr ≤ 0.125; 3.5 sigma bound
+    assert(errs.max < 0.45, s"max error ${errs.max}")
+    // in aggregate the estimator is unbiased
+    assert(errs.sum / errs.length < 0.15,
+      s"mean error ${errs.sum / errs.length}")
+  }
+
   test("approx quantiles land within 5% of exact percentiles") {
     val approx = CapabilityQueries.approxQuantile(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
