@@ -58,9 +58,10 @@ object Bench {
     // list is the measured top tier at sf0.1; unlisted queries keep
     // alphabetical order after it.
     val heavyFirst = Seq("q_dedup_cluster", "q_dedup_minhash",
-      "q_math_funcs", "q_approx_kmv", "q_corr", "q_join_skew",
-      "q_text_jaccard", "q_text_tfidf", "q_dedup_ngram", "q_lang_id",
-      "q_dedup_simhash", "q_regr", "q_cte_recursive", "q_agg_cube",
+      "q_minhash_est", "q_math_funcs", "q_approx_kmv", "q_corr",
+      "q_join_skew", "q_text_jaccard", "q_text_tfidf", "q_dedup_ngram",
+      "q_lang_id", "q_dedup_simhash", "q_regr", "q_interpolate",
+      "q_array_setops", "q_cte_recursive", "q_agg_cube",
       "q_agg_group", "q_unpivot").zipWithIndex.toMap
     val entries = SparkEntry.queries.toSeq
       .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
