@@ -213,6 +213,46 @@ object WideSurfaceQueries {
       |FROM p WHERE next_toks IS NOT NULL
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** q_epoch_convert — epoch arithmetic round-trips: timestamp →
+    * micros/millis since epoch → timestamp again (lossless at µs
+    * precision, the pivot every cross-system time exchange relies
+    * on). Pure projection — no shuffle beyond the output sort. */
+  def epochConvert(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        unix_micros(col("ts2")).as("us"),
+        unix_millis(col("ts2")).as("ms"),
+        timestamp_micros(unix_micros(col("ts2"))).as("rt"))
+      .orderBy(col("event_id"))
+
+  val epochConvertOracle: String =
+    """SELECT event_id, epoch_us(ts) AS us, epoch_ms(ts) AS ms,
+      |  make_timestamp(epoch_us(ts)) AS rt
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q_scalar_misc — remaining scalar-function surface: greatest /
+    * least n-ary comparisons, sign, cube root, log10/log2. */
+  def scalarMisc(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        greatest(col("p_size"), lit(25)).as("g25"),
+        least(col("p_size"), lit(25)).as("l25"),
+        signum(col("p_retailprice") - 1500.0).as("sgn"),
+        round(cbrt(col("p_retailprice")), 4).as("cbrt_price"),
+        round(log10(col("p_retailprice")), 4).as("log10_price"),
+        round(log2(col("p_size").cast("double")), 4).as("log2_size"))
+      .orderBy(col("p_partkey"))
+
+  val scalarMiscOracle: String =
+    """SELECT p_partkey,
+      |  greatest(p_size, 25) AS g25,
+      |  least(p_size, 25) AS l25,
+      |  CAST(sign(p_retailprice - 1500.0) AS DOUBLE) AS sgn,
+      |  round(cbrt(p_retailprice), 4) AS cbrt_price,
+      |  round(log10(p_retailprice), 4) AS log10_price,
+      |  round(log2(CAST(p_size AS DOUBLE)), 4) AS log2_size
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_regex_extract_all" -> (regexExtractAll _),
     "q_split_part" -> (splitPart _),
@@ -221,7 +261,9 @@ object WideSurfaceQueries {
     "q_join_nullsafe" -> (joinNullsafe _),
     "q_pct_of_total" -> (pctOfTotal _),
     "q_agg_filter" -> (aggFilter _),
-    "q_array_setops" -> (arraySetops _))
+    "q_array_setops" -> (arraySetops _),
+    "q_epoch_convert" -> (epochConvert _),
+    "q_scalar_misc" -> (scalarMisc _))
 
   def oracle: Map[String, String] = Map(
     "q_regex_extract_all" -> regexExtractAllOracle,
@@ -231,5 +273,7 @@ object WideSurfaceQueries {
     "q_join_nullsafe" -> joinNullsafeOracle,
     "q_pct_of_total" -> pctOfTotalOracle,
     "q_agg_filter" -> aggFilterOracle,
-    "q_array_setops" -> arraySetopsOracle)
+    "q_array_setops" -> arraySetopsOracle,
+    "q_epoch_convert" -> epochConvertOracle,
+    "q_scalar_misc" -> scalarMiscOracle)
 }
