@@ -149,7 +149,39 @@ object TextAnalysisQueries {
       |WHERE levenshtein(a.nm, b.nm) <= 2
       |ORDER BY nm_a, nm_b""".stripMargin
 
+  /** q_heavy_hitters — tokens above a 3% per-language frequency
+    * floor (the exact form of what a CountMin sketch approximates at
+    * stream scale): two keyed aggregates + one broadcastable totals
+    * join — linear, no sort until the tiny output. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("lang"),
+      explode(split(lower(col("text")), " ")).as("token"))
+    val counts = toks.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("freq")).as("total"))
+    counts.join(totals, "lang")
+      .withColumn("pct",
+        round(col("freq").cast("double") * 100.0 / col("total"), 4))
+      .filter(col("pct") >= 3.0)
+      .select(col("lang"), col("token"), col("freq"), col("pct"))
+      .orderBy(col("lang"), col("pct").desc, col("token"))
+  }
+
+  val heavyHittersOracle: String =
+    """WITH c AS (
+      |  SELECT lang, token, count(*)::BIGINT AS freq FROM (
+      |    SELECT lang, UNNEST(string_split(lower(text), ' ')) AS token
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |t AS (SELECT lang, SUM(freq)::BIGINT AS total FROM c GROUP BY 1)
+      |SELECT c.lang, token, freq,
+      |  ROUND(CAST(freq AS DOUBLE) * 100.0 / total, 4) AS pct
+      |FROM c JOIN t ON c.lang = t.lang
+      |WHERE ROUND(CAST(freq AS DOUBLE) * 100.0 / total, 4) >= 3.0
+      |ORDER BY c.lang, pct DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (heavyHitters _),
     "q_fuzzy_match" -> (fuzzyMatch _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
@@ -157,6 +189,7 @@ object TextAnalysisQueries {
     "q_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" -> heavyHittersOracle,
     "q_lang_id" ->
       """WITH tokens AS (
         |  SELECT doc_id, lang, UNNEST(string_split(lower(text), ' ')) AS token
