@@ -180,7 +180,57 @@ object TextAnalysisQueries {
       |WHERE ROUND(CAST(freq AS DOUBLE) * 100.0 / total, 4) >= 3.0
       |ORDER BY c.lang, pct DESC, token""".stripMargin
 
+  /** q_token_cooccur — pointwise mutual information of token pairs
+    * over document co-occurrence (the association-mining primitive
+    * behind collocation detection and embedding objectives):
+    * PMI(a,b) = ln(P(a,b)/(P(a)P(b))) with document-level
+    * probabilities. The pair join is keyed on doc_id and the token
+    * space is the closed vocabulary, so pairs are bounded by
+    * |vocab|² — never corpus-quadratic. Support floor keeps the
+    * estimate stable. */
+  def tokenCooccur(s: SparkSession, d: String): DataFrame = {
+    val dt = documents(s, d).filter(col("lang") === "en")
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+    val nDocs = documents(s, d).filter(col("lang") === "en")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = dt.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
+    val pairs = dt.as("a")
+      .join(dt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("tok_a"), col("b.token").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 20)
+    pairs
+      .join(df.select(col("token").as("tok_a"), col("dfreq").as("df_a")), "tok_a")
+      .join(df.select(col("token").as("tok_b"), col("dfreq").as("df_b")), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log((col("n_ab") * col("n_docs")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double")), 4).as("pmi"))
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
+  val tokenCooccurOracle: String =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+      |  FROM documents WHERE lang = 'en'),
+      |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM dt),
+      |df AS (SELECT token, count(*)::BIGINT AS dfreq FROM dt GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.token AS tok_a, b.token AS tok_b, count(*)::BIGINT AS n_ab
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+      |  GROUP BY 1, 2 HAVING count(*) >= 20)
+      |SELECT tok_a, tok_b, n_ab,
+      |  ROUND(ln(CAST(n_ab * n_docs AS DOUBLE) / CAST(da.dfreq * db.dfreq AS DOUBLE)), 4) AS pmi
+      |FROM pairs
+      | JOIN df da ON da.token = tok_a
+      | JOIN df db ON db.token = tok_b
+      | CROSS JOIN nd
+      |ORDER BY tok_a, tok_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_cooccur" -> (tokenCooccur _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_fuzzy_match" -> (fuzzyMatch _),
     "q_lang_id" -> (langId _),
@@ -189,6 +239,7 @@ object TextAnalysisQueries {
     "q_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_token_cooccur" -> tokenCooccurOracle,
     "q_heavy_hitters" -> heavyHittersOracle,
     "q_lang_id" ->
       """WITH tokens AS (
