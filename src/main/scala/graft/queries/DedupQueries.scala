@@ -419,10 +419,41 @@ object DedupQueries {
     * finish propagating; verified against union-find ground truth).
     * Edges use τ=0.1 (τ=0.05 merges everything into one component at
     * every SF — no clustering structure left to grade). */
-  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+  def dedupCluster(s: SparkSession, d: String): DataFrame =
+    dedupClusterImpl(s, d, smallGraphMax = 1 << 20)
+
+  /** `smallGraphMax` picks the branch: edge lists under it union-find
+    * on the driver (the near-dup graph is orders smaller than the
+    * corpus — same small-side reasoning as a broadcast join; one
+    * million edges ≈ 16 MB), larger graphs run the distributed
+    * pointer-jumping rounds below. Both branches compute identical
+    * components (equivalence-tested at sf0.001). */
+  private[graft] def dedupClusterImpl(s: SparkSession, d: String,
+      smallGraphMax: Int): DataFrame = {
     val pairs = dedupNgram(s, d)
       .filter(col("jaccard") >= 0.1)
       .select(col("doc_a"), col("doc_b"))
+      .persist()
+    if (pairs.count() <= smallGraphMax) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) {
+          parent(r) = parent(parent(r)); r = parent(r)
+        }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        // always root at the smaller id → labels are component minima
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      pairs.unpersist()
+      val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      import s.implicits._
+      return rows.toDF("doc_id", "cluster").orderBy(col("doc_id"))
+    }
+    pairs.unpersist()
     // coalesce(2): the frontier is orders of magnitude smaller than
     // the corpus (only docs WITH near-dup edges); a dozen near-empty
     // partitions per round would be pure task-scheduling overhead.

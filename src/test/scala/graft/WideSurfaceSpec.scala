@@ -58,6 +58,14 @@ class WideSurfaceSpec extends GraftSpecBase {
     assert(math.abs(pcts - 100.0) < 0.01, s"got $pcts")
   }
 
+  test("q_dedup_cluster distributed rounds match the driver union-find branch") {
+    val local = DedupQueries.dedupClusterImpl(spark, sf, smallGraphMax = 1 << 20)
+      .collect().toSeq
+    val dist = DedupQueries.dedupClusterImpl(spark, sf, smallGraphMax = -1)
+      .collect().toSeq
+    assert(local === dist)
+  }
+
   test("q_dedup_cluster labels are component minima and closed under edges") {
     val labels = DedupQueries.dedupCluster(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
