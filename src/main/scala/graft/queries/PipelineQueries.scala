@@ -444,6 +444,71 @@ object PipelineQueries {
       |  ROUND((value - mean) / sqrt(ex2 - mean * mean), 4) AS z
       |FROM f ORDER BY event_type, event_id""".stripMargin
 
+  /** q_train_split — deterministic train/val/test split by hash
+    * bucket (md5 first hex digit: 12/2/2 of 16), the reproducible
+    * holdout assignment a training pipeline needs: stable across
+    * runs, engines, AND repartitioning (unlike randomSplit). One
+    * projection + one tiny aggregate. */
+  def trainSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("h").isin("c", "d"), "val")
+          .when(col("h").isin("e", "f"), "test")
+          .otherwise("train"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+
+  val trainSplitOracle: String =
+    """SELECT CASE
+      |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+      |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+      |    ELSE 'train' END AS split,
+      |  count(*)::BIGINT AS n_docs,
+      |  SUM(n_chars)::BIGINT AS total_chars,
+      |  count(DISTINCT lang)::BIGINT AS n_langs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_context_pack — concat-then-chunk sequence packing: stream the
+    * corpus per language in doc_id order, cut the token stream into
+    * fixed 512-token context windows, report docs/tokens per window
+    * (the packing step that turns a document table into LLM training
+    * sequences). The exclusive running sum is one window over the
+    * per-language stream — at scale the language is the shard key. */
+  def contextPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("cum_excl",
+        sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("window_id", (col("cum_excl") / 512).cast("long"))
+      .groupBy(col("lang"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("window_id"))
+  }
+
+  val contextPackOracle: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+      |      AS cum_excl
+      |  FROM t)
+      |SELECT lang, CAST(FLOOR(cum_excl / 512) AS BIGINT) AS window_id,
+      |  count(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+      |  MIN(doc_id) AS first_doc
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _),
@@ -458,7 +523,9 @@ object PipelineQueries {
     "q_win_time_range" -> (winTimeRange _),
     "q_percentile_disc" -> (percentileDisc _),
     "q_ngram_freq" -> (ngramFreq _),
-    "q_zscore" -> (zscore _))
+    "q_zscore" -> (zscore _),
+    "q_train_split" -> (trainSplit _),
+    "q_context_pack" -> (contextPack _))
 
   def oracle: Map[String, String] = Map(
     "q_funnel" -> funnelOracle,
@@ -474,5 +541,7 @@ object PipelineQueries {
     "q_win_time_range" -> winTimeRangeOracle,
     "q_percentile_disc" -> percentileDiscOracle,
     "q_ngram_freq" -> ngramFreqOracle,
-    "q_zscore" -> zscoreOracle)
+    "q_zscore" -> zscoreOracle,
+    "q_train_split" -> trainSplitOracle,
+    "q_context_pack" -> contextPackOracle)
 }
