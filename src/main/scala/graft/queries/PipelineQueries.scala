@@ -509,6 +509,64 @@ object PipelineQueries {
       |  MIN(doc_id) AS first_doc
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q_pct_change — period-over-period delta: daily event volume per
+    * type with percent change vs the previous day (the reporting
+    * staple layered on lag()). Aggregate FIRST (tiny series), window
+    * SECOND — the window sort runs over |days|×|types| rows, never
+    * the fact table. */
+  def pctChange(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts2")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("day"), col("event_type"), col("n"),
+        round((col("n") - col("prev_n")).cast("double") * 100.0 /
+          col("prev_n"), 4).as("pct_change"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val pctChangeOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, n,
+      |  ROUND(CAST(n - lag(n) OVER w AS DOUBLE) * 100.0
+      |        / lag(n) OVER w, 4) AS pct_change
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |ORDER BY day, event_type""".stripMargin
+
+  /** q_profile — data-quality profiling in ONE pass: per-column null
+    * counts, distinct counts, and min/max over `events` (what a
+    * pipeline health check emits before training ingestion). All
+    * aggregates partial-merge in a single 2-phase plan — profiling N
+    * columns costs one scan, not N. */
+  def profile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("user_id")).as("user_id_nonnull"),
+        countDistinct(col("user_id")).as("user_id_distinct"),
+        count(col("event_type")).as("event_type_nonnull"),
+        countDistinct(col("event_type")).as("event_type_distinct"),
+        min(col("event_id")).as("event_id_min"),
+        max(col("event_id")).as("event_id_max"),
+        count(col("props")).as("props_nonnull"))
+
+  val profileOracle: String =
+    """SELECT count(*)::BIGINT AS n_rows,
+      |  count(user_id)::BIGINT AS user_id_nonnull,
+      |  count(DISTINCT user_id)::BIGINT AS user_id_distinct,
+      |  count(event_type)::BIGINT AS event_type_nonnull,
+      |  count(DISTINCT event_type)::BIGINT AS event_type_distinct,
+      |  min(event_id) AS event_id_min,
+      |  max(event_id) AS event_id_max,
+      |  count(props)::BIGINT AS props_nonnull
+      |FROM events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _),
@@ -525,7 +583,9 @@ object PipelineQueries {
     "q_ngram_freq" -> (ngramFreq _),
     "q_zscore" -> (zscore _),
     "q_train_split" -> (trainSplit _),
-    "q_context_pack" -> (contextPack _))
+    "q_context_pack" -> (contextPack _),
+    "q_pct_change" -> (pctChange _),
+    "q_profile" -> (profile _))
 
   def oracle: Map[String, String] = Map(
     "q_funnel" -> funnelOracle,
@@ -543,5 +603,7 @@ object PipelineQueries {
     "q_ngram_freq" -> ngramFreqOracle,
     "q_zscore" -> zscoreOracle,
     "q_train_split" -> trainSplitOracle,
-    "q_context_pack" -> contextPackOracle)
+    "q_context_pack" -> contextPackOracle,
+    "q_pct_change" -> pctChangeOracle,
+    "q_profile" -> profileOracle)
 }
