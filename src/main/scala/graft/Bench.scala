@@ -118,16 +118,44 @@ object Bench {
     val total = (System.nanoTime() - t0) / 1e9
 
     import scala.jdk.CollectionConverters._
-    val qs = entries.map { case (k, _) =>
-      s"\"" + k + "\":" + times.getOrDefault(k, -1.0)
-    }.mkString("{", ",", "}")
+    def fmt(d: Double): String = f"$d%.3f"
     val failedJson = failed.asScala.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val allTimes = entries.map { case (k, _) =>
+      k -> times.getOrDefault(k, -1.0) }
+    val fullQs = allTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","qn":${allTimes.size},"failed":$failedJson,"sf":"$sfDir""""
+    // Full per-query detail, written to a file (and printed on its own
+    // earlier line for humans).
+    val fullJson = s"""{$head,"queries":$fullQs}"""
+    try {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        "bench_detail.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case NonFatal(_) => }
+    // The FINAL stdout line must be a complete JSON object that fits
+    // inside the driver's 2000-char stdout tail buffer (round 2
+    // lesson: the driver keeps only the last 2000 chars and parses the
+    // last line — a longer line is front-truncated and fails to parse,
+    // BENCH_r02 "parsed": null). Include per-query times heaviest-
+    // first until a conservative character budget is hit; the full map
+    // is on the preceding line and in bench_detail.json.
+    val budget = 1500
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    allTimes.sortBy(-_._2).foreach { case (k, v) =>
+      val s = s""""$k":${fmt(v)}"""
+      if (used + s.length + 1 <= budget) { parts += s; used += s.length + 1 }
+    }
+    val compactQs = parts.mkString("{", ",", "}")
     spark.stop()
-    // printed AFTER spark.stop(), as the very last stdout line: the
+    // printed AFTER spark.stop(), as the very last stdout lines: the
     // driver parses the tail of stdout, and anything after the JSON
     // (shutdown noise, sbt's "[success]" epilogue — suppressed in
     // build.sbt via showSuccess := false) breaks that parse
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(fullJson)
+    println(s"""{$head,"queries":$compactQs}""")
   }
 }
