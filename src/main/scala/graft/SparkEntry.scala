@@ -16,7 +16,8 @@ object SparkEntry {
     DedupQueries.queries ++ TextAnalysisQueries.queries ++
     CapabilityQueries.queries ++ RelExtraQueries.queries ++
     MoreRelQueries.queries ++ PipelineQueries.queries ++
-    WideSurfaceQueries.queries
+    WideSurfaceQueries.queries ++ StatsMlQueries.queries ++
+    FunctionalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
     SimQueries.oracle ++ UdxQueries.oracle ++
     DedupQueries.oracle ++ TextAnalysisQueries.oracle ++
     RelExtraQueries.oracle ++ MoreRelQueries.oracle ++
-    PipelineQueries.oracle ++ WideSurfaceQueries.oracle
+    PipelineQueries.oracle ++ WideSurfaceQueries.oracle ++
+    StatsMlQueries.oracle ++ FunctionalQueries.oracle
 }
