@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the filter-pushdown rule Catalyst can't derive for custom nodes
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
   }
 }
 
@@ -70,5 +71,9 @@ object GraftExtensions {
         .contains(graft.plans.AsOfJoinFilterPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.AsOfJoinFilterPushdown
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.VecDotRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.VecDotRewrite
   }
 }

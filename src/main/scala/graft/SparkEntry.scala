@@ -17,7 +17,7 @@ object SparkEntry {
     CapabilityQueries.queries ++ RelExtraQueries.queries ++
     MoreRelQueries.queries ++ PipelineQueries.queries ++
     WideSurfaceQueries.queries ++ StatsMlQueries.queries ++
-    FunctionalQueries.queries
+    FunctionalQueries.queries ++ CorpusSimQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +29,6 @@ object SparkEntry {
     DedupQueries.oracle ++ TextAnalysisQueries.oracle ++
     RelExtraQueries.oracle ++ MoreRelQueries.oracle ++
     PipelineQueries.oracle ++ WideSurfaceQueries.oracle ++
-    StatsMlQueries.oracle ++ FunctionalQueries.oracle
+    StatsMlQueries.oracle ++ FunctionalQueries.oracle ++
+    CorpusSimQueries.oracle
 }

@@ -33,6 +33,29 @@ class ExpressionSpec extends GraftSpecBase {
     assert(out(1).isNullAt(0) && out(2).isNullAt(0))
   }
 
+  test("VecDotRewrite rule substitutes the codegen kernel for the declarative fold") {
+    GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    def declarative = e.select(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x).as("d"))
+    val optimized = declarative.queryExecution.optimizedPlan
+    assert(optimized.expressions.exists(_.exists(_.isInstanceOf[FloatVecDot])),
+      s"expected FloatVecDot in optimized plan:\n$optimized")
+    // results identical to the unrewritten form
+    spark.conf.set("spark.graft.vecdot.rewrite", "false")
+    try {
+      val off = declarative.queryExecution.optimizedPlan
+      assert(!off.expressions.exists(_.exists(_.isInstanceOf[FloatVecDot])),
+        "conf off must disable the rewrite")
+      val a = declarative.collect().map(_.getDouble(0))
+      spark.conf.set("spark.graft.vecdot.rewrite", "true")
+      val b = declarative.collect().map(_.getDouble(0))
+      assert(a.sameElements(b), "rewrite changed results")
+    } finally spark.conf.set("spark.graft.vecdot.rewrite", "true")
+  }
+
   test("KmvDistinct estimates within KMV error bounds and is partition-invariant") {
     import graft.functions.expressions.KmvDistinct
     val li = Tables.lineitem(spark, sf)
