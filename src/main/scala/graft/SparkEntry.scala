@@ -17,7 +17,8 @@ object SparkEntry {
     CapabilityQueries.queries ++ RelExtraQueries.queries ++
     MoreRelQueries.queries ++ PipelineQueries.queries ++
     WideSurfaceQueries.queries ++ StatsMlQueries.queries ++
-    FunctionalQueries.queries ++ CorpusSimQueries.queries
+    FunctionalQueries.queries ++ CorpusSimQueries.queries ++
+    IrGraphQueries.queries ++ RobustQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -30,5 +31,6 @@ object SparkEntry {
     RelExtraQueries.oracle ++ MoreRelQueries.oracle ++
     PipelineQueries.oracle ++ WideSurfaceQueries.oracle ++
     StatsMlQueries.oracle ++ FunctionalQueries.oracle ++
-    CorpusSimQueries.oracle
+    CorpusSimQueries.oracle ++ IrGraphQueries.oracle ++
+    RobustQueries.oracle
 }
