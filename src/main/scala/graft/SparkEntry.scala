@@ -18,7 +18,9 @@ object SparkEntry {
     MoreRelQueries.queries ++ PipelineQueries.queries ++
     WideSurfaceQueries.queries ++ StatsMlQueries.queries ++
     FunctionalQueries.queries ++ CorpusSimQueries.queries ++
-    IrGraphQueries.queries ++ RobustQueries.queries
+    IrGraphQueries.queries ++ RobustQueries.queries ++
+    MlEvalQueries.queries ++ GraphQueries.queries ++
+    BizSeriesQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -32,5 +34,6 @@ object SparkEntry {
     PipelineQueries.oracle ++ WideSurfaceQueries.oracle ++
     StatsMlQueries.oracle ++ FunctionalQueries.oracle ++
     CorpusSimQueries.oracle ++ IrGraphQueries.oracle ++
-    RobustQueries.oracle
+    RobustQueries.oracle ++ MlEvalQueries.oracle ++
+    GraphQueries.oracle ++ BizSeriesQueries.oracle
 }

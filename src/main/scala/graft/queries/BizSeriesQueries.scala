@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Determinism._
+import graft.Tables._
+
+/** Round-3 widening #5: business-analytics and market-data series
+  * operators — right outer join (the one outer-join direction the
+  * surface lacked), schema-aligning union-by-name, OHLC candlestick
+  * resampling, maximum drawdown, RFM customer segmentation, and
+  * Pareto (cumulative-share) classification.
+  *
+  * Scale notes (100 TB): OHLC and drawdown are per-key windows over
+  * natural partitions (event_type×hour, user); RFM/Pareto aggregate
+  * facts to |customers| then window over the small dimension side.
+  * The ntile/cumulative windows that ARE global run on the contracted
+  * per-customer aggregate (dimension-sized), never on the fact table.
+  */
+object BizSeriesQueries {
+
+  /** q_join_right — right outer join: high-value urgent orders RIGHT
+    * JOIN customer, so every customer survives and customers without
+    * such orders null-extend (the mirror of q_join_left; kept as a
+    * distinct graded row because Spark plans RightOuter differently —
+    * build/stream sides swap in the hash join). Null order is spelled
+    * explicitly on both sides (engine defaults differ, D5). */
+  def joinRight(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000.0)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+      .select(col("c_custkey"), col("o_orderkey"),
+        round(coalesce(col("o_totalprice"), lit(0.0)), 2).as("price"))
+      .orderBy(col("c_custkey"), asc_nulls_first("o_orderkey"))
+
+  val joinRightOracle: String =
+    """SELECT c.c_custkey, o.o_orderkey,
+      |  round(COALESCE(o.o_totalprice, 0.0), 2) AS price
+      |FROM (SELECT * FROM orders
+      |      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0) o
+      |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY c.c_custkey, o.o_orderkey ASC NULLS FIRST""".stripMargin
+
+  /** q_union_byname — position-independent union with schema
+    * evolution: the two branches project different column ORDERS and
+    * one column exists only on one side (null-filled on the other) —
+    * `unionByName(allowMissingColumns=true)`, DuckDB `UNION ALL BY
+    * NAME`. The by-name resolution is the point; a positional union
+    * would silently mis-bind. */
+  def unionByName(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("id"),
+        round(col("o_totalprice"), 2).as("amount"),
+        lit("closed").as("src"))
+    val b = o.filter(col("o_orderstatus") === "O")
+      .select(lit("open").as("src"),
+        col("o_orderkey").as("id"),
+        col("o_orderpriority").as("prio"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy(col("id"), col("src"))
+  }
+
+  val unionByNameOracle: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey AS id, round(o_totalprice, 2) AS amount,
+      |    'closed' AS src
+      |  FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL BY NAME
+      |  SELECT 'open' AS src, o_orderkey AS id, o_orderpriority AS prio
+      |  FROM orders WHERE o_orderstatus = 'O')
+      |ORDER BY id, src""".stripMargin
+
+  /** q_ohlc — OHLC candlestick resampling: per (event_type, hour)
+    * open/high/low/close/volume of `value`. Open/close are the first/
+    * last observation by (ts, event_id) — the deterministic window
+    * formulation (rn=1 in each direction), identical in both engines;
+    * the per-bucket sum is DECIMAL-exact. */
+  def ohlc(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_type"),
+      date_trunc("hour", col("ts2")).as("bucket"),
+      col("ts2"), col("event_id"), col("value"))
+    val wa = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts2"), col("event_id"))
+    val wd = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts2").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_d", row_number().over(wd))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        round(max(when(col("rn_a") === 1, col("value"))), 2).as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max(when(col("rn_d") === 1, col("value"))), 2).as("close"),
+        count(lit(1)).as("volume"),
+        dsum(col("value")).as("turnover"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val ohlcOracle: String =
+    """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    ts, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT event_type, bucket,
+      |  round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+      |  round(max(value), 2) AS high,
+      |  round(min(value), 2) AS low,
+      |  round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+      |  count(*) AS volume,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS turnover
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q_drawdown — maximum drawdown of each user's value series:
+    * running peak over time order, per-row drawdown value/peak − 1
+    * (rounded — identical expression tree), then the per-user
+    * minimum (order-free over rounded values). */
+  def drawdown(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts2"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("ts2"), col("event_id"), col("value"))
+      .withColumn("peak", max(col("value")).over(w))
+      .withColumn("dd", round(col("value") / col("peak") - lit(1.0), 6))
+      .groupBy(col("user_id"))
+      .agg(round(max(col("value")), 2).as("high_mark"),
+        min(col("dd")).as("max_drawdown"),
+        count(lit(1)).as("n_obs"))
+      .orderBy(col("user_id"))
+  }
+
+  val drawdownOracle: String =
+    """WITH t AS (SELECT user_id, value,
+      |    round(value / max(value) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0, 6) AS dd
+      |  FROM events)
+      |SELECT user_id, round(max(value), 2) AS high_mark,
+      |  min(dd) AS max_drawdown, count(*) AS n_obs
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_rfm — RFM segmentation: per customer, recency (days from last
+    * order to the corpus max date), frequency (order count), monetary
+    * (DECIMAL-exact spend); quartile scores via ntile(4) over fully
+    * deterministic orders (custkey tie-break), concatenated into the
+    * classic 3-digit segment. The ntile windows run on the
+    * |customers|-sized aggregate, not the fact table. */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    val byCust = orders(s, d).groupBy(col("o_custkey")).agg(
+      max(col("o_orderdate")).as("last_order"),
+      count(lit(1)).as("frequency"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+    val refDate = max(col("last_order")).over(Window.partitionBy())
+    val scored = byCust
+      .withColumn("recency_days",
+        datediff(refDate, col("last_order")).cast("long"))
+      .withColumn("r_score",
+        ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey"))))
+      .withColumn("f_score",
+        ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey"))))
+      .withColumn("m_score",
+        ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey"))))
+    scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        dout(col("monetary")).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val rfmOracle: String =
+    """WITH byc AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+      |    count(*) AS frequency,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders GROUP BY 1),
+      |s AS (SELECT o_custkey,
+      |    CAST(date_diff('day', last_order, max(last_order) OVER ()) AS BIGINT)
+      |      AS recency_days,
+      |    frequency, monetary
+      |  FROM byc),
+      |t AS (SELECT *,
+      |    ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+      |    ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+      |    ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      |  FROM s)
+      |SELECT o_custkey, recency_days, frequency,
+      |  CAST(monetary AS DOUBLE) AS monetary,
+      |  r_score, f_score, m_score,
+      |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+      |    CAST(m_score AS VARCHAR) AS segment
+      |FROM t ORDER BY o_custkey""".stripMargin
+
+  /** q_pareto — cumulative-share (ABC/80-20) classification: rank
+    * customers by spend desc, exact DECIMAL running total, cumulative
+    * fraction of revenue, tier A while ≤ 80%. The running sum is
+    * decimal over a deterministic order, so every prefix is exact. */
+  def pareto(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val wOrd = Window.orderBy(col("spend").desc, col("o_custkey"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spend
+      .withColumn("rnk", row_number().over(wOrd))
+      .withColumn("cum", sum(col("spend")).over(wCum))
+      .withColumn("total", sum(col("spend")).over(Window.partitionBy()))
+      .select(col("o_custkey"), col("rnk"), dout(col("spend")).as("spend"),
+        round(col("cum").cast("double") / col("total").cast("double"), 6)
+          .as("cum_frac"))
+      .withColumn("tier", when(col("cum_frac") <= 0.8, "A").otherwise("B"))
+      .orderBy(col("rnk"))
+  }
+
+  val paretoOracle: String =
+    """WITH spend AS (SELECT o_custkey,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT o_custkey, spend,
+      |    row_number() OVER (ORDER BY spend DESC, o_custkey) AS rnk,
+      |    sum(spend) OVER (ORDER BY spend DESC, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(spend) OVER () AS total
+      |  FROM spend)
+      |SELECT o_custkey, rnk, CAST(spend AS DOUBLE) AS spend,
+      |  round(CAST(cum AS DOUBLE)/CAST(total AS DOUBLE), 6) AS cum_frac,
+      |  CASE WHEN round(CAST(cum AS DOUBLE)/CAST(total AS DOUBLE), 6) <= 0.8
+      |    THEN 'A' ELSE 'B' END AS tier
+      |FROM t ORDER BY rnk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_right" -> (joinRight _),
+    "q_union_byname" -> (unionByName _),
+    "q_ohlc" -> (ohlc _),
+    "q_drawdown" -> (drawdown _),
+    "q_rfm" -> (rfm _),
+    "q_pareto" -> (pareto _))
+
+  val oracle: Map[String, String] = Map(
+    "q_join_right" -> joinRightOracle,
+    "q_union_byname" -> unionByNameOracle,
+    "q_ohlc" -> ohlcOracle,
+    "q_drawdown" -> drawdownOracle,
+    "q_rfm" -> rfmOracle,
+    "q_pareto" -> paretoOracle)
+}
