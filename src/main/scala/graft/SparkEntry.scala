@@ -20,7 +20,8 @@ object SparkEntry {
     FunctionalQueries.queries ++ CorpusSimQueries.queries ++
     IrGraphQueries.queries ++ RobustQueries.queries ++
     MlEvalQueries.queries ++ GraphQueries.queries ++
-    BizSeriesQueries.queries
+    BizSeriesQueries.queries ++ LlmPipeQueries.queries ++
+    AnalyticsExtraQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -35,5 +36,6 @@ object SparkEntry {
     StatsMlQueries.oracle ++ FunctionalQueries.oracle ++
     CorpusSimQueries.oracle ++ IrGraphQueries.oracle ++
     RobustQueries.oracle ++ MlEvalQueries.oracle ++
-    GraphQueries.oracle ++ BizSeriesQueries.oracle
+    GraphQueries.oracle ++ BizSeriesQueries.oracle ++
+    LlmPipeQueries.oracle ++ AnalyticsExtraQueries.oracle
 }

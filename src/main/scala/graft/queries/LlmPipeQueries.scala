@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-3 widening #6: corpus-hygiene operators specific to LLM
+  * training-data pipelines — train/test contamination detection
+  * (n-gram overlap against the held-out split), a unigram-LM
+  * perplexity proxy, intra-document repetition scoring, vocabulary
+  * growth (Heaps-curve) tracking, and prefix-duplicate clustering.
+  *
+  * Scale notes (100 TB): every operator reduces the corpus to
+  * (token|gram, key) pairs and then works with keyed aggregates /
+  * joins — hash-partitioned, map-side combinable, no driver state.
+  * Contamination is a semi-join of test-grams against the distinct
+  * train-gram set: at real scale the train side is the big one, so
+  * it stays hash-partitioned on gram while the test side shuffles to
+  * it (never broadcast the corpus side). Perplexity broadcasts only
+  * the |vocab|-sized unigram table.
+  *
+  * Determinism: token counts are exact; every log/ratio is computed
+  * with an identical scalar expression tree in both engines, rounded
+  * to a fixed scale, and summed as DECIMAL (SURVEY.md D2).
+  */
+object LlmPipeQueries {
+
+  /** Tokens with position per document. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+
+  private val toksSql: String =
+    """SELECT doc_id,
+      |    generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos,
+      |    unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents""".stripMargin
+
+  /** q_contamination — train/test 5-gram contamination: docs are
+    * split by the same md5 hash-bucket rule as q_train_split (test =
+    * buckets e,f); for each TEST doc, how many of its distinct word
+    * 5-grams also occur in ANY train doc. The shared-gram join is the
+    * standard decontamination shape (The Pile / GPT-3 style n-gram
+    * overlap). 5-grams are built with lead() windows — relational,
+    * engine-portable, no UDTF needed. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val split5 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val base = toks(s, d).withColumn("bucket", split5)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = base.withColumn("gram",
+        concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
+          lead(col("tok"), 2).over(w), lead(col("tok"), 3).over(w),
+          lead(col("tok"), 4).over(w)))
+      .withColumn("t4", lead(col("tok"), 4).over(w))
+      .filter(col("t4").isNotNull)
+      .select(col("doc_id"), col("bucket"), col("gram"))
+    val trainGrams = grams.filter(!col("bucket").isin("e", "f"))
+      .select(col("gram")).distinct()
+    val testGrams = grams.filter(col("bucket").isin("e", "f"))
+      .select(col("doc_id"), col("gram")).distinct()
+    val shared = testGrams.join(trainGrams, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    testGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contam_frac",
+        round(col("n_shared").cast("double") / col("n_grams").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationOracle: String =
+    s"""WITH toks AS ($toksSql),
+       |g AS (SELECT doc_id,
+       |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+       |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w ||
+       |      ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS gram,
+       |    lead(tok, 4) OVER w AS t4
+       |  FROM toks
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |grams AS (SELECT doc_id, bucket, gram FROM g WHERE t4 IS NOT NULL),
+       |train AS (SELECT DISTINCT gram FROM grams
+       |  WHERE bucket NOT IN ('e', 'f')),
+       |test AS (SELECT DISTINCT doc_id, gram FROM grams
+       |  WHERE bucket IN ('e', 'f')),
+       |shared AS (SELECT t.doc_id, count(*) AS n_shared
+       |  FROM test t JOIN train r ON r.gram = t.gram GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM test GROUP BY 1)
+       |SELECT tot.doc_id, tot.n_grams,
+       |  COALESCE(shared.n_shared, 0) AS n_shared,
+       |  round(CAST(COALESCE(shared.n_shared, 0) AS DOUBLE) /
+       |    CAST(tot.n_grams AS DOUBLE), 4) AS contam_frac
+       |FROM tot LEFT JOIN shared ON shared.doc_id = tot.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
+  /** q_perplexity — unigram-LM perplexity proxy: p(tok) from exact
+    * corpus counts, per-doc mean negative log-likelihood and its
+    * exp() — the classic cheap quality score for corpus filtering.
+    * Per-token NLL terms are 8dp-rounded DECIMAL before the per-doc
+    * sum (order-free); the tiny unigram table is the broadcast side. */
+  def perplexity(s: SparkSession, d: String): DataFrame = {
+    val t = toks(s, d)
+    val uni = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+    val nll = round(-log(col("c").cast("double") / col("tot").cast("double")), 8)
+      .cast("decimal(18,8)")
+    t.join(broadcast(uni), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(nll).as("sum_nll"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("sum_nll").cast("double") / col("n_tok").cast("double"), 4)
+          .as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val perplexityOracle: String =
+    s"""WITH toks AS ($toksSql),
+       |uni AS (SELECT tok, count(*) AS c, sum(count(*)) OVER () AS tot
+       |  FROM toks GROUP BY 1),
+       |j AS (SELECT t.doc_id,
+       |    CAST(round(-ln(CAST(u.c AS DOUBLE)/CAST(u.tot AS DOUBLE)), 8)
+       |      AS DECIMAL(18,8)) AS nll
+       |  FROM toks t JOIN uni u ON u.tok = t.tok),
+       |a AS (SELECT doc_id, count(*) AS n_tok, sum(nll) AS sum_nll
+       |  FROM j GROUP BY 1)
+       |SELECT doc_id, n_tok,
+       |  round(CAST(sum_nll AS DOUBLE)/CAST(n_tok AS DOUBLE), 4) AS avg_nll,
+       |  round(exp(round(CAST(sum_nll AS DOUBLE)/CAST(n_tok AS DOUBLE), 4)), 4)
+       |    AS ppl
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q_repetition — intra-document repetition score: the fraction of
+    * tokens taken by the single most frequent token (high = boiler-
+    * plate / degenerate text, a standard corpus-filter signal), plus
+    * the distinct-token ratio. Top token ties break alphabetically. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val freq = toks(s, d).groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("tok"))
+    freq.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max(when(col("rn") === 1, col("tok"))).as("top_tok"),
+        max(when(col("rn") === 1, col("c"))).as("top_c"))
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"), col("top_tok"),
+        round(col("top_c").cast("double") / col("n_tok").cast("double"), 4)
+          .as("rep_ratio"),
+        round(col("n_distinct").cast("double") / col("n_tok").cast("double"), 4)
+          .as("distinct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionOracle: String =
+    s"""WITH toks AS ($toksSql),
+       |freq AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+       |r AS (SELECT doc_id, tok, c,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+       |  FROM freq),
+       |a AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
+       |    max(CASE WHEN rn = 1 THEN tok END) AS top_tok,
+       |    max(CASE WHEN rn = 1 THEN c END) AS top_c
+       |  FROM r GROUP BY 1)
+       |SELECT doc_id, n_tok, n_distinct, top_tok,
+       |  round(CAST(top_c AS DOUBLE)/CAST(n_tok AS DOUBLE), 4) AS rep_ratio,
+       |  round(CAST(n_distinct AS DOUBLE)/CAST(n_tok AS DOUBLE), 4)
+       |    AS distinct_ratio
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q_vocab_growth — vocabulary growth (Heaps' curve support): each
+    * token is credited to the document (by doc_id order) that first
+    * introduces it; per introducing doc, the number of new tokens and
+    * the running vocabulary size. Exact integer arithmetic end to
+    * end; the cumulative window runs over the contracted |docs|-sized
+    * aggregate. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = toks(s, d).groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = firstSeen.groupBy(col("first_doc"))
+      .agg(count(lit(1)).as("new_toks"))
+    documents(s, d).select(col("doc_id"))
+      .join(perDoc, col("first_doc") === col("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_toks"), lit(0L)).as("new_toks"))
+      .withColumn("vocab_size", sum(col("new_toks")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("new_toks") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabGrowthOracle: String =
+    s"""WITH toks AS ($toksSql),
+       |fs AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+       |pd AS (SELECT first_doc, count(*) AS new_toks FROM fs GROUP BY 1),
+       |g AS (SELECT d.doc_id, COALESCE(pd.new_toks, 0) AS new_toks
+       |  FROM documents d LEFT JOIN pd ON pd.first_doc = d.doc_id),
+       |c AS (SELECT doc_id, new_toks,
+       |    sum(new_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+       |  FROM g)
+       |SELECT doc_id, new_toks, vocab_size FROM c
+       |WHERE new_toks > 0 ORDER BY doc_id""".stripMargin
+
+  /** q_dedup_prefix — prefix-duplicate clustering: documents sharing
+    * their first 40 characters (truncation/boilerplate duplicates
+    * that content-hash dedup misses), keyed by the prefix itself,
+    * with the canonical (minimum) doc_id per cluster — the partial-
+    * duplicate complement of q_dedup_exact. */
+  def dedupPrefix(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canon_id"),
+        array_sort(collect_list(col("doc_id"))).as("doc_ids"))
+      .filter(col("n_docs") > 1)
+      .select(md5(col("prefix")).as("prefix_key"), col("n_docs"),
+        col("canon_id"), col("doc_ids"))
+      .orderBy(col("canon_id"))
+  }
+
+  val dedupPrefixOracle: String =
+    """SELECT md5(prefix) AS prefix_key, n_docs, canon_id, doc_ids
+      |FROM (SELECT substring(text, 1, 40) AS prefix, count(*) AS n_docs,
+      |    min(doc_id) AS canon_id, list_sort(list(doc_id)) AS doc_ids
+      |  FROM documents GROUP BY 1)
+      |WHERE n_docs > 1 ORDER BY canon_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contamination" -> (contamination _),
+    "q_perplexity" -> (perplexity _),
+    "q_repetition" -> (repetition _),
+    "q_vocab_growth" -> (vocabGrowth _),
+    "q_dedup_prefix" -> (dedupPrefix _))
+
+  val oracle: Map[String, String] = Map(
+    "q_contamination" -> contaminationOracle,
+    "q_perplexity" -> perplexityOracle,
+    "q_repetition" -> repetitionOracle,
+    "q_vocab_growth" -> vocabGrowthOracle,
+    "q_dedup_prefix" -> dedupPrefixOracle)
+}
