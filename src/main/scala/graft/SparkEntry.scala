@@ -21,7 +21,8 @@ object SparkEntry {
     IrGraphQueries.queries ++ RobustQueries.queries ++
     MlEvalQueries.queries ++ GraphQueries.queries ++
     BizSeriesQueries.queries ++ LlmPipeQueries.queries ++
-    AnalyticsExtraQueries.queries
+    AnalyticsExtraQueries.queries ++ GovernanceQueries.queries ++
+    DriftQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -37,5 +38,6 @@ object SparkEntry {
     CorpusSimQueries.oracle ++ IrGraphQueries.oracle ++
     RobustQueries.oracle ++ MlEvalQueries.oracle ++
     GraphQueries.oracle ++ BizSeriesQueries.oracle ++
-    LlmPipeQueries.oracle ++ AnalyticsExtraQueries.oracle
+    LlmPipeQueries.oracle ++ AnalyticsExtraQueries.oracle ++
+    GovernanceQueries.oracle ++ DriftQueries.oracle
 }
