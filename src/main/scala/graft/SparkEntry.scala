@@ -22,7 +22,7 @@ object SparkEntry {
     MlEvalQueries.queries ++ GraphQueries.queries ++
     BizSeriesQueries.queries ++ LlmPipeQueries.queries ++
     AnalyticsExtraQueries.queries ++ GovernanceQueries.queries ++
-    DriftQueries.queries
+    DriftQueries.queries ++ EncodingSeqQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -39,5 +39,6 @@ object SparkEntry {
     RobustQueries.oracle ++ MlEvalQueries.oracle ++
     GraphQueries.oracle ++ BizSeriesQueries.oracle ++
     LlmPipeQueries.oracle ++ AnalyticsExtraQueries.oracle ++
-    GovernanceQueries.oracle ++ DriftQueries.oracle
+    GovernanceQueries.oracle ++ DriftQueries.oracle ++
+    EncodingSeqQueries.oracle
 }
