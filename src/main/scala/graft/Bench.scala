@@ -57,10 +57,12 @@ object Bench {
     // last would extend the wall-clock by its full duration). The
     // list is the measured top tier at sf0.1; unlisted queries keep
     // alphabetical order after it.
-    val heavyFirst = Seq("q_dedup_cluster", "q_dedup_minhash",
-      "q_minhash_est", "q_math_funcs", "q_approx_kmv", "q_corr",
-      "q_join_skew", "q_text_jaccard", "q_text_tfidf", "q_dedup_ngram",
-      "q_lang_id", "q_dedup_simhash", "q_regr", "q_interpolate",
+    val heavyFirst = Seq("q_tfidf_cosine", "q_try_arith",
+      "q_dedup_minhash", "q_math_funcs", "q_dedup_editdist",
+      "q_dedup_cluster", "q_minhash_est", "q_approx_kmv", "q_corr",
+      "q_join_skew", "q_kmeans_assign", "q_covar", "q_text_jaccard",
+      "q_text_tfidf", "q_dedup_ngram", "q_lang_id", "q_dedup_simhash",
+      "q_regr", "q_rolling_median", "q_ewma", "q_interpolate",
       "q_array_setops", "q_cte_recursive", "q_agg_cube",
       "q_agg_group", "q_unpivot").zipWithIndex.toMap
     val entries = SparkEntry.queries.toSeq

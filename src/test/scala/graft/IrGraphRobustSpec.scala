@@ -67,8 +67,12 @@ class IrGraphRobustSpec extends GraftSpecBase {
 
   test("try_ family: errors become NULL, valid rows survive") {
     val df = RobustQueries.tryArith(spark, sf)
-    assert(df.filter(col("bad_int").isNotNull).count() == 0)
-    assert(df.filter(col("bad_ts").isNotNull).count() == 0)
+    // mixed inputs: rows with o_orderkey % 5 == 0 carry unparseable
+    // strings ⇔ NULL; all other rows parse
+    assert(df.filter((col("o_orderkey") % 5 === 0) =!= col("bad_int").isNull)
+      .count() == 0)
+    assert(df.filter((col("o_orderkey") % 5 === 0) =!= col("bad_ts").isNull)
+      .count() == 0)
     assert(df.filter(col("no_elem").isNotNull).count() == 0)
     assert(df.filter(col("prio_num").isNull).count() == 0)
     // divisor o_orderkey % 3 == 0 ⇔ safe_div NULL
