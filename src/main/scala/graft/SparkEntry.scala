@@ -22,7 +22,8 @@ object SparkEntry {
     MlEvalQueries.queries ++ GraphQueries.queries ++
     BizSeriesQueries.queries ++ LlmPipeQueries.queries ++
     AnalyticsExtraQueries.queries ++ GovernanceQueries.queries ++
-    DriftQueries.queries ++ EncodingSeqQueries.queries
+    DriftQueries.queries ++ EncodingSeqQueries.queries ++
+    CalendarPathQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -40,5 +41,5 @@ object SparkEntry {
     GraphQueries.oracle ++ BizSeriesQueries.oracle ++
     LlmPipeQueries.oracle ++ AnalyticsExtraQueries.oracle ++
     GovernanceQueries.oracle ++ DriftQueries.oracle ++
-    EncodingSeqQueries.oracle
+    EncodingSeqQueries.oracle ++ CalendarPathQueries.oracle
 }
