@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the filter-pushdown rule Catalyst can't derive for custom nodes
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinFilterPushdown)
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
   }
 }
@@ -67,6 +69,13 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!spark.experimental.extraStrategies.contains(graft.plans.RangeJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.RangeJoinStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RangeJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinFilterPushdown
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.AsOfJoinFilterPushdown))
       spark.experimental.extraOptimizations =

@@ -233,6 +233,7 @@ object JoinQueries {
     "q_join_cross" -> (joinCross _),
     "q_join_theta" -> (joinTheta _),
     "q_join_range" -> (joinRange _),
+    "q_join_range_custom" -> (joinRangeCustom _),
     "q_join_asof" -> (joinAsof _))
 
   val oracle: Map[String, String] = Map(
@@ -285,19 +286,47 @@ object JoinQueries {
       """SELECT s_suppkey, COUNT(*) AS n_poorer_cust
         |FROM customer JOIN supplier ON s_acctbal > c_acctbal
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
-    "q_join_range" ->
-      """SELECT yr, COUNT(*) AS n_orders,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        |FROM orders JOIN (
-        |  SELECT yr, make_timestamp(yr, 1, 1, 0, 0, 0) AS d_start,
-        |         make_timestamp(yr + 1, 1, 1, 0, 0, 0) AS d_end
-        |  FROM (SELECT UNNEST(range(1995, 2002)) AS yr)) y
-        | ON o_orderdate >= d_start AND o_orderdate < d_end
-        |GROUP BY yr ORDER BY yr""".stripMargin,
+    "q_join_range" -> rangeOracleSql,
+    // the custom range-exec variant computes the identical relation
+    "q_join_range_custom" -> rangeOracleSql,
     "q_join_asof" -> asofOracleSql,
     // the custom-exec variant computes the identical relation
     "q_join_asof_custom" -> asofOracleSql,
     "q_join_asof_fwd" -> asofFwdOracleSql)
+
+  // def, not val: referenced by the `oracle` map, which initializes
+  // earlier in source order
+  private def rangeOracleSql: String =
+    """SELECT yr, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN (
+      |  SELECT yr, make_timestamp(yr, 1, 1, 0, 0, 0) AS d_start,
+      |         make_timestamp(yr + 1, 1, 1, 0, 0, 0) AS d_end
+      |  FROM (SELECT UNNEST(range(1995, 2002)) AS yr)) y
+      | ON o_orderdate >= d_start AND o_orderdate < d_end
+      |GROUP BY yr ORDER BY yr""".stripMargin
+
+  /** q_join_range_custom — the same point-in-interval relation as
+    * [[joinRange]], executed by the engine's own range-join operator
+    * (graft.plans.RangeJoinExec: broadcast interval side + per-
+    * partition sorted sweep with an active-interval heap) instead of
+    * the BroadcastNestedLoopJoin Spark plans for the non-equi
+    * condition. O((n+m)·log) per partition vs BNLJ's O(n·m) probes —
+    * the shape that survives many-interval dimensions at 100 TB. */
+  def joinRangeCustom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val years = (1995 to 2001).map(y => (y, s"$y-01-01", s"${y + 1}-01-01"))
+      .toDF("yr", "d_start_s", "d_end_s")
+      .select(col("yr"), to_timestamp(col("d_start_s")).as("d_start"),
+        to_timestamp(col("d_end_s")).as("d_end"))
+    graft.plans.RangeJoinPlan.pointInRange(
+        orders(s, d), years,
+        point = col("o_orderdate"), start = col("d_start"), end = col("d_end"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("yr"))
+  }
 
   /** q_join_asof_fwd — FORWARD as-of: for each signup, the EARLIEST
     * purchase at-or-after it (time-to-conversion, the mirror of

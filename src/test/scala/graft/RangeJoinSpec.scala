@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.RangeJoinPlan
+
+/** The custom point-in-interval operator (RangeJoinExec): plan shape,
+  * equivalence with the compositional BroadcastNestedLoop form,
+  * overlapping-interval correctness, and the filter-pushdown rule.
+  */
+class RangeJoinSpec extends GraftSpecBase {
+
+  private def ordersDF = Tables.orders(spark, sf)
+
+  private def yearsDF = {
+    import spark.implicits._
+    (1995 to 2001).map(y => (y, s"$y-01-01", s"${y + 1}-01-01"))
+      .toDF("yr", "s_s", "e_s")
+      .select(col("yr"), to_timestamp(col("s_s")).as("d_start"),
+        to_timestamp(col("e_s")).as("d_end"))
+  }
+
+  test("plans as RangeJoinExec, not BroadcastNestedLoopJoin") {
+    GraftExtensions.register(spark)
+    val df = RangeJoinPlan.pointInRange(ordersDF, yearsDF,
+      col("o_orderdate"), col("d_start"), col("d_end"))
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("RangeJoin"), plan.take(500))
+    assert(plan.contains("BroadcastExchange IdentityBroadcastMode"),
+      "interval side broadcast whole")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("equivalent to the compositional non-equi join") {
+    GraftExtensions.register(spark)
+    val custom = RangeJoinPlan.pointInRange(ordersDF, yearsDF,
+        col("o_orderdate"), col("d_start"), col("d_end"))
+      .select(col("o_orderkey"), col("yr"))
+    val baseline = ordersDF.join(yearsDF,
+        col("o_orderdate") >= col("d_start") &&
+        col("o_orderdate") < col("d_end"))
+      .select(col("o_orderkey"), col("yr"))
+    assert(custom.exceptAll(baseline).count() == 0)
+    assert(baseline.exceptAll(custom).count() == 0)
+  }
+
+  test("overlapping intervals: every containing interval matches") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val points = Seq(1L, 5L, 10L, 15L, 25L, 40L).toDF("p")
+    val ivals = Seq(
+      (100L, 0L, 10L),   // [0,10)
+      (101L, 5L, 20L),   // [5,20)  overlaps 100
+      (102L, 5L, 20L),   // duplicate interval
+      (103L, 30L, 35L),  // isolated, matches nothing here
+      (104L, 0L, 50L))   // covers everything
+      .toDF("iid", "s", "e")
+    val custom = RangeJoinPlan.pointInRange(points, ivals,
+        col("p"), col("s"), col("e"))
+      .select(col("p"), col("iid"))
+    val expected = points.crossJoin(ivals)
+      .filter(col("s") <= col("p") && col("p") < col("e"))
+      .select(col("p"), col("iid"))
+    assert(custom.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(custom).count() == 0)
+    // boundary semantics: p=10 must NOT match [0,10) but must match [5,20)
+    val at10 = custom.filter(col("p") === 10).select("iid")
+      .collect().map(_.getLong(0)).toSet
+    assert(at10 == Set(101L, 102L, 104L))
+  }
+
+  test("filter pushdown: left-side predicate reaches the scan") {
+    GraftExtensions.register(spark)
+    val df = RangeJoinPlan.pointInRange(ordersDF, yearsDF,
+        col("o_orderdate"), col("d_start"), col("d_end"))
+      .filter(col("o_totalprice") > 100000.0 && col("yr") >= 1998)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // both conjuncts must appear BELOW the RangeJoin node, i.e. the
+    // RangeJoin line comes before no Filter mentioning them
+    val lines = optimized.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("RangeJoin"))
+    assert(joinIdx >= 0, optimized.take(500))
+    val priceFilterIdx = lines.indexWhere(_.contains("o_totalprice"))
+    val yrFilterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("yr"))
+    assert(priceFilterIdx > joinIdx, "left predicate pushed below the join")
+    assert(yrFilterIdx > joinIdx, "right predicate pushed below the join")
+    // and the result is still right
+    val n = df.count()
+    val baseline = ordersDF.join(yearsDF,
+        col("o_orderdate") >= col("d_start") &&
+        col("o_orderdate") < col("d_end"))
+      .filter(col("o_totalprice") > 100000.0 && col("yr") >= 1998).count()
+    assert(n == baseline)
+  }
+}
