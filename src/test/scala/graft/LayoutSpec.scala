@@ -71,6 +71,39 @@ class LayoutSpec extends GraftSpecBase {
       scanLine.take(500))
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // the DPP case §4 lists: a fact table partitioned on the join key
+    // joined to a FILTERED dimension — the partition filter is only
+    // known at runtime (from the dim side), so static pruning can't
+    // help; Spark injects a dynamicpruning subquery on the fact scan
+    spark.sql("DROP TABLE IF EXISTS orders_part")
+    val loc = new java.io.File("spark-warehouse/orders_part")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").saveAsTable("orders_part")
+    val dim = Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).as("d_year")).distinct()
+      .filter(col("d_year") >= 2000)
+    val q = Layout.read(spark, "orders_part")
+      .join(dim, col("o_year") === col("d_year"))
+      .groupBy(col("o_year")).count()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "fact scan carries a runtime pruning subquery: " + p.take(2000))
+    // and the result is correct
+    val got = q.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exp = Tables.orders(spark, sf)
+      .withColumn("y", year(col("o_orderdate"))).filter(col("y") >= 2000)
+      .groupBy("y").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
   test("IVF top-k returns exact-kernel scores from the probed clusters") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") === 0)
