@@ -23,7 +23,7 @@ object SparkEntry {
     BizSeriesQueries.queries ++ LlmPipeQueries.queries ++
     AnalyticsExtraQueries.queries ++ GovernanceQueries.queries ++
     DriftQueries.queries ++ EncodingSeqQueries.queries ++
-    CalendarPathQueries.queries
+    CalendarPathQueries.queries ++ BinaryArrayQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -41,5 +41,6 @@ object SparkEntry {
     GraphQueries.oracle ++ BizSeriesQueries.oracle ++
     LlmPipeQueries.oracle ++ AnalyticsExtraQueries.oracle ++
     GovernanceQueries.oracle ++ DriftQueries.oracle ++
-    EncodingSeqQueries.oracle ++ CalendarPathQueries.oracle
+    EncodingSeqQueries.oracle ++ CalendarPathQueries.oracle ++
+    BinaryArrayQueries.oracle
 }
