@@ -50,7 +50,11 @@ object Bench {
     // time the oracle-graded surface (capability rows — seeded ML
     // models, sketches — are correctness-declared but not part of the
     // comparable bench total)
-    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "8").toInt
+    // 14 concurrent streams measured fastest on the 32-core container
+    // (8→20.6 s, 14→18.8 s, 20→21.6 s, 24→25.9 s at sf0.1): enough
+    // oversubscription to fill the driver-phase gaps each query pays,
+    // not so much that shuffle stages thrash the core budget.
+    val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "14").toInt
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true").toBoolean
     // LPT scheduling: start the known-heavy queries first so the
     // concurrent streams drain into a short tail (a slow query picked
