@@ -23,7 +23,8 @@ object SparkEntry {
     BizSeriesQueries.queries ++ LlmPipeQueries.queries ++
     AnalyticsExtraQueries.queries ++ GovernanceQueries.queries ++
     DriftQueries.queries ++ EncodingSeqQueries.queries ++
-    CalendarPathQueries.queries ++ BinaryArrayQueries.queries
+    CalendarPathQueries.queries ++ BinaryArrayQueries.queries ++
+    RobustStatsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -42,5 +43,5 @@ object SparkEntry {
     LlmPipeQueries.oracle ++ AnalyticsExtraQueries.oracle ++
     GovernanceQueries.oracle ++ DriftQueries.oracle ++
     EncodingSeqQueries.oracle ++ CalendarPathQueries.oracle ++
-    BinaryArrayQueries.oracle
+    BinaryArrayQueries.oracle ++ RobustStatsQueries.oracle
 }
