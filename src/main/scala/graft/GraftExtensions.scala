@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinFilterPushdown)
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRewrite)
   }
 }
 
@@ -84,5 +85,9 @@ object GraftExtensions {
         .contains(graft.plans.VecDotRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.VecDotRewrite
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinBandRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinBandRewrite
   }
 }
