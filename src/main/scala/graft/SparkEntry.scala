@@ -24,7 +24,7 @@ object SparkEntry {
     AnalyticsExtraQueries.queries ++ GovernanceQueries.queries ++
     DriftQueries.queries ++ EncodingSeqQueries.queries ++
     CalendarPathQueries.queries ++ BinaryArrayQueries.queries ++
-    RobustStatsQueries.queries
+    RobustStatsQueries.queries ++ AttributionQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -43,5 +43,6 @@ object SparkEntry {
     LlmPipeQueries.oracle ++ AnalyticsExtraQueries.oracle ++
     GovernanceQueries.oracle ++ DriftQueries.oracle ++
     EncodingSeqQueries.oracle ++ CalendarPathQueries.oracle ++
-    BinaryArrayQueries.oracle ++ RobustStatsQueries.oracle
+    BinaryArrayQueries.oracle ++ RobustStatsQueries.oracle ++
+    AttributionQueries.oracle
 }
