@@ -24,7 +24,8 @@ object SparkEntry {
     AnalyticsExtraQueries.queries ++ GovernanceQueries.queries ++
     DriftQueries.queries ++ EncodingSeqQueries.queries ++
     CalendarPathQueries.queries ++ BinaryArrayQueries.queries ++
-    RobustStatsQueries.queries ++ AttributionQueries.queries
+    RobustStatsQueries.queries ++ AttributionQueries.queries ++
+    TwapGroupingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -44,5 +45,5 @@ object SparkEntry {
     GovernanceQueries.oracle ++ DriftQueries.oracle ++
     EncodingSeqQueries.oracle ++ CalendarPathQueries.oracle ++
     BinaryArrayQueries.oracle ++ RobustStatsQueries.oracle ++
-    AttributionQueries.oracle
+    AttributionQueries.oracle ++ TwapGroupingQueries.oracle
 }
