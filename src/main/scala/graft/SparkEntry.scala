@@ -25,7 +25,7 @@ object SparkEntry {
     DriftQueries.queries ++ EncodingSeqQueries.queries ++
     CalendarPathQueries.queries ++ BinaryArrayQueries.queries ++
     RobustStatsQueries.queries ++ AttributionQueries.queries ++
-    TwapGroupingQueries.queries
+    TwapGroupingQueries.queries ++ SourceTermQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -45,5 +45,6 @@ object SparkEntry {
     GovernanceQueries.oracle ++ DriftQueries.oracle ++
     EncodingSeqQueries.oracle ++ CalendarPathQueries.oracle ++
     BinaryArrayQueries.oracle ++ RobustStatsQueries.oracle ++
-    AttributionQueries.oracle ++ TwapGroupingQueries.oracle
+    AttributionQueries.oracle ++ TwapGroupingQueries.oracle ++
+    SourceTermQueries.oracle
 }
