@@ -25,7 +25,8 @@ object SparkEntry {
     DriftQueries.queries ++ EncodingSeqQueries.queries ++
     CalendarPathQueries.queries ++ BinaryArrayQueries.queries ++
     RobustStatsQueries.queries ++ AttributionQueries.queries ++
-    TwapGroupingQueries.queries ++ SourceTermQueries.queries
+    TwapGroupingQueries.queries ++ SourceTermQueries.queries ++
+    DistributionQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -46,5 +47,5 @@ object SparkEntry {
     EncodingSeqQueries.oracle ++ CalendarPathQueries.oracle ++
     BinaryArrayQueries.oracle ++ RobustStatsQueries.oracle ++
     AttributionQueries.oracle ++ TwapGroupingQueries.oracle ++
-    SourceTermQueries.oracle
+    SourceTermQueries.oracle ++ DistributionQueries.oracle
 }
