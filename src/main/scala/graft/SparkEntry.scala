@@ -26,7 +26,7 @@ object SparkEntry {
     CalendarPathQueries.queries ++ BinaryArrayQueries.queries ++
     RobustStatsQueries.queries ++ AttributionQueries.queries ++
     TwapGroupingQueries.queries ++ SourceTermQueries.queries ++
-    DistributionQueries.queries
+    DistributionQueries.queries ++ InferenceQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -47,5 +47,6 @@ object SparkEntry {
     EncodingSeqQueries.oracle ++ CalendarPathQueries.oracle ++
     BinaryArrayQueries.oracle ++ RobustStatsQueries.oracle ++
     AttributionQueries.oracle ++ TwapGroupingQueries.oracle ++
-    SourceTermQueries.oracle ++ DistributionQueries.oracle
+    SourceTermQueries.oracle ++ DistributionQueries.oracle ++
+    InferenceQueries.oracle
 }
