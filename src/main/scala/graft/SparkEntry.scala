@@ -26,7 +26,8 @@ object SparkEntry {
     CalendarPathQueries.queries ++ BinaryArrayQueries.queries ++
     RobustStatsQueries.queries ++ AttributionQueries.queries ++
     TwapGroupingQueries.queries ++ SourceTermQueries.queries ++
-    DistributionQueries.queries ++ InferenceQueries.queries
+    DistributionQueries.queries ++ InferenceQueries.queries ++
+    ChurnZipfQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -48,5 +49,5 @@ object SparkEntry {
     BinaryArrayQueries.oracle ++ RobustStatsQueries.oracle ++
     AttributionQueries.oracle ++ TwapGroupingQueries.oracle ++
     SourceTermQueries.oracle ++ DistributionQueries.oracle ++
-    InferenceQueries.oracle
+    InferenceQueries.oracle ++ ChurnZipfQueries.oracle
 }

@@ -50,7 +50,7 @@ object DriftQueries {
       |SELECT bin, count(*) AS n,
       |  round(CAST(sum(CAST(p AS DECIMAL(18,8))) AS DOUBLE) /
       |    CAST(count(*) AS DOUBLE), 4) AS mean_pred,
-      |  sum(y) AS n_pos,
+      |  CAST(sum(y) AS BIGINT) AS n_pos,
       |  round(CAST(sum(y) AS DOUBLE)/CAST(count(*) AS DOUBLE), 4)
       |    AS actual_rate,
       |  round(round(CAST(sum(CAST(p AS DECIMAL(18,8))) AS DOUBLE) /
@@ -92,7 +92,7 @@ object DriftQueries {
       |    CAST(event_type = 'purchase' AS BIGINT) AS y,
       |    ntile(10) OVER (ORDER BY value DESC, event_id) AS decile
       |  FROM events),
-      |d AS (SELECT decile, count(*) AS n, sum(y) AS n_pos
+      |d AS (SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
       |  FROM e GROUP BY 1),
       |c AS (SELECT decile, n, n_pos,
       |    sum(n_pos) OVER (ORDER BY decile
@@ -190,7 +190,7 @@ object DriftQueries {
        |f AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
        |h AS (SELECT tok, c, md5(tok) AS m FROM f),
        |b AS (SELECT tok, c, $hex6 % 64 AS bucket FROM h)
-       |SELECT bucket, count(*) AS n_tokens, sum(c) AS weight,
+       |SELECT bucket, count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS weight,
        |  min(tok) AS sample_tok
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   }

@@ -105,7 +105,7 @@ object GovernanceQueries {
       s"""SELECT '$keyName' AS key_name, count(*) AS n_keys,
          |  count(CASE WHEN m > 1 THEN 1 END) AS n_dup_keys,
          |  max(m) AS max_mult,
-         |  COALESCE(sum(CASE WHEN m > 1 THEN m - 1 END), 0) AS n_excess_rows
+         |  CAST(COALESCE(sum(CASE WHEN m > 1 THEN m - 1 END), 0) AS BIGINT) AS n_excess_rows
          |FROM (SELECT count(*) AS m FROM $table GROUP BY $keys)""".stripMargin
     s"""SELECT * FROM (
        |${audit("lineitem", "lineitem(l_orderkey,l_linenumber)", "l_orderkey, l_linenumber")}

@@ -69,7 +69,7 @@ object GraphQueries {
 
   val degreeOracle: String =
     s"""WITH edges AS ($edgesSql),
-       |o AS (SELECT src, count(DISTINCT dst) AS out_deg, sum(w) AS w_out
+       |o AS (SELECT src, count(DISTINCT dst) AS out_deg, CAST(sum(w) AS BIGINT) AS w_out
        |  FROM edges GROUP BY 1),
        |i AS (SELECT dst, count(DISTINCT src) AS in_deg FROM edges GROUP BY 1),
        |u AS (SELECT node, count(*) AS und_deg FROM (

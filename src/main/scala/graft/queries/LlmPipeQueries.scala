@@ -160,7 +160,7 @@ object LlmPipeQueries {
        |r AS (SELECT doc_id, tok, c,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
        |  FROM freq),
-       |a AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct,
+       |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_distinct,
        |    max(CASE WHEN rn = 1 THEN tok END) AS top_tok,
        |    max(CASE WHEN rn = 1 THEN c END) AS top_c
        |  FROM r GROUP BY 1)
@@ -198,8 +198,8 @@ object LlmPipeQueries {
        |g AS (SELECT d.doc_id, COALESCE(pd.new_toks, 0) AS new_toks
        |  FROM documents d LEFT JOIN pd ON pd.first_doc = d.doc_id),
        |c AS (SELECT doc_id, new_toks,
-       |    sum(new_toks) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+       |    CAST(sum(new_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
        |  FROM g)
        |SELECT doc_id, new_toks, vocab_size FROM c
        |WHERE new_toks > 0 ORDER BY doc_id""".stripMargin
@@ -214,7 +214,11 @@ object LlmPipeQueries {
       .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
       .groupBy(col("prefix"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canon_id"),
-        array_sort(collect_list(col("doc_id"))).as("doc_ids"))
+        // joined string, not an array column: the harness's pandas
+        // row-sort can't order ndarray cells (q_agg_collect's int
+        // list survives it, but not worth a second gamble)
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("doc_ids"))
       .filter(col("n_docs") > 1)
       .select(md5(col("prefix")).as("prefix_key"), col("n_docs"),
         col("canon_id"), col("doc_ids"))
@@ -224,7 +228,8 @@ object LlmPipeQueries {
   val dedupPrefixOracle: String =
     """SELECT md5(prefix) AS prefix_key, n_docs, canon_id, doc_ids
       |FROM (SELECT substring(text, 1, 40) AS prefix, count(*) AS n_docs,
-      |    min(doc_id) AS canon_id, list_sort(list(doc_id)) AS doc_ids
+      |    min(doc_id) AS canon_id,
+      |    array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
       |  FROM documents GROUP BY 1)
       |WHERE n_docs > 1 ORDER BY canon_id""".stripMargin
 

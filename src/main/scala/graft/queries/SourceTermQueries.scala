@@ -43,7 +43,7 @@ object SourceTermQueries {
       |  FROM documents GROUP BY 1, 2),
       |r AS (SELECT *, row_number() OVER (PARTITION BY source
       |    ORDER BY nl DESC, lang) AS rk FROM pl),
-      |g AS (SELECT source, sum(nl) AS n_docs, sum(cl) AS n_chars,
+      |g AS (SELECT source, CAST(sum(nl) AS BIGINT) AS n_docs, CAST(sum(cl) AS BIGINT) AS n_chars,
       |    count(*) AS n_langs,
       |    max(CASE WHEN rk = 1 THEN lang END) AS top_lang
       |  FROM r GROUP BY 1)

@@ -46,7 +46,7 @@ object TwapGroupingQueries {
       |      PARTITION BY user_id ORDER BY ts, event_id)) AS dt_us
       |  FROM events),
       |f AS (SELECT * FROM s WHERE dt_us IS NOT NULL)
-      |SELECT user_id, count(*) AS n_spans, sum(dt_us) AS total_us,
+      |SELECT user_id, count(*) AS n_spans, CAST(sum(dt_us) AS BIGINT) AS total_us,
       |  CAST(CAST(CAST(sum(CAST(round(value, 2) * CAST(dt_us AS DOUBLE)
       |      AS DECIMAL(28,6))) AS DOUBLE) /
       |    CAST(sum(dt_us) AS DOUBLE) AS DECIMAL(18,4)) AS DOUBLE) AS twap

@@ -53,7 +53,7 @@ class LlmPipeSpec extends GraftSpecBase {
     val rows = LlmPipeQueries.dedupPrefix(spark, sf).collect()
     rows.foreach { r =>
       assert(r.getLong(1) >= 2)
-      val ids = r.getSeq[Long](3)
+      val ids = r.getString(3).split(",").map(_.toLong).toSeq
       assert(ids.length == r.getLong(1))
       assert(ids.min == r.getLong(2), "canonical id is the minimum")
       assert(ids == ids.sorted)
