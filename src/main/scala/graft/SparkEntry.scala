@@ -27,7 +27,7 @@ object SparkEntry {
     RobustStatsQueries.queries ++ AttributionQueries.queries ++
     TwapGroupingQueries.queries ++ SourceTermQueries.queries ++
     DistributionQueries.queries ++ InferenceQueries.queries ++
-    ChurnZipfQueries.queries
+    ChurnZipfQueries.queries ++ HitsFunnelQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -49,5 +49,6 @@ object SparkEntry {
     BinaryArrayQueries.oracle ++ RobustStatsQueries.oracle ++
     AttributionQueries.oracle ++ TwapGroupingQueries.oracle ++
     SourceTermQueries.oracle ++ DistributionQueries.oracle ++
-    InferenceQueries.oracle ++ ChurnZipfQueries.oracle
+    InferenceQueries.oracle ++ ChurnZipfQueries.oracle ++
+    HitsFunnelQueries.oracle
 }
