@@ -27,7 +27,8 @@ object SparkEntry {
     RobustStatsQueries.queries ++ AttributionQueries.queries ++
     TwapGroupingQueries.queries ++ SourceTermQueries.queries ++
     DistributionQueries.queries ++ InferenceQueries.queries ++
-    ChurnZipfQueries.queries ++ HitsFunnelQueries.queries
+    ChurnZipfQueries.queries ++ HitsFunnelQueries.queries ++
+    BasketQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -50,5 +51,5 @@ object SparkEntry {
     AttributionQueries.oracle ++ TwapGroupingQueries.oracle ++
     SourceTermQueries.oracle ++ DistributionQueries.oracle ++
     InferenceQueries.oracle ++ ChurnZipfQueries.oracle ++
-    HitsFunnelQueries.oracle
+    HitsFunnelQueries.oracle ++ BasketQueries.oracle
 }
