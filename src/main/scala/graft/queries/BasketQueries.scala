@@ -62,9 +62,51 @@ object BasketQueries {
       |CROSS JOIN no
       |ORDER BY co DESC, p1, p2 LIMIT 20""".stripMargin
 
+  /** q_reorder_rate — repeat-purchase analysis per part: distinct
+    * buying customers, how many bought it in ≥2 separate orders, the
+    * repeat rate, and mean orders per buyer (D6-safe DECIMAL-cast
+    * ratio) — top 15 most-reordered parts. */
+  def reorderRate(s: SparkSession, d: String): DataFrame = {
+    val buys = lineitem(s, d)
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey"), col("o_custkey"), col("l_orderkey")).distinct()
+    val perBuyer = buys.groupBy(col("l_partkey"), col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    perBuyer.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_buyers"),
+        count(when(col("n_orders") >= 2, lit(1))).as("n_repeat"),
+        sum(col("n_orders")).as("tot_orders"))
+      .select(col("l_partkey"), col("n_buyers"), col("n_repeat"),
+        round(col("n_repeat").cast("double") / col("n_buyers").cast("double"), 4)
+          .as("repeat_rate"),
+        (col("tot_orders").cast("double") / col("n_buyers").cast("double"))
+          .cast("decimal(18,4)").cast("double").as("orders_per_buyer"))
+      .orderBy(col("n_repeat").desc, col("l_partkey"))
+      .limit(15)
+  }
+
+  val reorderRateOracle: String =
+    """WITH buys AS (SELECT DISTINCT l_partkey, o_custkey, l_orderkey
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |pb AS (SELECT l_partkey, o_custkey, count(*) AS n_orders
+      |  FROM buys GROUP BY 1, 2),
+      |g AS (SELECT l_partkey, count(*) AS n_buyers,
+      |    count(CASE WHEN n_orders >= 2 THEN 1 END) AS n_repeat,
+      |    CAST(sum(n_orders) AS BIGINT) AS tot_orders
+      |  FROM pb GROUP BY 1)
+      |SELECT l_partkey, n_buyers, n_repeat,
+      |  round(CAST(n_repeat AS DOUBLE)/CAST(n_buyers AS DOUBLE), 4)
+      |    AS repeat_rate,
+      |  CAST(CAST(CAST(tot_orders AS DOUBLE)/CAST(n_buyers AS DOUBLE)
+      |    AS DECIMAL(18,4)) AS DOUBLE) AS orders_per_buyer
+      |FROM g ORDER BY n_repeat DESC, l_partkey LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_copurchase" -> (copurchase _))
+    "q_copurchase" -> (copurchase _),
+    "q_reorder_rate" -> (reorderRate _))
 
   val oracle: Map[String, String] = Map(
-    "q_copurchase" -> copurchaseOracle)
+    "q_copurchase" -> copurchaseOracle,
+    "q_reorder_rate" -> reorderRateOracle)
 }
