@@ -15,6 +15,15 @@ run / fork := true
 // harness parses the LAST stdout line as JSON (round-1 bench was
 // dropped because the epilogue followed graft.Bench's JSON line).
 Global / showSuccess := false
+// Route the forked JVM's stdout STRAIGHT to sbt's stdout instead of
+// through the sbt logger: the logger prefixes every line with
+// "[info] ", which broke the bench harness's JSON tail-parse in
+// round 3 ("[info] {\"metric\":...}" is not JSON). Set in every scope
+// `run`/`runMain` might resolve from.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

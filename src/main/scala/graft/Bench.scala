@@ -148,7 +148,10 @@ object Bench {
     // BENCH_r02 "parsed": null). Include per-query times heaviest-
     // first until a conservative character budget is hit; the full map
     // is on the preceding line and in bench_detail.json.
-    val budget = 1500
+    // Budget the WHOLE line, not just the queries map: head carries the
+    // failed list + sf path, which round-4's local tailparse_check
+    // caught pushing the line to 1606 chars with a 1500 map budget.
+    val budget = 1400 - (head.length + """{,"queries":{}}""".length)
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
     allTimes.sortBy(-_._2).foreach { case (k, v) =>

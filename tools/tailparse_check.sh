@@ -1,0 +1,36 @@
+#!/bin/bash
+# Replicates the bench driver's tail-parse EXACTLY, so we catch any sbt
+# output pollution locally before a round is graded:
+#   1. run `sbt "runMain graft.Bench"` capturing stdout,
+#   2. keep the LAST 2000 characters,
+#   3. take the LAST non-empty line,
+#   4. json.loads it — non-JSON (e.g. an "[info] " logger prefix, a
+#      "[success]" epilogue, or a front-truncated line) fails loudly.
+# Rounds 1-3 each failed this parse for a different reason; this script
+# is the regression gate. Usage: tools/tailparse_check.sh [sf_dir]
+set -e
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+OUT=$(mktemp)
+SPARK_GRAFT_SF_DIR="$SF" sbt "runMain graft.Bench" > "$OUT" 2>/dev/null
+python3 - "$OUT" <<'EOF'
+import json, sys
+raw = open(sys.argv[1], encoding="utf-8", errors="replace").read()
+tail = raw[-2000:]
+lines = [l for l in tail.splitlines() if l.strip()]
+if not lines:
+    sys.exit("TAILPARSE FAIL: empty stdout tail")
+last = lines[-1]
+try:
+    obj = json.loads(last)
+except Exception as e:
+    sys.exit(f"TAILPARSE FAIL: last line is not JSON ({e}):\n{last!r}")
+for key in ("metric", "value", "unit", "queries", "sf"):
+    if key not in obj:
+        sys.exit(f"TAILPARSE FAIL: parsed JSON missing key {key!r}: {last[:200]}")
+if len(last) > 1500:
+    sys.exit(f"TAILPARSE FAIL: JSON line is {len(last)} chars (>1500 budget — "
+             "risks front-truncation in the driver's 2000-char tail)")
+print(f"TAILPARSE OK: {len(obj['queries'])} queries, total={obj['value']}{obj['unit']}, "
+      f"line={len(last)} chars")
+EOF
