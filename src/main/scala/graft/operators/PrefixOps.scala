@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix (running) sums over a total order WITHOUT a
+  * partition-less window.
+  *
+  * `WindowExec` with an empty partition spec funnels every row through
+  * one partition — correct, but the single worst scale anti-pattern a
+  * Spark plan can contain (at 100 TB the whole relation serializes
+  * through one task). The classic fix is the two-phase prefix sum this
+  * helper implements declaratively:
+  *
+  *  1. split the domain into range buckets along the order key, with
+  *     boundaries taken from `approxQuantile` (the same sampled-
+  *     boundary idea as Spark's distributed sort, so skewed domains
+  *     still split into balanced buckets) and baked into the plan as
+  *     LITERALS — every branch of the query sees the identical
+  *     bucketing, with no reliance on exchange reuse;
+  *  2. run the running sum WITHIN each bucket (a partitioned window —
+  *     buckets proceed in parallel);
+  *  3. compute each bucket's total, derive per-bucket exclusive
+  *     offsets with a strictly-earlier self-join over the tiny
+  *     |buckets|² space, and broadcast-join the offsets back.
+  *
+  * The result equals the global running sum for ANY monotone bucket
+  * boundary choice (equal keys always share a bucket), so the sampled
+  * boundaries never leak into the output — only into load balance.
+  *
+  * `row_number`/`rank`/`ntile` over a total order are prefix counts:
+  * ask for `sum(lit(1))` and derive the tile from the running count
+  * (see [[PrefixOps.ntileFromRowNumber]]).
+  */
+object PrefixOps {
+
+  /** Adds one inclusive running-sum column per `(name, expr)` in
+    * `sums`, taken over the TOTAL order `order`.
+    *
+    * @param key    numeric expression monotone-ASCENDING in `order`
+    *               (negate it for a descending order key); used only
+    *               for bucketing, so ties are safe — equal keys land
+    *               in one bucket and the in-bucket window breaks them
+    *               with the full `order`.
+    * @param order  a tie-free total order (append a unique key if the
+    *               natural one has ties).
+    * @param buckets target bucket count (parallelism of the prefix
+    *               pass); boundaries come from an approx-quantile
+    *               probe of `key`.
+    */
+  def runningSums(df: DataFrame, key: Column, order: Seq[Column],
+      sums: Seq[(String, Column)], buckets: Int = 64): DataFrame = {
+    // 1. literal boundaries: an approxQuantile probe of the key. One
+    //    tiny driver-side vector (≤ buckets-1 doubles) — the same
+    //    role as RangePartitioner's sample, but baked into the plan
+    //    so every branch buckets identically.
+    val probe = df.select(key.cast("double").as("__pfx_key"))
+    val cuts = probe.na.drop()
+      .stat.approxQuantile("__pfx_key",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted
+    val b = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(key.cast("double") > lit(c), 1).otherwise(0)
+    }
+    val parted = df.withColumn("__pfx_bucket", b)
+    // 2. within-bucket running sums (partitioned window — parallel)
+    val w = Window.partitionBy(col("__pfx_bucket")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = sums.foldLeft(parted) { case (acc, (n, c)) =>
+      acc.withColumn(s"__pfx_w_$n", sum(c).over(w))
+    }
+    // 3. per-bucket totals → strictly-earlier offsets (|buckets| rows;
+    //    the self-join space is |buckets|² — thousands at most — and
+    //    both sides broadcast)
+    val totals = parted.groupBy(col("__pfx_bucket").as("__tb")).agg(
+      sums.head match { case (n, c) => sum(c).as(s"__t_$n") },
+      sums.tail.map { case (n, c) => sum(c).as(s"__t_$n") }: _*)
+    val earlier = totals.select(
+      col("__tb").as("__eb") +: sums.map { case (n, _) =>
+        col(s"__t_$n").as(s"__e_$n") }: _*)
+    val offsets = totals
+      .join(broadcast(earlier), col("__eb") < col("__tb"), "left")
+      .groupBy(col("__tb"))
+      .agg(sums.head match { case (n, _) =>
+            sum(col(s"__e_$n")).as(s"__o_$n") },
+        sums.tail.map { case (n, _) =>
+          sum(col(s"__e_$n")).as(s"__o_$n") }: _*)
+    // 4. offset + within = global inclusive prefix; keep the window
+    //    sum's exact type so callers see the same schema a global
+    //    window would have produced
+    val joined = within.join(broadcast(offsets),
+      col("__pfx_bucket") === col("__tb"), "left")
+    val out = sums.foldLeft(joined) { case (acc, (n, _)) =>
+      val t = acc.schema(s"__pfx_w_$n").dataType
+      acc.withColumn(n,
+        (coalesce(col(s"__o_$n"), lit(0)) + col(s"__pfx_w_$n")).cast(t))
+    }
+    out.drop("__pfx_bucket" +: "__tb" +:
+      sums.flatMap { case (n, _) => Seq(s"__pfx_w_$n", s"__o_$n") }: _*)
+  }
+
+  /** SQL `ntile(k)` reconstructed from a 1-based running row number
+    * `rn` and the total row count `n` (both over the same total
+    * order): the first `n % k` tiles take `n/k + 1` rows, the rest
+    * `n/k` — exactly the standard ntile split, including ties being
+    * divided across tiles by the order's tie-break key. Double-floor
+    * division is exact below 2^53 rows — comfortably above any real
+    * relation (100 TB ≈ 10^12 rows); the `n/k = 0` case only reaches
+    * the first branch, so the guarded divisor never matters.
+    */
+  def ntileFromRowNumber(rn: Column, n: Column, k: Int): Column = {
+    val qi = floor(n.cast("long") / lit(k.toDouble)).cast("long")
+    val r = n.cast("long") % lit(k.toLong)
+    val big = qi + lit(1L)
+    when(rn.cast("long") <= r * big,
+        floor((rn.cast("long") - 1).cast("double") / big.cast("double"))
+          .cast("long") + 1)
+      .otherwise(r +
+        floor((rn.cast("long") - r * big - 1).cast("double") /
+          greatest(qi, lit(1L)).cast("double")).cast("long") + 1)
+      .cast("int")
+  }
+}

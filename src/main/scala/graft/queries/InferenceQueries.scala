@@ -20,22 +20,29 @@ object InferenceQueries {
 
   /** q_ks_test — exact two-sample KS distance between morning
     * (hour < 12) and afternoon `value` distributions: D = max over
-    * the pooled sample of |F_am(x) − F_pm(x)|, reported with the
-    * argmax location. Running counts over the pooled sort are exact
-    * integers; the ECDF difference is an exact-count ratio. */
+    * distinct pooled values of |F_am(x) − F_pm(x)| (the ECDF jumps
+    * only at distinct values, so evaluating there is exact KS),
+    * reported with the argmax location. Counts are exact integers;
+    * the ECDF difference is an exact-count ratio.
+    *
+    * Scale shape: NO per-row global running count. The pool first
+    * contracts to per-distinct-value (am, pm) counts — one keyed
+    * shuffle — then cumulative counts come from a distributed prefix
+    * sum over the contracted domain
+    * ([[graft.operators.PrefixOps.runningSums]]). */
   def ksTest(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
-      .select(col("value"), (hour(col("ts2")) < 12).as("is_am"),
-        col("event_id"))
-    val w = Window.orderBy(col("value"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .select(col("value"), (hour(col("ts2")) < 12).as("is_am"))
     val tot = e.agg(
       count(when(col("is_am"), lit(1))).as("n_am"),
       count(when(!col("is_am"), lit(1))).as("n_pm"))
-    val curve = e
-      .withColumn("c_am", count(when(col("is_am"), lit(1))).over(w))
-      .withColumn("c_pm", count(when(!col("is_am"), lit(1))).over(w))
-      .crossJoin(broadcast(tot))
+    val byVal = e.groupBy(col("value")).agg(
+      count(when(col("is_am"), lit(1))).as("am_cnt"),
+      count(when(!col("is_am"), lit(1))).as("pm_cnt"))
+    val cum = graft.operators.PrefixOps.runningSums(byVal,
+      col("value"), Seq(col("value")),
+      Seq("c_am" -> col("am_cnt"), "c_pm" -> col("pm_cnt")))
+    val curve = cum.crossJoin(broadcast(tot))
       .select(col("value"),
         (abs(col("c_am").cast("double") / col("n_am").cast("double") -
           col("c_pm").cast("double") / col("n_pm").cast("double"))).as("gap"),
@@ -48,14 +55,18 @@ object InferenceQueries {
   }
 
   val ksTestOracle: String =
-    """WITH e AS (SELECT value, hour(ts) < 12 AS is_am, event_id FROM events),
+    """WITH e AS (SELECT value, hour(ts) < 12 AS is_am FROM events),
       |t AS (SELECT count(CASE WHEN is_am THEN 1 END) AS n_am,
       |    count(CASE WHEN NOT is_am THEN 1 END) AS n_pm FROM e),
+      |v AS (SELECT value,
+      |    count(CASE WHEN is_am THEN 1 END) AS am_cnt,
+      |    count(CASE WHEN NOT is_am THEN 1 END) AS pm_cnt
+      |  FROM e GROUP BY 1),
       |c AS (SELECT value,
-      |    count(CASE WHEN is_am THEN 1 END) OVER w AS c_am,
-      |    count(CASE WHEN NOT is_am THEN 1 END) OVER w AS c_pm
-      |  FROM e
-      |  WINDOW w AS (ORDER BY value, event_id
+      |    sum(am_cnt) OVER w AS c_am,
+      |    sum(pm_cnt) OVER w AS c_pm
+      |  FROM v
+      |  WINDOW w AS (ORDER BY value
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |g AS (SELECT value,
       |    abs(CAST(c_am AS DOUBLE)/CAST(t.n_am AS DOUBLE) -

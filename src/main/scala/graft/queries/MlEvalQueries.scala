@@ -31,17 +31,31 @@ object MlEvalQueries {
     * midranks (ties handled exactly):
     * AUC = (Σ midrank(pos) − n⁺(n⁺+1)/2) / (n⁺·n⁻).
     * Midranks are rank() + (tie_count−1)/2 — exact at .5 steps, so
-    * the sum is DECIMAL-exact and order-independent. */
+    * the sum is DECIMAL-exact and order-independent.
+    *
+    * Scale shape: NO per-row global rank. The relation first
+    * contracts to per-distinct-value (cnt, pos_cnt) counts — one
+    * keyed shuffle — and the rank of each value group comes from a
+    * distributed prefix sum over that contracted domain
+    * ([[graft.operators.PrefixOps.runningSums]]: range buckets +
+    * partitioned windows + broadcast offsets). Σ midrank(pos) is then
+    * Σ pos_cnt(v)·midrank(v), exact in DECIMAL. */
   def auc(s: SparkSession, d: String): DataFrame = {
-    val r = events(s, d).select(col("event_type"), col("value"))
-      .withColumn("rk", rank().over(Window.orderBy(col("value"))))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("value"))))
+    val byVal = events(s, d).select(col("event_type"), col("value"))
+      .groupBy(col("value")).agg(
+        count(lit(1)).as("cnt"),
+        count(when(col("event_type") === "purchase", lit(1))).as("pos_cnt"))
+    val cum = graft.operators.PrefixOps.runningSums(byVal,
+      col("value"), Seq(col("value")), Seq("ccnt" -> col("cnt")))
+    val r = cum
+      // rank() of every row tied at v = 1 + (count of rows before v)
+      .withColumn("rk", col("ccnt") - col("cnt") + 1)
       .withColumn("midrank",
         (col("rk") + (col("cnt") - 1) / lit(2.0)).cast("decimal(18,2)"))
     r.agg(
-        sum(when(col("event_type") === "purchase", col("midrank"))).as("s_pos"),
-        count(when(col("event_type") === "purchase", lit(1))).as("n_pos"),
-        count(when(col("event_type") =!= "purchase", lit(1))).as("n_neg"))
+        sum(col("pos_cnt") * col("midrank")).as("s_pos"),
+        sum(col("pos_cnt")).as("n_pos"),
+        sum(col("cnt") - col("pos_cnt")).as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
         round((col("s_pos").cast("double") -
             col("n_pos").cast("double") * (col("n_pos") + 1).cast("double") / lit(2.0)) /
