@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Determinism._
@@ -147,25 +147,43 @@ object BizSeriesQueries {
 
   /** q_rfm — RFM segmentation: per customer, recency (days from last
     * order to the corpus max date), frequency (order count), monetary
-    * (DECIMAL-exact spend); quartile scores via ntile(4) over fully
-    * deterministic orders (custkey tie-break), concatenated into the
-    * classic 3-digit segment. The ntile windows run on the
-    * |customers|-sized aggregate, not the fact table. */
+    * (DECIMAL-exact spend); quartile scores equivalent to ntile(4)
+    * over fully deterministic orders (custkey tie-break), concatenated
+    * into the classic 3-digit segment.
+    *
+    * Scale shape: NO partition-less windows. The corpus horizon is a
+    * broadcast 1-row aggregate, and each ntile(4) is reconstructed
+    * from a distributed running row-number
+    * ([[graft.operators.PrefixOps.runningSums]] +
+    * [[graft.operators.PrefixOps.ntileFromRowNumber]]) — three
+    * parallel prefix passes over the |customers| aggregate instead of
+    * three single-partition sorts. */
   def rfm(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PrefixOps
     val byCust = orders(s, d).groupBy(col("o_custkey")).agg(
       max(col("o_orderdate")).as("last_order"),
       count(lit(1)).as("frequency"),
       sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
-    val refDate = max(col("last_order")).over(Window.partitionBy())
-    val scored = byCust
+    val ref = byCust.agg(max(col("last_order")).as("ref_date"),
+      count(lit(1)).as("n_cust"))
+    val base = byCust.crossJoin(broadcast(ref))
       .withColumn("recency_days",
-        datediff(refDate, col("last_order")).cast("long"))
-      .withColumn("r_score",
-        ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey"))))
-      .withColumn("f_score",
-        ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey"))))
-      .withColumn("m_score",
-        ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey"))))
+        datediff(col("ref_date"), col("last_order")).cast("long"))
+    def score(df: DataFrame, name: String, key: Column,
+        order: Seq[Column]): DataFrame = {
+      val rn = PrefixOps.runningSums(df, key, order, Seq("__rn" -> lit(1L)))
+      rn.withColumn(name,
+          PrefixOps.ntileFromRowNumber(col("__rn"), col("n_cust"), 4))
+        .drop("__rn")
+    }
+    val scored = Seq[(String, Column, Seq[Column])](
+      ("r_score", col("recency_days"),
+        Seq(col("recency_days"), col("o_custkey"))),
+      ("f_score", -col("frequency"),
+        Seq(col("frequency").desc, col("o_custkey"))),
+      ("m_score", -col("monetary"),
+        Seq(col("monetary").desc, col("o_custkey"))))
+      .foldLeft(base) { case (df, (n, k, o)) => score(df, n, k, o) }
     scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
         dout(col("monetary")).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
@@ -200,15 +218,19 @@ object BizSeriesQueries {
     * fraction of revenue, tier A while ≤ 80%. The running sum is
     * decimal over a deterministic order, so every prefix is exact. */
   def pareto(s: SparkSession, d: String): DataFrame = {
+    // Scale shape: the rank and the exact running total both come
+    // from one distributed prefix pass over the |customers| aggregate
+    // (PrefixOps.runningSums — no partition-less window); the grand
+    // total is a broadcast 1-row aggregate.
     val spend = orders(s, d).groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-    val wOrd = Window.orderBy(col("spend").desc, col("o_custkey"))
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spend
-      .withColumn("rnk", row_number().over(wOrd))
-      .withColumn("cum", sum(col("spend")).over(wCum))
-      .withColumn("total", sum(col("spend")).over(Window.partitionBy()))
-      .select(col("o_custkey"), col("rnk"), dout(col("spend")).as("spend"),
+    val tot = spend.agg(sum(col("spend")).as("total"))
+    graft.operators.PrefixOps.runningSums(spend,
+        -col("spend"), Seq(col("spend").desc, col("o_custkey")),
+        Seq("rnk" -> lit(1L), "cum" -> col("spend")))
+      .crossJoin(broadcast(tot))
+      .select(col("o_custkey"), col("rnk").cast("int").as("rnk"),
+        dout(col("spend")).as("spend"),
         round(col("cum").cast("double") / col("total").cast("double"), 6)
           .as("cum_frac"))
       .withColumn("tier", when(col("cum_frac") <= 0.8, "A").otherwise("B"))

@@ -22,23 +22,27 @@ object ChurnZipfQueries {
     * > 7 days, plus each user's lifetime span — with the global
     * churn rate replicated for the report row. */
   def churn(s: SparkSession, d: String): DataFrame = {
-    val horizon = max(col("last_ts")).over(Window.partitionBy())
+    // Scale shape: the horizon and the global churn rate are both
+    // broadcast 1-row aggregates (crossJoin(broadcast(...))) — the
+    // per-user stage stays fully parallel, with no partition-less
+    // window anywhere in the plan.
     val byUser = events(s, d).groupBy(col("user_id"))
       .agg(min(col("ts2")).as("first_ts"), max(col("ts2")).as("last_ts"),
         count(lit(1)).as("n_events"))
-    byUser
+    val horizon = byUser.agg(max(col("last_ts")).as("horizon_ts"))
+    val flagged = byUser.crossJoin(broadcast(horizon))
       // DIV, not `/`: Column `/` on longs is double division, and a
       // truncated double quotient can differ from exact integer floor
-      .withColumn("horizon_us", unix_micros(horizon))
+      .withColumn("horizon_us", unix_micros(col("horizon_ts")))
       .withColumn("age_days",
         expr("(horizon_us - unix_micros(last_ts)) DIV 86400000000"))
       .withColumn("lifetime_days",
         expr("(unix_micros(last_ts) - unix_micros(first_ts)) DIV 86400000000"))
       .withColumn("churned", col("age_days") > 7)
-      .withColumn("churn_rate",
-        round(sum(col("churned").cast("long")).over(Window.partitionBy())
-          .cast("double") /
-          count(lit(1)).over(Window.partitionBy()).cast("double"), 4))
+    val rate = flagged.agg(
+      round(sum(col("churned").cast("long")).cast("double") /
+        count(lit(1)).cast("double"), 4).as("churn_rate"))
+    flagged.crossJoin(broadcast(rate))
       .select(col("user_id"), col("n_events"), col("age_days"),
         col("lifetime_days"), col("churned"), col("churn_rate"))
       .orderBy(col("user_id"))
@@ -66,11 +70,16 @@ object ChurnZipfQueries {
     * terms — q_regr's machinery), reported with the top-5 tokens.
     * A healthy natural-language corpus sits near slope −1. */
   def zipf(s: SparkSession, d: String): DataFrame = {
-    val freq = documents(s, d)
+    // rank-by-frequency via a distributed running row-number
+    // (PrefixOps) — the vocabulary is unbounded at 100 TB, so no
+    // partition-less row_number over it
+    val freq0 = documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("f").desc, col("tok"))))
+    val freq = graft.operators.PrefixOps.runningSums(freq0,
+        -col("f"), Seq(col("f").desc, col("tok")),
+        Seq("__rn" -> lit(1L)))
+      .withColumn("rk", col("__rn").cast("int")).drop("__rn")
     val dec = "decimal(20,8)"
     val terms = freq.select(col("tok"), col("f"), col("rk"),
       round(log(col("rk").cast("double")), 8).cast(dec).as("x"),

@@ -313,10 +313,9 @@ object DedupQueries {
     * md5-derived (identical bits in both engines) — the estimate is a
     * pure function of the data, not of engine internals. The
     * signature build is the same single doc_id shuffle as
-    * [[dedupMinhash]]. The unpartitioned lead() window runs over the
-    * AGGREGATED signature relation (|docs| rows, not tokens) — fine
-    * at this fixture's scope; at 100 TB pair via the band join
-    * ([[dedupMinhash]]) instead of adjacency. */
+    * [[dedupMinhash]]. Adjacency pairing is a distributed running
+    * row-number ([[graft.operators.PrefixOps.runningSums]]) joined
+    * rank-to-rank+1 — no partition-less window anywhere in the plan. */
   def minhashEst(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d).filter(col("lang") === "fr")
       .select(col("doc_id"),
@@ -328,14 +327,16 @@ object DedupQueries {
       .agg(min(expr(mixedHash(0, "h"))).as("mh0"),
         (1 until MinhashK).map(i =>
           min(expr(mixedHash(i, "h"))).as(s"mh$i")): _*)
-    val w = Window.orderBy(col("doc_id"))
-    val sigCols = (0 until MinhashK).map(i => col(s"mh$i"))
-    val nextCols = (0 until MinhashK).map(i =>
-      lead(col(s"mh$i"), 1).over(w).as(s"nx$i"))
-    val paired = sig
-      .select(col("doc_id") +: (sigCols ++ nextCols): _*)
-      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
-      .filter(col("doc_b").isNotNull)
+    // adjacent-by-doc_id pairing WITHOUT a partition-less lead():
+    // distributed running row-number (PrefixOps) + an equi-join of
+    // rank r with rank r+1 — the inner join drops the last doc (no
+    // successor), exactly like lead()'s trailing NULL filter
+    val rn = graft.operators.PrefixOps.runningSums(sig,
+      col("doc_id"), Seq(col("doc_id")), Seq("__rn" -> lit(1L)))
+    val nxt = rn.select(
+      (col("__rn") - 1).as("__rn_nx") +: col("doc_id").as("doc_b") +:
+        (0 until MinhashK).map(i => col(s"mh$i").as(s"nx$i")): _*)
+    val paired = rn.join(nxt, col("__rn") === col("__rn_nx"))
     val agree = (0 until MinhashK).map(i =>
       when(col(s"mh$i") === col(s"nx$i"), 1).otherwise(0))
       .reduce(_ + _)

@@ -63,21 +63,34 @@ object DriftQueries {
     * cumulative share of all positives captured, and the lift over
     * random targeting — the marketing-analytics counterpart of AUC. */
   def gains(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d)
+    // Scale shape: the per-row decile is ntile(10) reconstructed from
+    // a distributed running row-number over (value desc, event_id) —
+    // a range-bucketed prefix pass (PrefixOps), not a single-partition
+    // sort of the fact table. The 10-row decile relation then gets its
+    // cumulative and total counts from a broadcast self-join /
+    // broadcast 1-row aggregate instead of global windows.
+    import graft.operators.PrefixOps
+    val e0 = events(s, d)
       .select(col("value"), col("event_id"),
         (col("event_type") === "purchase").cast("long").as("y"))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("value").desc, col("event_id"))))
+    val n = e0.agg(count(lit(1)).as("n_rows"))
+    val e = PrefixOps.runningSums(e0,
+        -col("value"), Seq(col("value").desc, col("event_id")),
+        Seq("__rn" -> lit(1L)))
+      .crossJoin(broadcast(n))
+      .withColumn("decile",
+        PrefixOps.ntileFromRowNumber(col("__rn"), col("n_rows"), 10))
     val byDec = e.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
-    val wCum = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
+    val tot = byDec.agg(sum(col("n_pos")).as("tot_pos"),
+      sum(col("n")).as("tot_n"))
+    val cums = byDec.select(col("decile").as("__d"),
+      col("n").as("__n"), col("n_pos").as("__p"))
     byDec
-      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
-      .withColumn("cum_n", sum(col("n")).over(wCum))
-      .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
-      .withColumn("tot_n", sum(col("n")).over(wAll))
+      .join(broadcast(cums), col("__d") <= col("decile"))
+      .groupBy(col("decile"), col("n"), col("n_pos"))
+      .agg(sum(col("__p")).as("cum_pos"), sum(col("__n")).as("cum_n"))
+      .crossJoin(broadcast(tot))
       .select(col("decile"), col("n"), col("n_pos"),
         round(col("cum_pos").cast("double") / col("tot_pos").cast("double"), 4)
           .as("cum_gain"),

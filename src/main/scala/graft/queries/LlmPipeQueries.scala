@@ -181,12 +181,14 @@ object LlmPipeQueries {
       .agg(min(col("doc_id")).as("first_doc"))
     val perDoc = firstSeen.groupBy(col("first_doc"))
       .agg(count(lit(1)).as("new_toks"))
-    documents(s, d).select(col("doc_id"))
+    val g = documents(s, d).select(col("doc_id"))
       .join(perDoc, col("first_doc") === col("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("new_toks"), lit(0L)).as("new_toks"))
-      .withColumn("vocab_size", sum(col("new_toks")).over(
-        Window.orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // running vocabulary via a distributed prefix pass over the |docs|
+    // domain (PrefixOps), not a partition-less window
+    graft.operators.PrefixOps.runningSums(g,
+        col("doc_id"), Seq(col("doc_id")),
+        Seq("vocab_size" -> col("new_toks")))
       .filter(col("new_toks") > 0)
       .orderBy(col("doc_id"))
   }
