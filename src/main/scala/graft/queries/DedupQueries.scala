@@ -277,6 +277,26 @@ object DedupQueries {
   private def dotd(a: Column, b: Column): Column =
     graft.functions.expressions.FloatVecDot.dot(a, b)
 
+  /** Scale note — why this is a TILED exact join and not LSH-routed
+    * candidates: the operator's contract is the EXACT set of pairs
+    * with cos ≥ 0.4. Measured on the fixture (sf0.1), every
+    * qualifying pair lies in [0.4, 0.51] — i.e. AT the threshold —
+    * where sign-LSH's per-band collision probability is
+    * (1 − acos(0.4)/π)^b ≈ 0.63^b: any banding selective enough to
+    * prune also misses real pairs (≥0.4% each with 32×4-bit bands),
+    * and banding with near-1 recall admits ~99% of all pairs as
+    * candidates. No probabilistic router preserves an exact
+    * low-threshold contract in near-orthogonal 64-dim space, so the
+    * scalable form of this query distributes the O(n²/|labels|) work
+    * instead of pretending to avoid it: the left side is salted into
+    * `EmbedTiles` tiles per label, the right side joins on
+    * (label, tile), lifting parallelism from |labels| (≈10 — the
+    * round-3 bottleneck) to |labels|·T with no correctness loss. The
+    * probabilistic scale path for HIGH-threshold near-dup lives in
+    * [[graft.functions.Ann]] (q_ann_lsh) and [[graft.functions.MinHashDedup]],
+    * where it is sound. */
+  private val EmbedTiles = 8
+
   def dedupEmbed(s: SparkSession, d: String): DataFrame = {
     // precompute each vector's self-norm ONCE (O(n·d)) instead of
     // twice per pair (O(n²·d)) — sqrt(na) of the precomputed value is
@@ -284,9 +304,16 @@ object DedupQueries {
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"))
-    val pairs = e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    // left side: home tile from a deterministic hash of vec_id;
+    // right side: replicated to every tile (bounded ×T), so each
+    // unordered pair meets in exactly one (label, tile) task
+    val a = e.withColumn("tile", pmod(hash(col("vec_id")), lit(EmbedTiles)))
+    val b = e.crossJoin(
+      s.range(EmbedTiles.toLong).select(col("id").cast("int").as("tile")))
+    val pairs = a.as("a")
+      .join(b.as("b"),
+        col("a.label") === col("b.label") && col("a.tile") === col("b.tile") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dotd(col("a.embedding"), col("b.embedding")) /
