@@ -82,6 +82,58 @@ object CloudTrailPipeline {
       .select(col("r.*"))
   }
 
+  // -------------------------------------------------------------
+  // A1 trigger decode — BOTH notification shapes (SURVEY.md §3.2).
+  // The upstream handler receives either a raw S3 event notification
+  // or an SNS notification whose `Message` field is the STRINGIFIED
+  // S3-event JSON (CloudTrail→SNS fan-out deployments); it detects
+  // the SNS wrapper and unwraps before the common path.
+  // -------------------------------------------------------------
+
+  /** S3 event-notification shape (AWS-published; only the fields the
+    * trigger path consumes). */
+  val s3EventSchema: StructType = StructType(Seq(
+    StructField("Records", ArrayType(StructType(Seq(
+      StructField("eventSource", StringType),
+      StructField("eventName", StringType),
+      StructField("s3", StructType(Seq(
+        StructField("bucket", StructType(Seq(
+          StructField("name", StringType)))),
+        StructField("object", StructType(Seq(
+          StructField("key", StringType),
+          StructField("size", LongType)))))))))))))
+
+  /** SNS notification wrapper (`Type: "Notification"`, stringified
+    * payload in `Message`). */
+  val snsSchema: StructType = StructType(Seq(
+    StructField("Type", StringType),
+    StructField("Message", StringType)))
+
+  /** A1: trigger messages → (bucket, key) fetch targets. Accepts both
+    * shapes on one stream: an SNS-wrapped message is detected by
+    * `Type == "Notification"` with a non-null `Message` and unwrapped
+    * to its inner S3-event JSON; a bare S3 event passes through.
+    * Non-S3 records (wrong eventSource) and undecodable messages drop
+    * out via the null-propagating filters — the reference's
+    * log-and-skip. */
+  def decodeTrigger(raw: DataFrame): DataFrame = {
+    val sns = from_json(col("value"), snsSchema)
+    raw
+      .select(
+        when(sns.getField("Type") === "Notification" &&
+            sns.getField("Message").isNotNull,
+          sns.getField("Message"))
+          .otherwise(col("value")).as("s3_json"))
+      .select(from_json(col("s3_json"), s3EventSchema,
+        Map("mode" -> "PERMISSIVE")).as("ev"))
+      .filter(col("ev").isNotNull && col("ev.Records").isNotNull)
+      .select(explode(col("ev.Records")).as("r"))
+      .filter(col("r.eventSource") === "aws:s3")
+      .select(col("r.s3.bucket.name").as("bucket"),
+        col("r.s3.object.key").as("key"))
+      .filter(col("bucket").isNotNull && col("key").isNotNull)
+  }
+
   /** A10: the complement of [[decodeEnvelopes]] — undecodable lines. */
   def deadLetters(raw: DataFrame): DataFrame =
     raw

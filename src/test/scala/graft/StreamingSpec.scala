@@ -27,6 +27,51 @@ class StreamingSpec extends GraftSpecBase {
     assert(out.schema.fieldNames.contains("userIdentity"))
   }
 
+  private def s3Event(bucket: String, keys: String*): String =
+    s"""{"Records": [${keys.map(k =>
+        s"""{"eventSource": "aws:s3", "eventName": "ObjectCreated:Put", "s3": {"bucket": {"name": "$bucket"}, "object": {"key": "$k", "size": 123}}}""")
+      .mkString(",")}]}"""
+
+  private def snsWrap(inner: String): String = {
+    // SNS stringifies the S3 event into Message — escape like SNS does
+    val esc = inner.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"Type": "Notification", "MessageId": "m-1", "TopicArn": "arn:aws:sns:us-west-2:123:t", "Message": "$esc"}"""
+  }
+
+  test("trigger decode: bare S3 event notification → fetch targets (A1)") {
+    val raw = Seq(s3Event("logs-bucket", "AWSLogs/1/a.json.gz", "AWSLogs/1/b.json.gz")).toDF("value")
+    val out = decodeTrigger(raw).as[(String, String)].collect().sorted
+    assert(out === Array(("logs-bucket", "AWSLogs/1/a.json.gz"),
+      ("logs-bucket", "AWSLogs/1/b.json.gz")))
+  }
+
+  test("trigger decode: SNS-wrapped S3 event is detected and unwrapped (A1 second shape)") {
+    val raw = Seq(snsWrap(s3Event("logs-bucket", "AWSLogs/1/c.json.gz"))).toDF("value")
+    val out = decodeTrigger(raw).as[(String, String)].collect()
+    assert(out === Array(("logs-bucket", "AWSLogs/1/c.json.gz")))
+  }
+
+  test("trigger decode: mixed stream of both shapes; junk and non-S3 records drop (A1/A10)") {
+    val raw = Seq(
+      s3Event("b1", "k1"),
+      snsWrap(s3Event("b2", "k2")),
+      """{"Type": "Notification", "Message": "{not json"}""", // SNS wrapping junk
+      """{"Records": [{"eventSource": "aws:lambda"}]}""",     // non-S3 record
+      "{not json at all").toDF("value")
+    val out = decodeTrigger(raw).as[(String, String)].collect().sorted
+    assert(out === Array(("b1", "k1"), ("b2", "k2")))
+  }
+
+  test("trigger decode works on a MemoryStream with both shapes interleaved") {
+    val mem = MemoryStream[String](spark)
+    mem.addData(s3Event("bkt", "x.json.gz"), snsWrap(s3Event("bkt", "y.json.gz")))
+    val q = decodeTrigger(mem.toDF()).writeStream
+      .format("memory").queryName("trig_out").outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("trig_out").as[(String, String)].collect().sorted
+    assert(got === Array(("bkt", "x.json.gz"), ("bkt", "y.json.gz")))
+  }
+
   test("malformed JSON and empty envelopes go to dead letters, not downstream (A10)") {
     val raw = Seq(envelope("1"), "{not json", """{"other": 1}""").toDF("value")
     assert(decodeEnvelopes(raw).count() === 1)
