@@ -72,13 +72,17 @@ object AnalyticsExtraQueries {
     * bucket of width 50) × (hour of day), with each cell's share of
     * the total — exact integer bins, one keyed aggregate. */
   def histogram2d(s: SparkSession, d: String): DataFrame = {
-    val tot = sum(col("n")).over(Window.partitionBy())
-    events(s, d)
+    val cells = events(s, d)
       .select(floor(col("value") / 50.0).cast("long").as("v_bucket"),
         hour(col("ts2")).as("hr"))
       .groupBy(col("v_bucket"), col("hr"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("pct", round(col("n").cast("double") / tot.cast("double") * 100.0, 4))
+    // grand total as a broadcast 1-row aggregate (no global window)
+    val tot = cells.agg(sum(col("n")).as("tot"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("pct",
+        round(col("n").cast("double") / col("tot").cast("double") * 100.0, 4))
+      .drop("tot")
       .orderBy(col("v_bucket"), col("hr"))
   }
 

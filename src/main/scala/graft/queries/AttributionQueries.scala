@@ -32,11 +32,14 @@ object AttributionQueries {
           ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
       .select(coalesce(col("last_touch"), lit("(direct)")).as("channel"))
-    val tot = sum(col("n_purchases")).over(Window.partitionBy())
+    // total purchases as a broadcast 1-row aggregate (no global window)
+    val tot = credited.agg(count(lit(1)).as("tot"))
     credited.groupBy(col("channel"))
       .agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(tot))
       .withColumn("share",
-        round(col("n_purchases").cast("double") / tot.cast("double"), 4))
+        round(col("n_purchases").cast("double") / col("tot").cast("double"), 4))
+      .drop("tot")
       .orderBy(col("channel"))
   }
 

@@ -78,10 +78,13 @@ object CalendarPathQueries {
     * corpus max date, bucketed 0-30 / 31-90 / 91-365 / 365+, counts
     * and DECIMAL-exact totals per (status, bucket). */
   def ageBuckets(s: SparkSession, d: String): DataFrame = {
-    val refDate = max(col("o_orderdate")).over(Window.partitionBy())
+    // corpus horizon as a broadcast 1-row aggregate — NOT a
+    // partition-less window over the raw fact table
+    val refDate = orders(s, d).agg(max(col("o_orderdate")).as("ref_max"))
     val age = datediff(col("ref"), col("o_orderdate").cast("date"))
     orders(s, d)
-      .withColumn("ref", refDate.cast("date"))
+      .crossJoin(broadcast(refDate))
+      .withColumn("ref", col("ref_max").cast("date"))
       .withColumn("bucket",
         when(age <= 30, "a_0_30").when(age <= 90, "b_31_90")
           .when(age <= 365, "c_91_365").otherwise("d_over_365"))

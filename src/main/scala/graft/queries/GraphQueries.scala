@@ -104,11 +104,13 @@ object GraphQueries {
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-    nation(s, d).select(col("n_nationkey"))
+    val joined = nation(s, d).select(col("n_nationkey"))
       .join(perNode, col("node") === col("n_nationkey"), "left")
       .select(col("n_nationkey"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-      .withColumn("total_tri",
-        (sum(col("n_tri")).over(Window.partitionBy()) / 3).cast("long"))
+    // corpus triangle total as a broadcast 1-row aggregate — |V| is
+    // unbounded at scale, so no partition-less window over nodes
+    val tot = joined.agg((sum(col("n_tri")) / 3).cast("long").as("total_tri"))
+    joined.crossJoin(broadcast(tot))
       .orderBy(col("n_nationkey"))
   }
 

@@ -101,8 +101,10 @@ object LlmPipeQueries {
     * sum (order-free); the tiny unigram table is the broadcast side. */
   def perplexity(s: SparkSession, d: String): DataFrame = {
     val t = toks(s, d)
+    // corpus token total as a broadcast 1-row aggregate — the vocab
+    // is unbounded at 100 TB, so no partition-less window over it
     val uni = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      .crossJoin(broadcast(t.agg(count(lit(1)).as("tot"))))
     val nll = round(-log(col("c").cast("double") / col("tot").cast("double")), 8)
       .cast("decimal(18,8)")
     t.join(broadcast(uni), "tok")

@@ -24,7 +24,8 @@ object SourceTermQueries {
       .agg(count(lit(1)).as("nl"), sum(col("n_chars")).as("cl"))
     val wMode = Window.partitionBy(col("source"))
       .orderBy(col("nl").desc, col("lang"))
-    val tot = sum(col("n_docs")).over(Window.partitionBy())
+    // corpus doc total as a broadcast 1-row aggregate (no global window)
+    val tot = documents(s, d).agg(count(lit(1)).as("tot"))
     perLang
       .withColumn("rk", row_number().over(wMode))
       .groupBy(col("source"))
@@ -32,8 +33,10 @@ object SourceTermQueries {
         sum(col("cl")).as("n_chars"),
         count(lit(1)).as("n_langs"),
         max(when(col("rk") === 1, col("lang"))).as("top_lang"))
+      .crossJoin(broadcast(tot))
       .withColumn("share",
-        round(col("n_docs").cast("double") / tot.cast("double"), 4))
+        round(col("n_docs").cast("double") / col("tot").cast("double"), 4))
+      .drop("tot")
       .orderBy(col("source"))
   }
 

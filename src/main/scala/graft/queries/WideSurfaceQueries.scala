@@ -115,10 +115,9 @@ object WideSurfaceQueries {
       |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
       |ORDER BY status_key NULLS FIRST""".stripMargin
 
-  /** q_pct_of_total — each nation's share of global revenue: a
-    * global-frame window over the ALREADY-AGGREGATED relation (25
-    * rows), so the unpartitioned window is a non-issue at any scale —
-    * the fact-table work happened in the keyed aggregate below it. */
+  /** q_pct_of_total — each nation's share of global revenue: the
+    * fact-table work happens in the keyed aggregate; the grand total
+    * is a broadcast 1-row aggregate (no partition-less window). */
   def pctOfTotal(s: SparkSession, d: String): DataFrame = {
     val rev = lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -127,10 +126,11 @@ object WideSurfaceQueries {
       .groupBy(col("n_name"))
       .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("rev"))
-    rev.select(col("n_name"),
+    val tot = rev.agg(sum(dout(col("rev"))).as("tot"))
+    rev.crossJoin(broadcast(tot))
+      .select(col("n_name"),
         dout(col("rev")).as("revenue"),
-        round(dout(col("rev")) * 100.0 /
-          sum(dout(col("rev"))).over(Window.partitionBy()), 4).as("pct"))
+        round(dout(col("rev")) * 100.0 / col("tot"), 4).as("pct"))
       .orderBy(col("n_name"))
   }
 

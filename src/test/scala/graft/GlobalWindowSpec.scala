@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+/** Sweep assertion locking in the round-4 de-funneling: NO graded
+  * query may plan a `WindowExec` with an empty partition spec over an
+  * unbounded input. Such a window moves the ENTIRE relation through
+  * one partition — the definitive 100 TB scale-killer (round-3
+  * verdict items 2–3).
+  *
+  * An empty-partition window is accepted only when its input is
+  * provably bounded:
+  *  - a rank-limit rescue: Spark's WindowGroupLimit (or an explicit
+  *    orderBy().limit(k) → TakeOrderedAndProject / GlobalLimit)
+  *    below the window caps the rows reaching it at k·partitions —
+  *    detected structurally in the subtree; or
+  *  - a documented tiny aggregated domain (e.g. chi2's |event_types|
+  *    × 4 contingency cells) — listed in [[boundedDomains]] with the
+  *    bound, so any NEW offender fails this suite by default.
+  */
+class GlobalWindowSpec extends GraftSpecBase {
+
+  /** Queries whose empty-partition window runs over an aggregated
+    * domain bounded by a small constant (not by |rows|): the bound and
+    * why it holds at any scale. */
+  private val boundedDomains: Map[String, String] = Map(
+    "q_chi2" -> "contingency cells: |event_types| x 4 buckets (~20 rows)",
+    "q_benford" -> "first significant digits: exactly 9 rows",
+    "q_psi" -> "value bands: 10 fixed-width bands",
+    "q_label_balance" -> "|labels| rows (10 in fixture; label sets are small by contract)",
+    "q_funnel_window" -> "funnel steps: exactly 3 rows by construction (union of three 1-row aggregates)")
+
+  private def strip(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  /** True when rows reaching `w` are capped by a limit-like operator
+    * below it (rank-limit pushdown or explicit top-k). */
+  private def limitRescued(w: WindowExec): Boolean =
+    w.child.exists {
+      case _: WindowGroupLimitExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case _ => false
+    }
+
+  test("no graded plan contains an unbounded empty-partition WindowExec") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df =
+          try fn(spark, sf)
+          catch { case e: Throwable =>
+            fail(s"$name failed to build at $sf: ${e.getMessage}") }
+        val plan = strip(df.queryExecution.executedPlan)
+        val bad = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !limitRescued(w) => w
+        }
+        if (bad.nonEmpty && !boundedDomains.contains(name)) Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded single-partition windows in: ${offenders.mkString(", ")}")
+  }
+
+  test("boundedDomains allowlist stays minimal (no stale entries)") {
+    val stillNeeded = SparkEntry.queries.toSeq
+      .filter { case (name, _) => boundedDomains.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = strip(fn(spark, sf).queryExecution.executedPlan)
+        val bad = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !limitRescued(w) => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+      }.toSet
+    val stale = boundedDomains.keySet -- stillNeeded
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (remove them): ${stale.mkString(", ")}")
+  }
+}
