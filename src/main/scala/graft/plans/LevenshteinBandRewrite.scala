@@ -31,8 +31,16 @@ import org.apache.spark.sql.types.IntegerType
 object LevenshteinBandRewrite extends Rule[LogicalPlan] {
 
   private object IntThreshold {
+    /** Any FOLDABLE IntegerType expression (a bare literal, `50 + 10`,
+      * a cast byte/short constant, …), evaluated here at rewrite time
+      * — matching the documented contract, not just `Literal`. */
     def unapply(e: Expression): Option[Int] = e match {
       case Literal(k: Int, IntegerType) => Some(k)
+      case _ if e.foldable && e.dataType == IntegerType =>
+        e.eval() match {
+          case k: java.lang.Integer => Some(k.intValue())
+          case _ => None // foldable-to-NULL: leave unrewritten
+        }
       case _ => None
     }
   }

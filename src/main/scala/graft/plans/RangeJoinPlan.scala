@@ -122,10 +122,17 @@ case class RangeJoinExec(
       val joiner = new JoinedRow
       // task-local copy of the intervals, (start, end) extracted once,
       // sorted by start — the broadcast array is shared across tasks,
-      // so never mutate it
+      // so never mutate it. Intervals with a NULL bound are dropped
+      // up front: `start <= p < end` is UNKNOWN in SQL when either
+      // bound is NULL, so such rows can never match (natural ordering
+      // would otherwise rank NULL smallest and admit a NULL-start
+      // interval for EVERY point).
       val intervals: Array[(UnsafeRow, UnsafeRow, InternalRow)] =
-        broadcastRows.value.map { r =>
-          (sProj(r).copy(), eProj(r).copy(), r)
+        broadcastRows.value.flatMap { r =>
+          val s = sProj(r)
+          val e = eProj(r)
+          if (s.isNullAt(0) || e.isNullAt(0)) None
+          else Some((s.copy(), e.copy(), r))
         }.sortWith((a, b) => ord.compare(a._1, b._1) < 0)
       var cursor = 0
       // active intervals, min-heap on end for O(log a) eviction
@@ -136,6 +143,12 @@ case class RangeJoinExec(
 
       lIter.flatMap { lRow =>
         val p = pProj(lRow).copy()
+        // NULL point: the range predicate is UNKNOWN for every
+        // interval — emit nothing (matches SQL / the BNLJ baseline).
+        // NULLs sort first in the required ascending order, so these
+        // rows precede the sweep and advance no state.
+        if (p.isNullAt(0)) Iterator.empty
+        else {
         // admit intervals whose start <= p
         while (cursor < intervals.length &&
             ord.compare(intervals(cursor)._1, p) <= 0) {
@@ -154,6 +167,7 @@ case class RangeJoinExec(
             override def next(): InternalRow =
               outProj(joiner(lRow, it.next()._2))
           }
+        }
         }
       }
     }, preservesPartitioning = true)

@@ -34,10 +34,13 @@ object AnalyticsExtraQueries {
         round(dot(col("embedding"), col("q_emb")) /
           (sqrt(dot(col("embedding"), col("embedding"))) *
            sqrt(dot(col("q_emb"), col("q_emb")))), 3).as("cos_sim"))
+    // orderBy().limit(k) → TakeOrderedAndProject (per-partition heap
+    // + driver merge) — the Ann.rankTopK idiom; the row_number window
+    // then runs over the ≤5 surviving rows only
     val top = scored
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(5)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("cos_sim").desc, col("vec_id"))))
-      .filter(col("rn") <= 5)
     top
       .withColumn("votes", count(lit(1)).over(Window.partitionBy(col("label"))))
       .withColumn("pred_label", first(col("label")).over(

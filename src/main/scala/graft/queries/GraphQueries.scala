@@ -55,16 +55,18 @@ object GraphQueries {
       .distinct()
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("und_deg"))
-    nation(s, d).select(col("n_nationkey"))
-      .join(out, col("src") === col("n_nationkey"), "left")
-      .join(in, col("dst") === col("n_nationkey"), "left")
-      .join(und, col("node") === col("n_nationkey"), "left")
-      .select(col("n_nationkey"),
-        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
-        coalesce(col("und_deg"), lit(0L)).as("und_deg"),
-        coalesce(col("w_out"), lit(0L)).as("w_out"))
-      .orderBy(col("n_nationkey"))
+    graft.operators.CacheOps.finalized(
+      nation(s, d).select(col("n_nationkey"))
+        .join(out, col("src") === col("n_nationkey"), "left")
+        .join(in, col("dst") === col("n_nationkey"), "left")
+        .join(und, col("node") === col("n_nationkey"), "left")
+        .select(col("n_nationkey"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("und_deg"), lit(0L)).as("und_deg"),
+          coalesce(col("w_out"), lit(0L)).as("w_out"))
+        .orderBy(col("n_nationkey")),
+      e)
   }
 
   val degreeOracle: String =
@@ -110,8 +112,10 @@ object GraphQueries {
     // corpus triangle total as a broadcast 1-row aggregate — |V| is
     // unbounded at scale, so no partition-less window over nodes
     val tot = joined.agg((sum(col("n_tri")) / 3).cast("long").as("total_tri"))
-    joined.crossJoin(broadcast(tot))
-      .orderBy(col("n_nationkey"))
+    graft.operators.CacheOps.finalized(
+      joined.crossJoin(broadcast(tot))
+        .orderBy(col("n_nationkey")),
+      u)
   }
 
   val trianglesOracle: String =
@@ -145,10 +149,12 @@ object GraphQueries {
       dist = dist.unionByName(nxt)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
     }
-    nation(s, d).select(col("n_nationkey"))
-      .join(dist, col("node") === col("n_nationkey"), "left")
-      .select(col("n_nationkey"), col("dist"))
-      .orderBy(col("n_nationkey"))
+    graft.operators.CacheOps.finalized(
+      nation(s, d).select(col("n_nationkey"))
+        .join(dist, col("node") === col("n_nationkey"), "left")
+        .select(col("n_nationkey"), col("dist"))
+        .orderBy(col("n_nationkey")),
+      e)
   }
 
   val shortestPathOracle: String = {

@@ -35,15 +35,17 @@ object HitsFunnelQueries {
       .groupBy(col("dst")).agg(sum(col("w") * col("h1")).as("a2"))
     val h2 = edges.join(a2, "dst")
       .groupBy(col("src")).agg(sum(col("w") * col("a2")).as("h2"))
-    nation(s, d).select(col("n_nationkey"))
-      .join(h1, col("src") === col("n_nationkey"), "left").drop("src")
-      .join(a2, col("dst") === col("n_nationkey"), "left").drop("dst")
-      .join(h2, col("src") === col("n_nationkey"), "left").drop("src")
-      .select(col("n_nationkey"),
-        coalesce(col("h1"), lit(0L)).as("hub1"),
-        coalesce(col("a2"), lit(0L)).as("auth2"),
-        coalesce(col("h2"), lit(0L)).as("hub2"))
-      .orderBy(col("n_nationkey"))
+    graft.operators.CacheOps.finalized(
+      nation(s, d).select(col("n_nationkey"))
+        .join(h1, col("src") === col("n_nationkey"), "left").drop("src")
+        .join(a2, col("dst") === col("n_nationkey"), "left").drop("dst")
+        .join(h2, col("src") === col("n_nationkey"), "left").drop("src")
+        .select(col("n_nationkey"),
+          coalesce(col("h1"), lit(0L)).as("hub1"),
+          coalesce(col("a2"), lit(0L)).as("auth2"),
+          coalesce(col("h2"), lit(0L)).as("hub2"))
+        .orderBy(col("n_nationkey")),
+      edges)
   }
 
   val hitsOracle: String =

@@ -121,9 +121,11 @@ object IrGraphQueries {
           (lit(BigDecimal("0.006")).cast("decimal(20,12)") +
             coalesce(col("c"), decZero)).as("r"))
     }
-    r.select(col("node").as("n_nationkey"),
-        round(col("r").cast("double"), 6).as("pagerank"))
-      .orderBy(col("n_nationkey"))
+    graft.operators.CacheOps.finalized(
+      r.select(col("node").as("n_nationkey"),
+          round(col("r").cast("double"), 6).as("pagerank"))
+        .orderBy(col("n_nationkey")),
+      edges)
   }
 
   val pagerankOracle: String = {

@@ -284,14 +284,16 @@ object StatsMlQueries {
         col("a.lang").as("lang"), col("a.text").as("ta"), col("b.text").as("tb"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_a"), col("doc_b"))
       .persist()
-    pairs
-      // banded levenshtein: the threshold arg caps the DP band at
-      // O(len·60) and early-exits hopeless pairs (returns -1), ~5×
-      // fewer cells than the full O(len²) matrix at these lengths
-      .select(col("doc_a"), col("doc_b"), col("lang"),
-        levenshtein(col("ta"), col("tb"), 60).as("dist"))
-      .filter(col("dist") >= 0)
-      .orderBy(col("doc_a"), col("doc_b"))
+    graft.operators.CacheOps.finalized(
+      pairs
+        // banded levenshtein: the threshold arg caps the DP band at
+        // O(len·60) and early-exits hopeless pairs (returns -1), ~5×
+        // fewer cells than the full O(len²) matrix at these lengths
+        .select(col("doc_a"), col("doc_b"), col("lang"),
+          levenshtein(col("ta"), col("tb"), 60).as("dist"))
+        .filter(col("dist") >= 0)
+        .orderBy(col("doc_a"), col("doc_b")),
+      pairs)
   }
 
   val dedupEditdistOracle: String =

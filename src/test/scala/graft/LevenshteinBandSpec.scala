@@ -53,6 +53,19 @@ class LevenshteinBandSpec extends GraftSpecBase {
     }
   }
 
+  test("foldable non-literal thresholds (arithmetic, cast constants) rewrite too") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf)
+    // 50 + 10 folds to 60; CAST(3 AS INT) from a smallint-ish literal
+    val arith = docs.filter(expr("levenshtein(text, 'abc') <= 50 + 10"))
+    assert(arith.queryExecution.optimizedPlan.toString.contains("Some(60)) >= 0"),
+      arith.queryExecution.optimizedPlan.toString.take(600))
+    val casted = docs.filter(
+      expr("levenshtein(text, 'abc') <= cast(cast(3 as smallint) as int)"))
+    assert(casted.queryExecution.optimizedPlan.toString.contains("Some(3)) >= 0"),
+      casted.queryExecution.optimizedPlan.toString.take(600))
+  }
+
   test("boundary semantics: k=0 keeps only equal strings; k<0 untouched") {
     GraftExtensions.register(spark)
     val eq = fixture.filter(expr("levenshtein(a, b) <= 0"))

@@ -69,6 +69,29 @@ class RangeJoinSpec extends GraftSpecBase {
     assert(at10 == Set(101L, 102L, 104L))
   }
 
+  test("NULL points and NULL-bound intervals match nothing (SQL UNKNOWN semantics)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val points = Seq[Option[Long]](Some(1L), None, Some(10L), None, Some(25L))
+      .toDF("p")
+    val ivals = Seq[(Long, Option[Long], Option[Long])](
+      (200L, Some(0L), Some(15L)),  // normal: matches 1, 10
+      (201L, None, Some(50L)),      // NULL start: matches nothing
+      (202L, Some(0L), None),       // NULL end: matches nothing
+      (203L, None, None))           // both NULL: matches nothing
+      .toDF("iid", "s", "e")
+    val custom = RangeJoinPlan.pointInRange(points, ivals,
+        col("p"), col("s"), col("e"))
+      .select(col("p"), col("iid"))
+    val baseline = points.crossJoin(ivals)
+      .filter(col("s") <= col("p") && col("p") < col("e"))
+      .select(col("p"), col("iid"))
+    assert(custom.exceptAll(baseline).count() == 0)
+    assert(baseline.exceptAll(custom).count() == 0)
+    val got = custom.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 200L), (10L, 200L)))
+  }
+
   test("filter pushdown: left-side predicate reaches the scan") {
     GraftExtensions.register(spark)
     val df = RangeJoinPlan.pointInRange(ordersDF, yearsDF,
