@@ -61,14 +61,15 @@ object Bench {
     // last would extend the wall-clock by its full duration). The
     // list is the measured top tier at sf0.1; unlisted queries keep
     // alphabetical order after it.
-    val heavyFirst = Seq("q_tfidf_cosine", "q_try_arith",
-      "q_dedup_minhash", "q_math_funcs", "q_dedup_editdist",
-      "q_dedup_cluster", "q_minhash_est", "q_approx_kmv", "q_corr",
-      "q_join_skew", "q_kmeans_assign", "q_covar", "q_text_jaccard",
-      "q_text_tfidf", "q_dedup_ngram", "q_lang_id", "q_dedup_simhash",
-      "q_regr", "q_rolling_median", "q_ewma", "q_interpolate",
-      "q_array_setops", "q_cte_recursive", "q_agg_cube",
-      "q_agg_group", "q_unpivot").zipWithIndex.toMap
+    val heavyFirst = Seq("q_tfidf_cosine", "q_minhash_est", "q_rfm",
+      "q_kmeans_assign", "q_math_funcs", "q_cte_recursive",
+      "q_dedup_cluster", "q_contamination", "q_dedup_ngram",
+      "q_dedup_minhash", "q_text_jaccard", "q_join_skew", "q_covar",
+      "q_text_tfidf", "q_corr", "q_copurchase", "q_dedup_editdist",
+      "q_shortest_path", "q_agg_cube", "q_approx_kmv", "q_unpivot",
+      "q_lang_id", "q_pagerank", "q_triangles", "q_vocab_growth",
+      "q_try_arith", "q_dedup_simhash", "q_regr", "q_rolling_median",
+      "q_ewma", "q_interpolate").zipWithIndex.toMap
     val entries = SparkEntry.queries.toSeq
       .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
       .sortBy { case (name, _) =>

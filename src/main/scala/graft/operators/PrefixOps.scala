@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   * through one task). The classic fix is the two-phase prefix sum this
   * helper implements declaratively:
   *
-  *  1. split the domain into range buckets along the order key, with
-  *     boundaries taken from `approxQuantile` (the same sampled-
-  *     boundary idea as Spark's distributed sort, so skewed domains
-  *     still split into balanced buckets) and baked into the plan as
-  *     LITERALS — every branch of the query sees the identical
-  *     bucketing, with no reliance on exchange reuse;
+  *  1. split the domain into equi-width range buckets along the order
+  *     key, derived LAZILY from a broadcast (min, max) aggregate —
+  *     no driver-side action at plan-build time (an earlier
+  *     `approxQuantile` probe cost q_rfm 0.8 s → 7.5 s in the r4
+  *     bench), and exact min/max is merge-order-independent, so every
+  *     branch of the query computes the IDENTICAL bucketing (sampled
+  *     quantiles cannot guarantee that across plan branches);
   *  2. run the running sum WITHIN each bucket (a partitioned window —
   *     buckets proceed in parallel);
   *  3. compute each bucket's total, derive per-bucket exclusive
@@ -26,8 +27,12 @@ import org.apache.spark.sql.functions._
   *     |buckets|² space, and broadcast-join the offsets back.
   *
   * The result equals the global running sum for ANY monotone bucket
-  * boundary choice (equal keys always share a bucket), so the sampled
-  * boundaries never leak into the output — only into load balance.
+  * boundary choice (equal keys always share a bucket), so the bucket
+  * scheme never leaks into the output — only into load balance.
+  * Equi-width is skew-sensitive in the worst case (a point-mass
+  * domain collapses to one bucket); a production deployment would
+  * sample boundaries into a literal cut vector per job — the sweep
+  * math is unchanged.
   *
   * `row_number`/`rank`/`ntile` over a total order are prefix counts:
   * ask for `sum(lit(1))` and derive the tile from the running count
@@ -51,19 +56,21 @@ object PrefixOps {
     */
   def runningSums(df: DataFrame, key: Column, order: Seq[Column],
       sums: Seq[(String, Column)], buckets: Int = 64): DataFrame = {
-    // 1. literal boundaries: an approxQuantile probe of the key. One
-    //    tiny driver-side vector (≤ buckets-1 doubles) — the same
-    //    role as RangePartitioner's sample, but baked into the plan
-    //    so every branch buckets identically.
-    val probe = df.select(key.cast("double").as("__pfx_key"))
-    val cuts = probe.na.drop()
-      .stat.approxQuantile("__pfx_key",
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-      .distinct.sorted
-    val b = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(key.cast("double") > lit(c), 1).otherwise(0)
-    }
-    val parted = df.withColumn("__pfx_bucket", b)
+    // 1. lazy equi-width buckets from a broadcast (min, max): exact,
+    //    deterministic, partial-aggregable — every plan branch
+    //    derives the identical bucket for a given key, and nothing
+    //    executes until the query runs.
+    val k = key.cast("double")
+    val bounds = df.agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
+    val width =
+      (col("__pfx_hi") - col("__pfx_lo")) / lit(buckets.toDouble)
+    val b = when(col("__pfx_hi") <= col("__pfx_lo"), lit(0)) // constant key
+      .otherwise(least(
+        floor((k - col("__pfx_lo")) / width).cast("int"),
+        lit(buckets - 1)))
+    val parted = df.crossJoin(broadcast(bounds))
+      .withColumn("__pfx_bucket", coalesce(b, lit(0))) // NULL key → first
+      .drop("__pfx_lo", "__pfx_hi")
     // 2. within-bucket running sums (partitioned window — parallel)
     val w = Window.partitionBy(col("__pfx_bucket")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
