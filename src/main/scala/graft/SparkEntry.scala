@@ -28,7 +28,7 @@ object SparkEntry {
     TwapGroupingQueries.queries ++ SourceTermQueries.queries ++
     DistributionQueries.queries ++ InferenceQueries.queries ++
     ChurnZipfQueries.queries ++ HitsFunnelQueries.queries ++
-    BasketQueries.queries
+    BasketQueries.queries ++ OrderStatsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -51,5 +51,6 @@ object SparkEntry {
     AttributionQueries.oracle ++ TwapGroupingQueries.oracle ++
     SourceTermQueries.oracle ++ DistributionQueries.oracle ++
     InferenceQueries.oracle ++ ChurnZipfQueries.oracle ++
-    HitsFunnelQueries.oracle ++ BasketQueries.oracle
+    HitsFunnelQueries.oracle ++ BasketQueries.oracle ++
+    OrderStatsQueries.oracle
 }

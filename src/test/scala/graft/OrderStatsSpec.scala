@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.OrderStatsQueries
+import graft.operators.PrefixOps
+
+/** Invariants for the round-4 order-statistics operators and a direct
+  * equivalence check of the PrefixOps two-phase prefix sum against
+  * the single-partition window it replaces (sf0.001).
+  */
+class OrderStatsSpec extends GraftSpecBase {
+
+  test("global quartiles are ordered, are actual data values, and bracket the median") {
+    val r = OrderStatsQueries.medianGlobal(spark, sf).collect().head
+    val n = r.getLong(0)
+    val (q1, med, q3) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n > 0)
+    assert(q1 <= med && med <= q3)
+    val values = Tables.events(spark, sf).select(col("value"))
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect().sorted
+    assert(values.contains(q1) && values.contains(med) && values.contains(q3),
+      "percentile_disc returns actual data values")
+    // the median splits the data: at least half on each side
+    assert(values.count(_ <= med) * 2 >= n)
+    assert(values.count(_ >= med) * 2 >= n)
+  }
+
+  test("weighted median: cumulative weight on each side covers half the total") {
+    val r = OrderStatsQueries.weightedMedian(spark, sf).collect().head
+    val tw = r.getLong(0)
+    val wm = r.getDouble(1)
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice"), col("l_quantity").cast("long"))
+      .collect().map(x => (x.getDouble(0), x.getLong(1)))
+    assert(tw == rows.map(_._2).sum)
+    val below = rows.filter(_._1 <= wm).map(_._2).sum
+    val above = rows.filter(_._1 >= wm).map(_._2).sum
+    assert(below * 2 >= tw, s"weight at/below median covers half ($below/$tw)")
+    assert(above * 2 + 2 * rows.filter(_._1 == wm).map(_._2).sum >= tw ||
+      above * 2 >= tw - 2 * rows.filter(_._1 == wm).map(_._2).sum,
+      "median is the crossing value")
+  }
+
+  test("decay score is positive and bounded by the undecayed per-user sum") {
+    val scores = OrderStatsQueries.decaySum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val raw = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(sum(col("value")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores.nonEmpty && scores.keySet == raw.keySet)
+    scores.foreach { case (u, s) =>
+      assert(s >= 0.0 && s <= raw(u) + 1e-6, s"user $u: $s vs ${raw(u)}")
+    }
+  }
+
+  test("PrefixOps.runningSums equals the global-window prefix sum (incl. ties and negatives)") {
+    import spark.implicits._
+    val df = Seq((3.0, 1L), (1.0, 2L), (2.0, 3L), (1.0, 4L), (-5.0, 5L),
+        (2.0, 6L), (7.0, 7L), (-5.0, 8L), (0.0, 9L), (3.0, 10L))
+      .toDF("k", "id")
+    val got = PrefixOps.runningSums(df, col("k"),
+        Seq(col("k"), col("id")), Seq("rs" -> col("k"), "rn" -> lit(1L)),
+        buckets = 3)
+      .select(col("id"), col("rs"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df.select(col("id"), sum(col("k")).over(w).as("rs"),
+        sum(lit(1L)).over(w).as("rn"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("ntileFromRowNumber matches SQL ntile for every n up to 23 and k in {2,3,4,7,10}") {
+    import spark.implicits._
+    for (k <- Seq(2, 3, 4, 7, 10); n <- 1 to 23) {
+      val df = (1 to n).map(_.toLong).toDF("rn")
+      val got = df.orderBy(col("rn"))
+        .select(PrefixOps.ntileFromRowNumber(col("rn"), lit(n.toLong), k)
+          .as("t")).collect().map(_.getInt(0)).toSeq
+      // reference: Spark's own ntile (a global window is fine in a
+      // 23-row test — the point is value equivalence)
+      val want = df.select(col("rn"),
+          ntile(k).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("rn"))).as("t"))
+        .orderBy(col("rn")).collect().map(_.getInt(1)).toSeq
+      assert(got == want, s"n=$n k=$k: $got vs $want")
+    }
+  }
+}
