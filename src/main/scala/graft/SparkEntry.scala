@@ -28,7 +28,8 @@ object SparkEntry {
     TwapGroupingQueries.queries ++ SourceTermQueries.queries ++
     DistributionQueries.queries ++ InferenceQueries.queries ++
     ChurnZipfQueries.queries ++ HitsFunnelQueries.queries ++
-    BasketQueries.queries ++ OrderStatsQueries.queries
+    BasketQueries.queries ++ OrderStatsQueries.queries ++
+    InfoStatsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -52,5 +53,5 @@ object SparkEntry {
     SourceTermQueries.oracle ++ DistributionQueries.oracle ++
     InferenceQueries.oracle ++ ChurnZipfQueries.oracle ++
     HitsFunnelQueries.oracle ++ BasketQueries.oracle ++
-    OrderStatsQueries.oracle
+    OrderStatsQueries.oracle ++ InfoStatsQueries.oracle
 }
