@@ -29,7 +29,7 @@ object SparkEntry {
     DistributionQueries.queries ++ InferenceQueries.queries ++
     ChurnZipfQueries.queries ++ HitsFunnelQueries.queries ++
     BasketQueries.queries ++ OrderStatsQueries.queries ++
-    InfoStatsQueries.queries
+    InfoStatsQueries.queries ++ MixSampleQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -53,5 +53,6 @@ object SparkEntry {
     SourceTermQueries.oracle ++ DistributionQueries.oracle ++
     InferenceQueries.oracle ++ ChurnZipfQueries.oracle ++
     HitsFunnelQueries.oracle ++ BasketQueries.oracle ++
-    OrderStatsQueries.oracle ++ InfoStatsQueries.oracle
+    OrderStatsQueries.oracle ++ InfoStatsQueries.oracle ++
+    MixSampleQueries.oracle
 }

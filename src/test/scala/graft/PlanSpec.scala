@@ -133,4 +133,17 @@ class PlanSpec extends GraftSpecBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       p.take(3000))
   }
+
+  test("q_join_anti_nullin plans a broadcast null-aware anti join (no shuffle)") {
+    val p = plan(MixSampleQueries.joinAntiNullin(spark, sf))
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as a
+    // bare trailing "true" after the build side
+    assert(p.contains("LeftAnti, BuildRight, true"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q_sample_weighted plans TakeOrderedAndProject (no global sort of the corpus)") {
+    val p = plan(MixSampleQueries.sampleWeighted(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
 }
