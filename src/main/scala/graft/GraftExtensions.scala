@@ -57,6 +57,14 @@ object GraftExtensions {
         require(args.length == 2, "ngram_shingles(text, n) takes 2 args")
         graft.functions.expressions.NGramShingles(args.head,
           args(1).eval().asInstanceOf[Number].intValue())
+      }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.JaroWinkler].getName,
+        "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler(a, b) takes two string args")
+        graft.functions.expressions.JaroWinkler(args.head, args(1))
       }))
 
   /** Register the custom functions and planner strategies into a

@@ -119,13 +119,50 @@ object MixSampleQueries {
        |FROM k ORDER BY skey DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** q_fuzzy_jw — Jaro–Winkler fuzzy matching over blocked part
+    * names (same 2nd-word blocking as q_fuzzy_match's edit-distance
+    * variant): pairs with similarity ≥ 0.88, scored by the engine's
+    * codegen'd [[graft.functions.expressions.JaroWinkler]]
+    * expression, graded against DuckDB's built-in
+    * `jaro_winkler_similarity` — a bit-level cross-engine audit of
+    * the whole kernel (window matching, transpositions, 0.7 boost
+    * threshold, 4-char prefix cap) over EVERY blocked pair (224 at
+    * sf0.1), not just the high scorers. */
+  def fuzzyJw(s: SparkSession, d: String): DataFrame = {
+    val jw = graft.functions.expressions.JaroWinkler.jw _
+    val names = part(s, d)
+      .groupBy(lower(col("p_name")).as("nm"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", split(col("nm"), " ").getItem(1))
+    names.as("a")
+      .join(names.as("b"), col("a.blk") === col("b.blk") &&
+        col("a.nm") < col("b.nm"))
+      .select(col("a.nm").as("nm_a"), col("b.nm").as("nm_b"),
+        round(jw(col("a.nm"), col("b.nm")), 6).as("jw_sim"),
+        (round(jw(col("a.nm"), col("b.nm")), 6) >= 0.88).as("is_match"))
+      .orderBy(col("nm_a"), col("nm_b"))
+  }
+
+  val fuzzyJwOracle: String =
+    """WITH names AS (
+      |  SELECT lower(p_name) AS nm, COUNT(*) AS n_rows
+      |  FROM part GROUP BY lower(p_name)),
+      |p AS (SELECT nm, n_rows, string_split(nm, ' ')[2] AS blk FROM names)
+      |SELECT a.nm AS nm_a, b.nm AS nm_b,
+      |  round(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw_sim,
+      |  round(jaro_winkler_similarity(a.nm, b.nm), 6) >= 0.88 AS is_match
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.nm < b.nm
+      |ORDER BY nm_a, nm_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_anti_nullin" -> (joinAntiNullin _),
     "q_dedup_canonical" -> (dedupCanonical _),
-    "q_sample_weighted" -> (sampleWeighted _))
+    "q_sample_weighted" -> (sampleWeighted _),
+    "q_fuzzy_jw" -> (fuzzyJw _))
 
   val oracle: Map[String, String] = Map(
     "q_join_anti_nullin" -> joinAntiNullinOracle,
     "q_dedup_canonical" -> dedupCanonicalOracle,
-    "q_sample_weighted" -> sampleWeightedOracle)
+    "q_sample_weighted" -> sampleWeightedOracle,
+    "q_fuzzy_jw" -> fuzzyJwOracle)
 }

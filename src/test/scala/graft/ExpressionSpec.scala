@@ -33,6 +33,61 @@ class ExpressionSpec extends GraftSpecBase {
     assert(out(1).isNullAt(0) && out(2).isNullAt(0))
   }
 
+  test("JaroWinkler matches the DuckDB-probed reference values") {
+    import graft.functions.expressions.JaroWinkler
+    // values probed from DuckDB jaro_winkler_similarity 2026-08-13 —
+    // they pin the window, FLOORED transpositions, 0.7 boost
+    // threshold, and the empty-string-is-0 convention
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("large rod", "new rod", 0.6899470899470899), // floored t=⌊3/2⌋
+      ("abcdefgh", "abzzzzzz", 0.5),                // no boost at jaro ≤ 0.7
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0))
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(JaroWinkler.jw(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(math.abs(g - want) < 1e-12, s"jw($a, $b) = $g, want $want")
+    }
+    // nulls propagate
+    val n = Seq((Some("x"), None: Option[String]))
+      .toDF("a", "b").select(JaroWinkler.jw(col("a"), col("b"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("jaro_winkler is registered as a SQL function and codegen agrees with eval") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT round(jaro_winkler('martha', 'marhta'), 10)").collect()(0).getDouble(0)
+    assert(math.abs(got - 0.9611111111) < 1e-9)
+    // interpreted path (codegen off) must agree bit-for-bit
+    val df = Tables.part(spark, sf)
+      .select(lower(col("p_name")).as("nm")).limit(200)
+    val on = df.select(
+      graft.functions.expressions.JaroWinkler.jw(col("nm"), lit("large rod"))).collect()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val off = df.select(
+        graft.functions.expressions.JaroWinkler.jw(col("nm"), lit("large rod"))).collect()
+      assert(on.map(_.getDouble(0)).toSeq == off.map(_.getDouble(0)).toSeq)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("VecDotRewrite rule substitutes the codegen kernel for the declarative fold") {
     GraftExtensions.register(spark)
     val e = Tables.embeddings(spark, sf)
