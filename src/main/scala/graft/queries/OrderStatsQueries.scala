@@ -79,7 +79,8 @@ object OrderStatsQueries {
       |c AS (SELECT v, sum(w) OVER (ORDER BY v
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
       |  FROM g),
-      |t AS (SELECT sum(CAST(l_quantity AS BIGINT)) AS total_weight
+      |t AS (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |    AS total_weight
       |  FROM lineitem)
       |SELECT t.total_weight AS total_weight,
       |  min(CASE WHEN CAST(cw AS DOUBLE) >=
