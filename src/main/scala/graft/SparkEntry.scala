@@ -29,7 +29,8 @@ object SparkEntry {
     DistributionQueries.queries ++ InferenceQueries.queries ++
     ChurnZipfQueries.queries ++ HitsFunnelQueries.queries ++
     BasketQueries.queries ++ OrderStatsQueries.queries ++
-    InfoStatsQueries.queries ++ MixSampleQueries.queries
+    InfoStatsQueries.queries ++ MixSampleQueries.queries ++
+    IntervalQueries.queries ++ EvalExtraQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -54,5 +55,6 @@ object SparkEntry {
     InferenceQueries.oracle ++ ChurnZipfQueries.oracle ++
     HitsFunnelQueries.oracle ++ BasketQueries.oracle ++
     OrderStatsQueries.oracle ++ InfoStatsQueries.oracle ++
-    MixSampleQueries.oracle
+    MixSampleQueries.oracle ++ IntervalQueries.oracle ++
+    EvalExtraQueries.oracle
 }
