@@ -30,7 +30,8 @@ object SparkEntry {
     ChurnZipfQueries.queries ++ HitsFunnelQueries.queries ++
     BasketQueries.queries ++ OrderStatsQueries.queries ++
     InfoStatsQueries.queries ++ MixSampleQueries.queries ++
-    IntervalQueries.queries ++ EvalExtraQueries.queries
+    IntervalQueries.queries ++ EvalExtraQueries.queries ++
+    CleanTextQueries.queries ++ StatEngQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -56,5 +57,6 @@ object SparkEntry {
     HitsFunnelQueries.oracle ++ BasketQueries.oracle ++
     OrderStatsQueries.oracle ++ InfoStatsQueries.oracle ++
     MixSampleQueries.oracle ++ IntervalQueries.oracle ++
-    EvalExtraQueries.oracle
+    EvalExtraQueries.oracle ++ CleanTextQueries.oracle ++
+    StatEngQueries.oracle
 }
