@@ -31,7 +31,8 @@ object SparkEntry {
     BasketQueries.queries ++ OrderStatsQueries.queries ++
     InfoStatsQueries.queries ++ MixSampleQueries.queries ++
     IntervalQueries.queries ++ EvalExtraQueries.queries ++
-    CleanTextQueries.queries ++ StatEngQueries.queries
+    CleanTextQueries.queries ++ StatEngQueries.queries ++
+    SeasonalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -58,5 +59,5 @@ object SparkEntry {
     OrderStatsQueries.oracle ++ InfoStatsQueries.oracle ++
     MixSampleQueries.oracle ++ IntervalQueries.oracle ++
     EvalExtraQueries.oracle ++ CleanTextQueries.oracle ++
-    StatEngQueries.oracle
+    StatEngQueries.oracle ++ SeasonalQueries.oracle
 }
