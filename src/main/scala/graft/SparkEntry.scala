@@ -32,7 +32,7 @@ object SparkEntry {
     InfoStatsQueries.queries ++ MixSampleQueries.queries ++
     IntervalQueries.queries ++ EvalExtraQueries.queries ++
     CleanTextQueries.queries ++ StatEngQueries.queries ++
-    SeasonalQueries.queries
+    SeasonalQueries.queries ++ OverlapSeriesQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -59,5 +59,6 @@ object SparkEntry {
     OrderStatsQueries.oracle ++ InfoStatsQueries.oracle ++
     MixSampleQueries.oracle ++ IntervalQueries.oracle ++
     EvalExtraQueries.oracle ++ CleanTextQueries.oracle ++
-    StatEngQueries.oracle ++ SeasonalQueries.oracle
+    StatEngQueries.oracle ++ SeasonalQueries.oracle ++
+    OverlapSeriesQueries.oracle
 }

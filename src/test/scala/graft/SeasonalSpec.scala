@@ -41,6 +41,44 @@ class SeasonalSpec extends GraftSpecBase {
     }
   }
 
+  test("user overlap: intersection bounded by set sizes, jaccard in [0,1]") {
+    queries.OverlapSeriesQueries.userOverlap(spark, sf).collect().foreach { r =>
+      val (n1, n2, ni) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ni <= math.min(n1, n2))
+      val j = r.getDouble(5)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("rolling correlation is null before 7 days then within [-1, 1]") {
+    val rows = queries.OverlapSeriesQueries.rollingCorr(spark, sf)
+      .orderBy(col("day")).collect()
+    assert(rows.take(6).forall(_.isNullAt(3)), "first 6 days have no full window")
+    rows.drop(6).foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("cohort LTV is non-decreasing in age within each cohort") {
+    val rows = queries.OverlapSeriesQueries.cohortLtv(spark, sf).collect()
+    rows.groupBy(_.get(0)).foreach { case (_, g) =>
+      val byAge = g.sortBy(_.getInt(1))
+      byAge.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getDouble(5) >= a.getDouble(5) - 1e-9,
+            "cumulative value per user never decreases")
+        case _ =>
+      }
+    }
+  }
+
+  test("RSI stays within [0, 100]") {
+    queries.OverlapSeriesQueries.rsi(spark, sf).collect().foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= 0.0 && v <= 100.0)
+    }
+  }
+
   test("crossval folds partition the orders and are balanced-ish") {
     val rows = SeasonalQueries.crossval(spark, sf).collect()
     assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3, 4))
