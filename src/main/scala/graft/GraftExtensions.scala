@@ -65,6 +65,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "jaro_winkler(a, b) takes two string args")
         graft.functions.expressions.JaroWinkler(args.head, args(1))
+      }),
+    (FunctionIdentifier("md5_bucket"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.Md5Bucket].getName,
+        "md5_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "md5_bucket(key, m) takes 2 args")
+        graft.functions.expressions.Md5Bucket(args.head, args(1))
       }))
 
   /** Register the custom functions and planner strategies into a

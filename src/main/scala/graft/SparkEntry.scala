@@ -32,7 +32,8 @@ object SparkEntry {
     InfoStatsQueries.queries ++ MixSampleQueries.queries ++
     IntervalQueries.queries ++ EvalExtraQueries.queries ++
     CleanTextQueries.queries ++ StatEngQueries.queries ++
-    SeasonalQueries.queries ++ OverlapSeriesQueries.queries
+    SeasonalQueries.queries ++ OverlapSeriesQueries.queries ++
+    SeqEconQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -60,5 +61,5 @@ object SparkEntry {
     MixSampleQueries.oracle ++ IntervalQueries.oracle ++
     EvalExtraQueries.oracle ++ CleanTextQueries.oracle ++
     StatEngQueries.oracle ++ SeasonalQueries.oracle ++
-    OverlapSeriesQueries.oracle
+    OverlapSeriesQueries.oracle ++ SeqEconQueries.oracle
 }

@@ -99,7 +99,11 @@ object MixSampleQueries {
     * top-10 by key is a valid weighted sample, reproducible in any
     * engine because u is a pure function of doc_id. */
   def sampleWeighted(s: SparkSession, d: String): DataFrame = {
-    val h = expr(hexval("md5(cast(doc_id as string))"))
+    // codegen'd digest kernel; value-identical to the oracle's
+    // instr/substr hex parse (Md5BucketSpec pins the equality)
+    val h = graft.functions.expressions.Md5Bucket
+      .md5Bucket(col("doc_id").cast("string"),
+        lit(graft.functions.expressions.Md5Bucket.Raw))
     val m = math.pow(16, 6)
     val u = (h + lit(1)).cast("double") / lit(m + 1.0)
     val key = round(log(u) / col("n_chars").cast("double"), 12)
