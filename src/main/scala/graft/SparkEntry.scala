@@ -33,7 +33,7 @@ object SparkEntry {
     IntervalQueries.queries ++ EvalExtraQueries.queries ++
     CleanTextQueries.queries ++ StatEngQueries.queries ++
     SeasonalQueries.queries ++ OverlapSeriesQueries.queries ++
-    SeqEconQueries.queries
+    SeqEconQueries.queries ++ RiskStatsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -61,5 +61,6 @@ object SparkEntry {
     MixSampleQueries.oracle ++ IntervalQueries.oracle ++
     EvalExtraQueries.oracle ++ CleanTextQueries.oracle ++
     StatEngQueries.oracle ++ SeasonalQueries.oracle ++
-    OverlapSeriesQueries.oracle ++ SeqEconQueries.oracle
+    OverlapSeriesQueries.oracle ++ SeqEconQueries.oracle ++
+    RiskStatsQueries.oracle
 }
