@@ -33,7 +33,8 @@ object SparkEntry {
     IntervalQueries.queries ++ EvalExtraQueries.queries ++
     CleanTextQueries.queries ++ StatEngQueries.queries ++
     SeasonalQueries.queries ++ OverlapSeriesQueries.queries ++
-    SeqEconQueries.queries ++ RiskStatsQueries.queries
+    SeqEconQueries.queries ++ RiskStatsQueries.queries ++
+    ExperimentQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -62,5 +63,5 @@ object SparkEntry {
     EvalExtraQueries.oracle ++ CleanTextQueries.oracle ++
     StatEngQueries.oracle ++ SeasonalQueries.oracle ++
     OverlapSeriesQueries.oracle ++ SeqEconQueries.oracle ++
-    RiskStatsQueries.oracle
+    RiskStatsQueries.oracle ++ ExperimentQueries.oracle
 }
