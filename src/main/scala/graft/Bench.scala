@@ -62,6 +62,7 @@ object Bench {
     // list is the measured top tier at sf0.1; unlisted queries keep
     // alphabetical order after it.
     val heavyFirst = Seq("q_tfidf_cosine", "q_minhash_est", "q_rfm",
+      "q_elasticity", "q_boilerplate", "q_cohort_ltv",
       "q_kmeans_assign", "q_math_funcs", "q_cte_recursive",
       "q_dedup_cluster", "q_contamination", "q_dedup_ngram",
       "q_dedup_minhash", "q_text_jaccard", "q_join_skew", "q_covar",
