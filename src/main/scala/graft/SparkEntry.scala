@@ -34,7 +34,7 @@ object SparkEntry {
     CleanTextQueries.queries ++ StatEngQueries.queries ++
     SeasonalQueries.queries ++ OverlapSeriesQueries.queries ++
     SeqEconQueries.queries ++ RiskStatsQueries.queries ++
-    ExperimentQueries.queries
+    ExperimentQueries.queries ++ VectorStatsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -63,5 +63,6 @@ object SparkEntry {
     EvalExtraQueries.oracle ++ CleanTextQueries.oracle ++
     StatEngQueries.oracle ++ SeasonalQueries.oracle ++
     OverlapSeriesQueries.oracle ++ SeqEconQueries.oracle ++
-    RiskStatsQueries.oracle ++ ExperimentQueries.oracle
+    RiskStatsQueries.oracle ++ ExperimentQueries.oracle ++
+    VectorStatsQueries.oracle
 }

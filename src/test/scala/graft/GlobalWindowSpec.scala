@@ -31,7 +31,8 @@ class GlobalWindowSpec extends GraftSpecBase {
     "q_psi" -> "value bands: 10 fixed-width bands",
     "q_label_balance" -> "|labels| rows (10 in fixture; label sets are small by contract)",
     "q_funnel_window" -> "funnel steps: exactly 3 rows by construction (union of three 1-row aggregates)",
-    "q_rolling_corr" -> "daily grid: <= horizon-days rows (the per-day contraction precedes the window)")
+    "q_rolling_corr" -> "daily grid: <= horizon-days rows (the per-day contraction precedes the window)",
+    "q_dim_variance" -> "|dims| rows (64): the per-dimension contraction precedes the rank window")
 
   private def strip(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
