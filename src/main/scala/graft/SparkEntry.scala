@@ -34,7 +34,8 @@ object SparkEntry {
     CleanTextQueries.queries ++ StatEngQueries.queries ++
     SeasonalQueries.queries ++ OverlapSeriesQueries.queries ++
     SeqEconQueries.queries ++ RiskStatsQueries.queries ++
-    ExperimentQueries.queries ++ VectorStatsQueries.queries
+    ExperimentQueries.queries ++ VectorStatsQueries.queries ++
+    TemporalRelQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -64,5 +65,5 @@ object SparkEntry {
     StatEngQueries.oracle ++ SeasonalQueries.oracle ++
     OverlapSeriesQueries.oracle ++ SeqEconQueries.oracle ++
     RiskStatsQueries.oracle ++ ExperimentQueries.oracle ++
-    VectorStatsQueries.oracle
+    VectorStatsQueries.oracle ++ TemporalRelQueries.oracle
 }
