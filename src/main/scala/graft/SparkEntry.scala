@@ -35,7 +35,7 @@ object SparkEntry {
     SeasonalQueries.queries ++ OverlapSeriesQueries.queries ++
     SeqEconQueries.queries ++ RiskStatsQueries.queries ++
     ExperimentQueries.queries ++ VectorStatsQueries.queries ++
-    TemporalRelQueries.queries
+    TemporalRelQueries.queries ++ NonParamQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -65,5 +65,6 @@ object SparkEntry {
     StatEngQueries.oracle ++ SeasonalQueries.oracle ++
     OverlapSeriesQueries.oracle ++ SeqEconQueries.oracle ++
     RiskStatsQueries.oracle ++ ExperimentQueries.oracle ++
-    VectorStatsQueries.oracle ++ TemporalRelQueries.oracle
+    VectorStatsQueries.oracle ++ TemporalRelQueries.oracle ++
+    NonParamQueries.oracle
 }
