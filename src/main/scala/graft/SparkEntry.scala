@@ -35,7 +35,8 @@ object SparkEntry {
     SeasonalQueries.queries ++ OverlapSeriesQueries.queries ++
     SeqEconQueries.queries ++ RiskStatsQueries.queries ++
     ExperimentQueries.queries ++ VectorStatsQueries.queries ++
-    TemporalRelQueries.queries ++ NonParamQueries.queries
+    TemporalRelQueries.queries ++ NonParamQueries.queries ++
+    DerivedAnalyticsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -66,5 +67,5 @@ object SparkEntry {
     OverlapSeriesQueries.oracle ++ SeqEconQueries.oracle ++
     RiskStatsQueries.oracle ++ ExperimentQueries.oracle ++
     VectorStatsQueries.oracle ++ TemporalRelQueries.oracle ++
-    NonParamQueries.oracle
+    NonParamQueries.oracle ++ DerivedAnalyticsQueries.oracle
 }
