@@ -36,7 +36,8 @@ object SparkEntry {
     SeqEconQueries.queries ++ RiskStatsQueries.queries ++
     ExperimentQueries.queries ++ VectorStatsQueries.queries ++
     TemporalRelQueries.queries ++ NonParamQueries.queries ++
-    DerivedAnalyticsQueries.queries
+    DerivedAnalyticsQueries.queries ++ StatTestQueries.queries ++
+    EmbOpsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -67,5 +68,6 @@ object SparkEntry {
     OverlapSeriesQueries.oracle ++ SeqEconQueries.oracle ++
     RiskStatsQueries.oracle ++ ExperimentQueries.oracle ++
     VectorStatsQueries.oracle ++ TemporalRelQueries.oracle ++
-    NonParamQueries.oracle ++ DerivedAnalyticsQueries.oracle
+    NonParamQueries.oracle ++ DerivedAnalyticsQueries.oracle ++
+    StatTestQueries.oracle ++ EmbOpsQueries.oracle
 }
