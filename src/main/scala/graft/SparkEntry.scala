@@ -37,7 +37,9 @@ object SparkEntry {
     ExperimentQueries.queries ++ VectorStatsQueries.queries ++
     TemporalRelQueries.queries ++ NonParamQueries.queries ++
     DerivedAnalyticsQueries.queries ++ StatTestQueries.queries ++
-    EmbOpsQueries.queries
+    EmbOpsQueries.queries ++ SketchExactQueries.queries ++
+    GraphFeatureQueries.queries ++ ForecastQueries.queries ++
+    HygieneQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -69,5 +71,7 @@ object SparkEntry {
     RiskStatsQueries.oracle ++ ExperimentQueries.oracle ++
     VectorStatsQueries.oracle ++ TemporalRelQueries.oracle ++
     NonParamQueries.oracle ++ DerivedAnalyticsQueries.oracle ++
-    StatTestQueries.oracle ++ EmbOpsQueries.oracle
+    StatTestQueries.oracle ++ EmbOpsQueries.oracle ++
+    SketchExactQueries.oracle ++ GraphFeatureQueries.oracle ++
+    ForecastQueries.oracle ++ HygieneQueries.oracle
 }
