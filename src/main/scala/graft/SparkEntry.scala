@@ -39,7 +39,7 @@ object SparkEntry {
     DerivedAnalyticsQueries.queries ++ StatTestQueries.queries ++
     EmbOpsQueries.queries ++ SketchExactQueries.queries ++
     GraphFeatureQueries.queries ++ ForecastQueries.queries ++
-    HygieneQueries.queries
+    HygieneQueries.queries ++ RetrievalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -73,5 +73,6 @@ object SparkEntry {
     NonParamQueries.oracle ++ DerivedAnalyticsQueries.oracle ++
     StatTestQueries.oracle ++ EmbOpsQueries.oracle ++
     SketchExactQueries.oracle ++ GraphFeatureQueries.oracle ++
-    ForecastQueries.oracle ++ HygieneQueries.oracle
+    ForecastQueries.oracle ++ HygieneQueries.oracle ++
+    RetrievalQueries.oracle
 }
