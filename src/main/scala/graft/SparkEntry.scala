@@ -39,7 +39,9 @@ object SparkEntry {
     DerivedAnalyticsQueries.queries ++ StatTestQueries.queries ++
     EmbOpsQueries.queries ++ SketchExactQueries.queries ++
     GraphFeatureQueries.queries ++ ForecastQueries.queries ++
-    HygieneQueries.queries ++ RetrievalQueries.queries
+    HygieneQueries.queries ++ RetrievalQueries.queries ++
+    SeriesShapeQueries.queries ++ TextExtraQueries.queries ++
+    FeatureEngQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -74,5 +76,6 @@ object SparkEntry {
     StatTestQueries.oracle ++ EmbOpsQueries.oracle ++
     SketchExactQueries.oracle ++ GraphFeatureQueries.oracle ++
     ForecastQueries.oracle ++ HygieneQueries.oracle ++
-    RetrievalQueries.oracle
+    RetrievalQueries.oracle ++ SeriesShapeQueries.oracle ++
+    TextExtraQueries.oracle ++ FeatureEngQueries.oracle
 }

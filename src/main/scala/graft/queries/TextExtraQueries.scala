@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-4 widening #25: corpus inspection — KWIC (keyword in
+  * context) concordance extraction and per-source hapax-legomena
+  * profiling (the vocabulary-health signal: a source whose terms are
+  * mostly one-offs is either rich or noisy, and the rate says which
+  * when read with q_quality_score).
+  *
+  * Scale notes (100 TB): KWIC slices the token array in place — the
+  * posexplode carries the array alongside, so context assembly is a
+  * per-row list slice with NO self-join on positions and no shuffle
+  * beyond the output sort; hapax is two keyed aggregations
+  * ((source, term) counts → per-source rollup). Both are
+  * embarrassingly parallel scans.
+  *
+  * Determinism: pure string/integer operations; the one rate is
+  * rounded; (doc_id, idx) is a unique total order.
+  */
+object TextExtraQueries {
+
+  /** q_kwic — concordance for the term `join`: every occurrence with
+    * its ±2-token context window, 1-based position. The array rides
+    * along with the explode so the slice needs no position self-join. */
+  def kwic(s: SparkSession, d: String): DataFrame = {
+    val withArr = documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .filter(col("tok") === "join")
+    val idx = col("pos") + 1 // 1-based
+    val start = greatest(idx - 2, lit(1))
+    val stop = least(idx + 2, size(col("toks")))
+    withArr
+      .select(col("doc_id"), idx.as("idx"),
+        array_join(slice(col("toks"), start, stop - start + 1), " ")
+          .as("context"))
+      .orderBy(col("doc_id"), col("idx"))
+  }
+
+  val kwicOracle: String =
+    """WITH ex AS (SELECT doc_id,
+      |    string_split(lower(text), ' ') AS toks,
+      |    generate_subscripts(string_split(lower(text), ' '), 1) AS idx,
+      |    unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents)
+      |SELECT doc_id, CAST(idx AS INTEGER) AS idx,
+      |  array_to_string(
+      |    toks[greatest(idx - 2, 1):least(idx + 2, len(toks))], ' ')
+      |    AS context
+      |FROM ex WHERE tok = 'join'
+      |ORDER BY doc_id, idx""".stripMargin
+
+  /** q_hapax — per-source vocabulary health: distinct terms, hapax
+    * legomena (terms seen once IN that source), the hapax share, and
+    * token volume — the per-source slice of q_freq_of_freq's global
+    * frequency-of-frequencies. */
+  def hapax(s: SparkSession, d: String): DataFrame = {
+    val tc = documents(s, d)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    tc.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_terms"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_terms").cast("double"), 6)
+          .as("hapax_rate"))
+      .orderBy(col("source"))
+  }
+
+  val hapaxOracle: String =
+    """WITH tc AS (SELECT source, term, count(*) AS cnt
+      |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_terms,
+      |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE), 6) AS hapax_rate
+      |FROM tc GROUP BY 1 ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kwic" -> (kwic _),
+    "q_hapax" -> (hapax _))
+
+  val oracle: Map[String, String] = Map(
+    "q_kwic" -> kwicOracle,
+    "q_hapax" -> hapaxOracle)
+}
