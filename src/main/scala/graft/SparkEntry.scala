@@ -41,7 +41,7 @@ object SparkEntry {
     GraphFeatureQueries.queries ++ ForecastQueries.queries ++
     HygieneQueries.queries ++ RetrievalQueries.queries ++
     SeriesShapeQueries.queries ++ TextExtraQueries.queries ++
-    FeatureEngQueries.queries
+    FeatureEngQueries.queries ++ PathAgreementQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -77,5 +77,6 @@ object SparkEntry {
     SketchExactQueries.oracle ++ GraphFeatureQueries.oracle ++
     ForecastQueries.oracle ++ HygieneQueries.oracle ++
     RetrievalQueries.oracle ++ SeriesShapeQueries.oracle ++
-    TextExtraQueries.oracle ++ FeatureEngQueries.oracle
+    TextExtraQueries.oracle ++ FeatureEngQueries.oracle ++
+    PathAgreementQueries.oracle
 }
