@@ -41,7 +41,8 @@ object SparkEntry {
     GraphFeatureQueries.queries ++ ForecastQueries.queries ++
     HygieneQueries.queries ++ RetrievalQueries.queries ++
     SeriesShapeQueries.queries ++ TextExtraQueries.queries ++
-    FeatureEngQueries.queries ++ PathAgreementQueries.queries
+    FeatureEngQueries.queries ++ PathAgreementQueries.queries ++
+    CorpusDriftQueries.queries ++ MonitorQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -78,5 +79,6 @@ object SparkEntry {
     ForecastQueries.oracle ++ HygieneQueries.oracle ++
     RetrievalQueries.oracle ++ SeriesShapeQueries.oracle ++
     TextExtraQueries.oracle ++ FeatureEngQueries.oracle ++
-    PathAgreementQueries.oracle
+    PathAgreementQueries.oracle ++ CorpusDriftQueries.oracle ++
+    MonitorQueries.oracle
 }
