@@ -42,7 +42,8 @@ object SparkEntry {
     HygieneQueries.queries ++ RetrievalQueries.queries ++
     SeriesShapeQueries.queries ++ TextExtraQueries.queries ++
     FeatureEngQueries.queries ++ PathAgreementQueries.queries ++
-    CorpusDriftQueries.queries ++ MonitorQueries.queries
+    CorpusDriftQueries.queries ++ MonitorQueries.queries ++
+    NormalityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -80,5 +81,5 @@ object SparkEntry {
     RetrievalQueries.oracle ++ SeriesShapeQueries.oracle ++
     TextExtraQueries.oracle ++ FeatureEngQueries.oracle ++
     PathAgreementQueries.oracle ++ CorpusDriftQueries.oracle ++
-    MonitorQueries.oracle
+    MonitorQueries.oracle ++ NormalityQueries.oracle
 }

@@ -104,11 +104,46 @@ object HygieneQueries {
       |JOIN sizes b ON b.source = p.sb
       |ORDER BY p.sa, p.sb""".stripMargin
 
+  /** q_coverage_matrix — the lang × source coverage grid a corpus
+    * curator balances against: doc counts with the share within the
+    * source and the share of the language, from two broadcast
+    * marginal joins (|sources| and |langs| rows). */
+  def coverageMatrix(s: SparkSession, d: String): DataFrame = {
+    val cell = documents(s, d).groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val bySrc = cell.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+    val byLang = cell.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    cell.join(broadcast(bySrc), "source")
+      .join(broadcast(byLang), "lang")
+      .select(col("lang"), col("source"), col("n"),
+        round(col("n").cast("double") / col("n_src").cast("double"), 6)
+          .as("share_of_source"),
+        round(col("n").cast("double") / col("n_lang").cast("double"), 6)
+          .as("share_of_lang"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val coverageMatrixOracle: String =
+    """WITH cell AS (SELECT lang, source, count(*) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, sum(n) AS n_src FROM cell GROUP BY 1),
+      |l AS (SELECT lang, sum(n) AS n_lang FROM cell GROUP BY 1)
+      |SELECT cell.lang, cell.source, cell.n,
+      |  round(CAST(cell.n AS DOUBLE)/CAST(s.n_src AS DOUBLE), 6)
+      |    AS share_of_source,
+      |  round(CAST(cell.n AS DOUBLE)/CAST(l.n_lang AS DOUBLE), 6)
+      |    AS share_of_lang
+      |FROM cell JOIN s ON s.source = cell.source
+      |JOIN l ON l.lang = cell.lang
+      |ORDER BY cell.lang, cell.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_l_diversity" -> (lDiversity _),
-    "q_dup_cross_source" -> (dupCrossSource _))
+    "q_dup_cross_source" -> (dupCrossSource _),
+    "q_coverage_matrix" -> (coverageMatrix _))
 
   val oracle: Map[String, String] = Map(
     "q_l_diversity" -> lDiversityOracle,
-    "q_dup_cross_source" -> dupCrossSourceOracle)
+    "q_dup_cross_source" -> dupCrossSourceOracle,
+    "q_coverage_matrix" -> coverageMatrixOracle)
 }
