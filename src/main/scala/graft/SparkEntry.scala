@@ -43,7 +43,7 @@ object SparkEntry {
     SeriesShapeQueries.queries ++ TextExtraQueries.queries ++
     FeatureEngQueries.queries ++ PathAgreementQueries.queries ++
     CorpusDriftQueries.queries ++ MonitorQueries.queries ++
-    NormalityQueries.queries
+    NormalityQueries.queries ++ FilterFunnelQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -81,5 +81,6 @@ object SparkEntry {
     RetrievalQueries.oracle ++ SeriesShapeQueries.oracle ++
     TextExtraQueries.oracle ++ FeatureEngQueries.oracle ++
     PathAgreementQueries.oracle ++ CorpusDriftQueries.oracle ++
-    MonitorQueries.oracle ++ NormalityQueries.oracle
+    MonitorQueries.oracle ++ NormalityQueries.oracle ++
+    FilterFunnelQueries.oracle
 }
