@@ -43,7 +43,8 @@ object SparkEntry {
     SeriesShapeQueries.queries ++ TextExtraQueries.queries ++
     FeatureEngQueries.queries ++ PathAgreementQueries.queries ++
     CorpusDriftQueries.queries ++ MonitorQueries.queries ++
-    NormalityQueries.queries ++ FilterFunnelQueries.queries
+    NormalityQueries.queries ++ FilterFunnelQueries.queries ++
+    ProcessMiningQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -82,5 +83,5 @@ object SparkEntry {
     TextExtraQueries.oracle ++ FeatureEngQueries.oracle ++
     PathAgreementQueries.oracle ++ CorpusDriftQueries.oracle ++
     MonitorQueries.oracle ++ NormalityQueries.oracle ++
-    FilterFunnelQueries.oracle
+    FilterFunnelQueries.oracle ++ ProcessMiningQueries.oracle
 }

@@ -148,11 +148,55 @@ object SeriesShapeQueries {
       |         (CAST(n AS DOUBLE)*syy - sy*sy))), 6) AS r2
       |FROM g ORDER BY t""".stripMargin
 
+  /** q_theil_sen — the robust sibling of q_trend_slope: per type the
+    * Theil–Sen estimator (exact median of all pairwise slopes over
+    * the daily grid). The pair join is per-type and bounded by
+    * horizon-days² — the same calendar-bounded pair grid
+    * q_mann_kendall runs on; the median comes from a per-type
+    * row_number window (partitioned, never global). */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val dl = daily(s, d)
+    val pairs = dl.as("a").join(dl.as("b"),
+        col("a.t") === col("b.t") && col("a.day") < col("b.day"))
+      .select(col("a.t").as("t"),
+        round((col("b.v") - col("a.v")) /
+          datediff(col("b.day"), col("a.day")).cast("double"), 8).as("slope"),
+        col("a.day").as("d1"), col("b.day").as("d2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("t"))
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    val cnt = pairs.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+    pairs.withColumn("rn", row_number().over(w))
+      .join(broadcast(cnt), "t")
+      // lower median of the pair slopes: rank ceil(n/2) on the unique
+      // total order — exact and engine-agnostic
+      .where(col("rn") === ((col("n_pairs") + 1) / 2).cast("long"))
+      .select(col("t"), col("n_pairs"), col("slope").as("ts_slope"))
+      .orderBy(col("t"))
+  }
+
+  val theilSenOracle: String =
+    s"""WITH daily AS ($dailySql),
+      |pairs AS (SELECT a.t,
+      |    round((b.v - a.v) /
+      |      CAST(date_diff('day', a.day, b.day) AS DOUBLE), 8) AS slope,
+      |    a.day AS d1, b.day AS d2
+      |  FROM daily a JOIN daily b ON b.t = a.t AND a.day < b.day),
+      |ranked AS (SELECT t, slope,
+      |    row_number() OVER (PARTITION BY t
+      |      ORDER BY slope, d1, d2) AS rn,
+      |    count(*) OVER (PARTITION BY t) AS n_pairs
+      |  FROM pairs)
+      |SELECT t, n_pairs, slope AS ts_slope
+      |FROM ranked WHERE rn = (n_pairs + 1) // 2
+      |ORDER BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_acf_multi" -> (acfMulti _),
-    "q_trend_slope" -> (trendSlope _))
+    "q_trend_slope" -> (trendSlope _),
+    "q_theil_sen" -> (theilSen _))
 
   val oracle: Map[String, String] = Map(
     "q_acf_multi" -> acfMultiOracle,
-    "q_trend_slope" -> trendSlopeOracle)
+    "q_trend_slope" -> trendSlopeOracle,
+    "q_theil_sen" -> theilSenOracle)
 }
