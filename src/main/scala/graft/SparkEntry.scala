@@ -44,7 +44,8 @@ object SparkEntry {
     FeatureEngQueries.queries ++ PathAgreementQueries.queries ++
     CorpusDriftQueries.queries ++ MonitorQueries.queries ++
     NormalityQueries.queries ++ FilterFunnelQueries.queries ++
-    ProcessMiningQueries.queries
+    ProcessMiningQueries.queries ++ KmeansStepQueries.queries ++
+    SqlSurfaceQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -83,5 +84,6 @@ object SparkEntry {
     TextExtraQueries.oracle ++ FeatureEngQueries.oracle ++
     PathAgreementQueries.oracle ++ CorpusDriftQueries.oracle ++
     MonitorQueries.oracle ++ NormalityQueries.oracle ++
-    FilterFunnelQueries.oracle ++ ProcessMiningQueries.oracle
+    FilterFunnelQueries.oracle ++ ProcessMiningQueries.oracle ++
+    KmeansStepQueries.oracle ++ SqlSurfaceQueries.oracle
 }

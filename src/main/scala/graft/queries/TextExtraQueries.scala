@@ -85,11 +85,61 @@ object TextExtraQueries {
       |    CAST(count(*) AS DOUBLE), 6) AS hapax_rate
       |FROM tc GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** q_collocations — top-20 bigram collocations by PMI (min count
+    * 5): adjacent-token pairs from an in-place array zip (the tokens
+    * column slides against itself — no position self-join), unigram
+    * margins as broadcast term counts, PMI = ln(c·T/(n1·n2)) on
+    * exact integers. */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum(col("n")).as("tt"))
+    val bi = toks
+      .select(posexplode(col("ts")).as(Seq("i", "w1")), col("ts"))
+      .filter(col("i") < size(col("ts")) - 1)
+      .select(col("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 5)
+    bi.join(broadcast(uni.select(col("term").as("w1"), col("n").as("n1"))), "w1")
+      .join(broadcast(uni.select(col("term").as("w2"), col("n").as("n2"))), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c"),
+        round(log(col("c").cast("double") * col("tt").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+  }
+
+  val collocationsOracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |    string_split(lower(text), ' ') AS ts FROM documents),
+      |uni AS (SELECT term, count(*) AS n FROM (
+      |    SELECT unnest(ts) AS term FROM toks) GROUP BY 1),
+      |tot AS (SELECT sum(n) AS tt FROM uni),
+      |pairs AS (SELECT unnest(ts) AS w1,
+      |    generate_subscripts(ts, 1) AS i, ts
+      |  FROM toks),
+      |bi AS (SELECT w1, ts[i + 1] AS w2, count(*) AS c
+      |  FROM pairs WHERE i < len(ts)
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT bi.w1, bi.w2, bi.c,
+      |  round(ln(CAST(bi.c AS DOUBLE) * CAST(tot.tt AS DOUBLE) /
+      |    (CAST(u1.n AS DOUBLE) * CAST(u2.n AS DOUBLE))), 6) AS pmi
+      |FROM bi
+      |JOIN uni u1 ON u1.term = bi.w1
+      |JOIN uni u2 ON u2.term = bi.w2
+      |CROSS JOIN tot
+      |ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kwic" -> (kwic _),
-    "q_hapax" -> (hapax _))
+    "q_hapax" -> (hapax _),
+    "q_collocations" -> (collocations _))
 
   val oracle: Map[String, String] = Map(
     "q_kwic" -> kwicOracle,
-    "q_hapax" -> hapaxOracle)
+    "q_hapax" -> hapaxOracle,
+    "q_collocations" -> collocationsOracle)
 }

@@ -186,6 +186,23 @@ class WideningInvariantSpec extends GraftSpecBase {
     }
   }
 
+  test("q_kmeans_step: one Lloyd step never increases total inertia") {
+    val r = rows(KmeansStepQueries.kmeansStep(spark, sf))
+    assert(r.size == 4)
+    val before = r.map(_.getAs[Double]("inertia0")).sum
+    val after = r.map(_.getAs[Double]("inertia1")).sum
+    assert(after <= before + 1e-6)
+    assert(r.map(_.getAs[Long]("n0")).sum == r.map(_.getAs[Long]("n1")).sum)
+  }
+
+  test("q_collocations: PMI computed over exact margins, ranked") {
+    val r = rows(TextExtraQueries.collocations(spark, sf))
+    assert(r.nonEmpty && r.size <= 20)
+    val pmis = r.map(_.getAs[Double]("pmi"))
+    assert(pmis == pmis.sorted.reverse)
+    r.foreach(x => assert(x.getAs[Long]("c") >= 5L))
+  }
+
   test("q_l_diversity: l bounded by the priority domain") {
     rows(HygieneQueries.lDiversity(spark, sf)).foreach { r =>
       assert(r.getAs[Long]("min_l") >= 0L)
