@@ -45,7 +45,7 @@ object SparkEntry {
     CorpusDriftQueries.queries ++ MonitorQueries.queries ++
     NormalityQueries.queries ++ FilterFunnelQueries.queries ++
     ProcessMiningQueries.queries ++ KmeansStepQueries.queries ++
-    SqlSurfaceQueries.queries
+    SqlSurfaceQueries.queries ++ DedupLshQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -85,5 +85,6 @@ object SparkEntry {
     PathAgreementQueries.oracle ++ CorpusDriftQueries.oracle ++
     MonitorQueries.oracle ++ NormalityQueries.oracle ++
     FilterFunnelQueries.oracle ++ ProcessMiningQueries.oracle ++
-    KmeansStepQueries.oracle ++ SqlSurfaceQueries.oracle
+    KmeansStepQueries.oracle ++ SqlSurfaceQueries.oracle ++
+    DedupLshQueries.oracle
 }
