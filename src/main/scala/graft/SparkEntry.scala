@@ -45,7 +45,8 @@ object SparkEntry {
     CorpusDriftQueries.queries ++ MonitorQueries.queries ++
     NormalityQueries.queries ++ FilterFunnelQueries.queries ++
     ProcessMiningQueries.queries ++ KmeansStepQueries.queries ++
-    SqlSurfaceQueries.queries ++ DedupLshQueries.queries
+    SqlSurfaceQueries.queries ++ DedupLshQueries.queries ++
+    ProductAnalyticsQueries.queries ++ DispersionQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -86,5 +87,6 @@ object SparkEntry {
     MonitorQueries.oracle ++ NormalityQueries.oracle ++
     FilterFunnelQueries.oracle ++ ProcessMiningQueries.oracle ++
     KmeansStepQueries.oracle ++ SqlSurfaceQueries.oracle ++
-    DedupLshQueries.oracle
+    DedupLshQueries.oracle ++ ProductAnalyticsQueries.oracle ++
+    DispersionQueries.oracle
 }
