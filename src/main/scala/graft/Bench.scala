@@ -61,7 +61,8 @@ object Bench {
     // last would extend the wall-clock by its full duration). The
     // list is the measured top tier at sf0.1; unlisted queries keep
     // alphabetical order after it.
-    val heavyFirst = Seq("q_tfidf_cosine", "q_minhash_est", "q_rfm",
+    val heavyFirst = Seq("q_lsh_exact", "q_kmeans_step",
+      "q_tfidf_cosine", "q_minhash_est", "q_rfm",
       "q_elasticity", "q_boilerplate", "q_cohort_ltv",
       "q_kmeans_assign", "q_math_funcs", "q_cte_recursive",
       "q_dedup_cluster", "q_contamination", "q_dedup_ngram",
@@ -70,7 +71,8 @@ object Bench {
       "q_shortest_path", "q_agg_cube", "q_approx_kmv", "q_unpivot",
       "q_lang_id", "q_pagerank", "q_triangles", "q_vocab_growth",
       "q_try_arith", "q_dedup_simhash", "q_regr", "q_rolling_median",
-      "q_ewma", "q_interpolate").zipWithIndex.toMap
+      "q_ewma", "q_interpolate", "q_linreg2", "q_theil_sen",
+      "q_dau_wau", "q_emb_quantize").zipWithIndex.toMap
     val entries = SparkEntry.queries.toSeq
       .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
       .sortBy { case (name, _) =>
