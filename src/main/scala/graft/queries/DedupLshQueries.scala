@@ -64,7 +64,18 @@ object DedupLshQueries {
     }
     val buckets = hashed.select(col("doc_id"),
       explode(array(bandKeys: _*)).as("band"))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    // skew guard: a degenerate band bucket (boilerplate corpora hash
+    // thousands of docs into one bucket) would make the self-join
+    // quadratic in that bucket — cap membership at 64, matching the
+    // oracle, so the worst bucket costs 64² regardless of corpus
+    val okBands = buckets.groupBy(col("band"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 64)
+      .select(col("band"))
+    // band-keyed join (NOT broadcast: the ok-band list is
+    // |buckets|-sized at scale); its shuffle partitioning is reused
+    // by the self-join on the same key
+    val capped = buckets.join(okBands, "band")
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
@@ -107,8 +118,11 @@ object DedupLshQueries {
       |buckets AS (SELECT doc_id,
       |    unnest(list_value(${bands.mkString(", ")})) AS band
       |  FROM hashed),
+      |ok AS (SELECT band FROM buckets GROUP BY 1 HAVING count(*) <= 64),
+      |capped AS (SELECT b.doc_id, b.band FROM buckets b
+      |  JOIN ok ON ok.band = b.band),
       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-      |  FROM buckets x JOIN buckets y
+      |  FROM capped x JOIN capped y
       |    ON y.band = x.band AND x.doc_id < y.doc_id),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT cand.da, cand.db, count(*) AS inter
