@@ -46,7 +46,8 @@ object SparkEntry {
     NormalityQueries.queries ++ FilterFunnelQueries.queries ++
     ProcessMiningQueries.queries ++ KmeansStepQueries.queries ++
     SqlSurfaceQueries.queries ++ DedupLshQueries.queries ++
-    ProductAnalyticsQueries.queries ++ DispersionQueries.queries
+    ProductAnalyticsQueries.queries ++ DispersionQueries.queries ++
+    StratifiedQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -88,5 +89,5 @@ object SparkEntry {
     FilterFunnelQueries.oracle ++ ProcessMiningQueries.oracle ++
     KmeansStepQueries.oracle ++ SqlSurfaceQueries.oracle ++
     DedupLshQueries.oracle ++ ProductAnalyticsQueries.oracle ++
-    DispersionQueries.oracle
+    DispersionQueries.oracle ++ StratifiedQueries.oracle
 }

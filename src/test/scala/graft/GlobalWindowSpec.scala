@@ -32,7 +32,8 @@ class GlobalWindowSpec extends GraftSpecBase {
     "q_label_balance" -> "|labels| rows (10 in fixture; label sets are small by contract)",
     "q_funnel_window" -> "funnel steps: exactly 3 rows by construction (union of three 1-row aggregates)",
     "q_rolling_corr" -> "daily grid: <= horizon-days rows (the per-day contraction precedes the window)",
-    "q_dim_variance" -> "|dims| rows (64): the per-dimension contraction precedes the rank window")
+    "q_dim_variance" -> "|dims| rows (64): the per-dimension contraction precedes the rank window",
+    "q_rank_stability" -> "|brands| rows (25): the per-brand era contraction precedes the two rank windows")
 
   private def strip(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
