@@ -73,6 +73,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "md5_bucket(key, m) takes 2 args")
         graft.functions.expressions.Md5Bucket(args.head, args(1))
+      }),
+    (FunctionIdentifier("space_tokens"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.SpaceTokens].getName,
+        "space_tokens"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "space_tokens(s) takes 1 arg")
+        graft.functions.expressions.SpaceTokens(args.head)
       }))
 
   /** Register the custom functions and planner strategies into a

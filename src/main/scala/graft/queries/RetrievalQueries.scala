@@ -101,8 +101,10 @@ object RetrievalQueries {
     * packer materializes before embedding. ceil on exact small
     * integers; no shuffle (the sequence explode is per-row). */
   def chunkPlan(s: SparkSession, d: String): DataFrame = {
+    // SpaceTokens kernel: token COUNT without materializing the array
     val toks = documents(s, d).select(col("doc_id"),
-      size(split(lower(col("text")), " ")).as("n_tok"))
+      graft.functions.expressions.SpaceTokens
+        .spaceTokens(lower(col("text"))).as("n_tok"))
     val planned = toks.withColumn("n_chunks",
       when(col("n_tok") <= 32, lit(1L)).otherwise(
         ceil((col("n_tok") - lit(32.0)) / lit(24.0)).cast("long") + 1L))

@@ -81,11 +81,15 @@ object TextAnalysisQueries {
   }
 
   /** #65 q_token_count — whitespace and regex ("BPE-ish") token
-    * counting per document. */
+    * counting per document. The whitespace count runs the codegen'd
+    * [[graft.functions.expressions.SpaceTokens]] byte-scan kernel
+    * (no per-row array allocation); equality to `size(split(…))` is
+    * pinned by SpaceTokensSpec and this query's own grading. */
   def tokenCount(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_ws"),
+        graft.functions.expressions.SpaceTokens
+          .spaceTokens(col("text")).as("n_ws"),
         regexp_count(col("text"), lit("[a-z]+")).as("n_alpha"),
         regexp_count(col("text"), lit("[aeiou]")).as("n_vowel"),
         regexp_count(col("text"), lit("[a-z]{1,4}")).as("n_bpe"))
