@@ -11,6 +11,40 @@ class PlanSpec extends GraftSpecBase {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("q_rrf_fusion: both retrieval legs are TakeOrderedAndProject-bounded") {
+    val df = RetrievalQueries.rrfFusion(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_lsh_exact: band/shingle-keyed joins only, no cartesian products") {
+    val df = DedupLshQueries.lshExact(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q_kmeans_step: centroid frames broadcast to the expansion") {
+    val df = KmeansStepQueries.kmeansStep(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q_feature_corr: single scan feeds all fifteen moments") {
+    val p = plan(FeatureEngQueries.featureCorr(spark, sf))
+    // one aggregate computes every moment; pairs unfold from its 1-row
+    // result, so lineitem appears in exactly one scan subtree (AQE may
+    // print it once per union leg as ReusedExchange references)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      p.take(2000))
+  }
+
   test("q_scan_pushdown pushes the filter to parquet") {
     val p = plan(ScanQueries.scanPushdown(spark, sf))
     assert(p.contains("PushedFilters: ["), p.take(2000))
