@@ -47,7 +47,7 @@ object SparkEntry {
     ProcessMiningQueries.queries ++ KmeansStepQueries.queries ++
     SqlSurfaceQueries.queries ++ DedupLshQueries.queries ++
     ProductAnalyticsQueries.queries ++ DispersionQueries.queries ++
-    StratifiedQueries.queries
+    StratifiedQueries.queries ++ RakingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -89,5 +89,6 @@ object SparkEntry {
     FilterFunnelQueries.oracle ++ ProcessMiningQueries.oracle ++
     KmeansStepQueries.oracle ++ SqlSurfaceQueries.oracle ++
     DedupLshQueries.oracle ++ ProductAnalyticsQueries.oracle ++
-    DispersionQueries.oracle ++ StratifiedQueries.oracle
+    DispersionQueries.oracle ++ StratifiedQueries.oracle ++
+    RakingQueries.oracle
 }
