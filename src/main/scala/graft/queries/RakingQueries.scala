@@ -101,9 +101,80 @@ object RakingQueries {
       |ORDER BY c2.lang, c2.source""".stripMargin
   }
 
+  /** q_median_polish — one cycle of Tukey's median polish on the
+    * lang × source mean-n_chars grid: sweep out row medians, then
+    * column medians; report per-cell residuals with the extracted
+    * effects. The robust (additive) sibling of q_ipf_rake's
+    * multiplicative calibration — residual magnitude flags
+    * interaction cells a mean-based two-way ANOVA would smear.
+    * Medians are exact lower-medians on unique total orders over the
+    * tiny per-row/per-column domains (≤|sources| values each). */
+  def medianPolish(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = documents(s, d).groupBy(col("lang"), col("source"))
+      .agg(round(sum(col("n_chars").cast("decimal(18,4)")).cast("double") /
+        count(lit(1)).cast("double"), 4).as("v"))
+    def medianOver(df: DataFrame, key: String, valueCol: String,
+        out: String): DataFrame = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col(valueCol), col("lang"), col("source"))
+      val cnt = df.groupBy(col(key).as("k2"))
+        .agg(count(lit(1)).as("kn"))
+      df.withColumn("rn", row_number().over(w))
+        .join(broadcast(cnt), col(key) === col("k2"))
+        .withColumn(out,
+          max(when(col("rn") === ((col("kn") + 1) / 2).cast("long"),
+            col(valueCol))).over(Window.partitionBy(col(key))))
+        .drop("rn", "k2", "kn")
+    }
+    val rowSwept = medianOver(grid, "lang", "v", "row_med")
+      .withColumn("v1", round(col("v") - col("row_med"), 4))
+    val colSwept = medianOver(rowSwept, "source", "v1", "col_med")
+      .withColumn("resid", round(col("v1") - col("col_med"), 4))
+    colSwept
+      .select(col("lang"), col("source"), col("v"),
+        col("row_med").as("lang_effect"),
+        col("col_med").as("source_effect"),
+        col("resid"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val medianPolishOracle: String =
+    """WITH grid AS (SELECT lang, source,
+      |    round(CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) /
+      |      CAST(count(*) AS DOUBLE), 4) AS v
+      |  FROM documents GROUP BY 1, 2),
+      |r1 AS (SELECT lang, source, v,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY v, lang, source) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS kn
+      |  FROM grid),
+      |rmed AS (SELECT lang, max(CASE WHEN rn = (kn + 1) // 2
+      |    THEN v END) AS row_med
+      |  FROM r1 GROUP BY 1),
+      |rs AS (SELECT g.lang, g.source, g.v, rmed.row_med,
+      |    round(g.v - rmed.row_med, 4) AS v1
+      |  FROM grid g JOIN rmed ON rmed.lang = g.lang),
+      |c1 AS (SELECT lang, source, v, row_med, v1,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY v1, lang, source) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS kn
+      |  FROM rs),
+      |cmed AS (SELECT source, max(CASE WHEN rn = (kn + 1) // 2
+      |    THEN v1 END) AS col_med
+      |  FROM c1 GROUP BY 1)
+      |SELECT rs.lang, rs.source, rs.v,
+      |  rs.row_med AS lang_effect,
+      |  cmed.col_med AS source_effect,
+      |  round(rs.v1 - cmed.col_med, 4) AS resid
+      |FROM rs JOIN cmed ON cmed.source = rs.source
+      |ORDER BY rs.lang, rs.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ipf_rake" -> (ipfRake _))
+    "q_ipf_rake" -> (ipfRake _),
+    "q_median_polish" -> (medianPolish _))
 
   val oracle: Map[String, String] = Map(
-    "q_ipf_rake" -> ipfRakeOracle)
+    "q_ipf_rake" -> ipfRakeOracle,
+    "q_median_polish" -> medianPolishOracle)
 }
