@@ -47,7 +47,8 @@ object SparkEntry {
     ProcessMiningQueries.queries ++ KmeansStepQueries.queries ++
     SqlSurfaceQueries.queries ++ DedupLshQueries.queries ++
     ProductAnalyticsQueries.queries ++ DispersionQueries.queries ++
-    StratifiedQueries.queries ++ RakingQueries.queries
+    StratifiedQueries.queries ++ RakingQueries.queries ++
+    ClusterEvalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -90,5 +91,5 @@ object SparkEntry {
     KmeansStepQueries.oracle ++ SqlSurfaceQueries.oracle ++
     DedupLshQueries.oracle ++ ProductAnalyticsQueries.oracle ++
     DispersionQueries.oracle ++ StratifiedQueries.oracle ++
-    RakingQueries.oracle
+    RakingQueries.oracle ++ ClusterEvalQueries.oracle
 }
