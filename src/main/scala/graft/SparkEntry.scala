@@ -48,7 +48,7 @@ object SparkEntry {
     SqlSurfaceQueries.queries ++ DedupLshQueries.queries ++
     ProductAnalyticsQueries.queries ++ DispersionQueries.queries ++
     StratifiedQueries.queries ++ RakingQueries.queries ++
-    ClusterEvalQueries.queries
+    ClusterEvalQueries.queries ++ MlEvalExtraQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -91,5 +91,6 @@ object SparkEntry {
     KmeansStepQueries.oracle ++ SqlSurfaceQueries.oracle ++
     DedupLshQueries.oracle ++ ProductAnalyticsQueries.oracle ++
     DispersionQueries.oracle ++ StratifiedQueries.oracle ++
-    RakingQueries.oracle ++ ClusterEvalQueries.oracle
+    RakingQueries.oracle ++ ClusterEvalQueries.oracle ++
+    MlEvalExtraQueries.oracle
 }
