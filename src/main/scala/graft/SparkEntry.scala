@@ -48,7 +48,9 @@ object SparkEntry {
     SqlSurfaceQueries.queries ++ DedupLshQueries.queries ++
     ProductAnalyticsQueries.queries ++ DispersionQueries.queries ++
     StratifiedQueries.queries ++ RakingQueries.queries ++
-    ClusterEvalQueries.queries ++ MlEvalExtraQueries.queries
+    ClusterEvalQueries.queries ++ MlEvalExtraQueries.queries ++
+    ExactHllQueries.queries ++ GeoCellQueries.queries ++
+    CdcMergeQueries.queries ++ ShapleyQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -92,5 +94,7 @@ object SparkEntry {
     DedupLshQueries.oracle ++ ProductAnalyticsQueries.oracle ++
     DispersionQueries.oracle ++ StratifiedQueries.oracle ++
     RakingQueries.oracle ++ ClusterEvalQueries.oracle ++
-    MlEvalExtraQueries.oracle
+    MlEvalExtraQueries.oracle ++ ExactHllQueries.oracle ++
+    GeoCellQueries.oracle ++ CdcMergeQueries.oracle ++
+    ShapleyQueries.oracle
 }
