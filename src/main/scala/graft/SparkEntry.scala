@@ -50,7 +50,8 @@ object SparkEntry {
     StratifiedQueries.queries ++ RakingQueries.queries ++
     ClusterEvalQueries.queries ++ MlEvalExtraQueries.queries ++
     ExactHllQueries.queries ++ GeoCellQueries.queries ++
-    CdcMergeQueries.queries ++ ShapleyQueries.queries
+    CdcMergeQueries.queries ++ ShapleyQueries.queries ++
+    RankTestQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -96,5 +97,5 @@ object SparkEntry {
     RakingQueries.oracle ++ ClusterEvalQueries.oracle ++
     MlEvalExtraQueries.oracle ++ ExactHllQueries.oracle ++
     GeoCellQueries.oracle ++ CdcMergeQueries.oracle ++
-    ShapleyQueries.oracle
+    ShapleyQueries.oracle ++ RankTestQueries.oracle
 }
