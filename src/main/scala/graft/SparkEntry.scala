@@ -51,7 +51,7 @@ object SparkEntry {
     ClusterEvalQueries.queries ++ MlEvalExtraQueries.queries ++
     ExactHllQueries.queries ++ GeoCellQueries.queries ++
     CdcMergeQueries.queries ++ ShapleyQueries.queries ++
-    RankTestQueries.queries
+    RankTestQueries.queries ++ SeriesDiagQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -97,5 +97,6 @@ object SparkEntry {
     RakingQueries.oracle ++ ClusterEvalQueries.oracle ++
     MlEvalExtraQueries.oracle ++ ExactHllQueries.oracle ++
     GeoCellQueries.oracle ++ CdcMergeQueries.oracle ++
-    ShapleyQueries.oracle ++ RankTestQueries.oracle
+    ShapleyQueries.oracle ++ RankTestQueries.oracle ++
+    SeriesDiagQueries.oracle
 }
