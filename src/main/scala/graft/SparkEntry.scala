@@ -51,7 +51,8 @@ object SparkEntry {
     ClusterEvalQueries.queries ++ MlEvalExtraQueries.queries ++
     ExactHllQueries.queries ++ GeoCellQueries.queries ++
     CdcMergeQueries.queries ++ ShapleyQueries.queries ++
-    RankTestQueries.queries ++ SeriesDiagQueries.queries
+    RankTestQueries.queries ++ SeriesDiagQueries.queries ++
+    MultivarQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -98,5 +99,5 @@ object SparkEntry {
     MlEvalExtraQueries.oracle ++ ExactHllQueries.oracle ++
     GeoCellQueries.oracle ++ CdcMergeQueries.oracle ++
     ShapleyQueries.oracle ++ RankTestQueries.oracle ++
-    SeriesDiagQueries.oracle
+    SeriesDiagQueries.oracle ++ MultivarQueries.oracle
 }
