@@ -52,7 +52,7 @@ object SparkEntry {
     ExactHllQueries.queries ++ GeoCellQueries.queries ++
     CdcMergeQueries.queries ++ ShapleyQueries.queries ++
     RankTestQueries.queries ++ SeriesDiagQueries.queries ++
-    MultivarQueries.queries
+    MultivarQueries.queries ++ ClassMetricsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -99,5 +99,6 @@ object SparkEntry {
     MlEvalExtraQueries.oracle ++ ExactHllQueries.oracle ++
     GeoCellQueries.oracle ++ CdcMergeQueries.oracle ++
     ShapleyQueries.oracle ++ RankTestQueries.oracle ++
-    SeriesDiagQueries.oracle ++ MultivarQueries.oracle
+    SeriesDiagQueries.oracle ++ MultivarQueries.oracle ++
+    ClassMetricsQueries.oracle
 }
