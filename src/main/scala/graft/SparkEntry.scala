@@ -52,7 +52,8 @@ object SparkEntry {
     ExactHllQueries.queries ++ GeoCellQueries.queries ++
     CdcMergeQueries.queries ++ ShapleyQueries.queries ++
     RankTestQueries.queries ++ SeriesDiagQueries.queries ++
-    MultivarQueries.queries ++ ClassMetricsQueries.queries
+    MultivarQueries.queries ++ ClassMetricsQueries.queries ++
+    EncodingEconQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -100,5 +101,5 @@ object SparkEntry {
     GeoCellQueries.oracle ++ CdcMergeQueries.oracle ++
     ShapleyQueries.oracle ++ RankTestQueries.oracle ++
     SeriesDiagQueries.oracle ++ MultivarQueries.oracle ++
-    ClassMetricsQueries.oracle
+    ClassMetricsQueries.oracle ++ EncodingEconQueries.oracle
 }
