@@ -53,7 +53,7 @@ object SparkEntry {
     CdcMergeQueries.queries ++ ShapleyQueries.queries ++
     RankTestQueries.queries ++ SeriesDiagQueries.queries ++
     MultivarQueries.queries ++ ClassMetricsQueries.queries ++
-    EncodingEconQueries.queries
+    EncodingEconQueries.queries ++ TextGraphQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -101,5 +101,6 @@ object SparkEntry {
     GeoCellQueries.oracle ++ CdcMergeQueries.oracle ++
     ShapleyQueries.oracle ++ RankTestQueries.oracle ++
     SeriesDiagQueries.oracle ++ MultivarQueries.oracle ++
-    ClassMetricsQueries.oracle ++ EncodingEconQueries.oracle
+    ClassMetricsQueries.oracle ++ EncodingEconQueries.oracle ++
+    TextGraphQueries.oracle
 }
