@@ -53,7 +53,8 @@ object SparkEntry {
     CdcMergeQueries.queries ++ ShapleyQueries.queries ++
     RankTestQueries.queries ++ SeriesDiagQueries.queries ++
     MultivarQueries.queries ++ ClassMetricsQueries.queries ++
-    EncodingEconQueries.queries ++ TextGraphQueries.queries
+    EncodingEconQueries.queries ++ TextGraphQueries.queries ++
+    VarTestQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -102,5 +103,5 @@ object SparkEntry {
     ShapleyQueries.oracle ++ RankTestQueries.oracle ++
     SeriesDiagQueries.oracle ++ MultivarQueries.oracle ++
     ClassMetricsQueries.oracle ++ EncodingEconQueries.oracle ++
-    TextGraphQueries.oracle
+    TextGraphQueries.oracle ++ VarTestQueries.oracle
 }

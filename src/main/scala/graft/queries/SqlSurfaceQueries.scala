@@ -59,9 +59,44 @@ object SqlSurfaceQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q_qualify — the QUALIFY-clause surface: keep the top-2 revenue
+    * days per order priority straight off a window predicate. Spark
+    * SQL has no QUALIFY keyword, so the engine side expresses the
+    * identical semantics as a window + outer filter (Catalyst plans
+    * the rank-limit as WindowGroupLimit — a k-bounded partitioned
+    * window, the exact plan QUALIFY engines produce); the oracle runs
+    * DuckDB's native QUALIFY to pin the semantics equivalence. */
+  def qualifyTop(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT * FROM (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) DESC,
+        |        CAST(o_orderdate AS DATE)) AS rn
+        |  FROM v_orders
+        |  GROUP BY o_orderpriority, CAST(o_orderdate AS DATE))
+        |WHERE rn <= 2
+        |ORDER BY priority, rn""".stripMargin)
+  }
+
+  val qualifyTopOracle: String =
+    """SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+      |  row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) DESC,
+      |      CAST(o_orderdate AS DATE)) AS rn
+      |FROM orders
+      |GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+      |QUALIFY rn <= 2
+      |ORDER BY priority, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sql_pricing" -> (sqlPricing _))
+    "q_sql_pricing" -> (sqlPricing _),
+    "q_qualify" -> (qualifyTop _))
 
   val oracle: Map[String, String] = Map(
-    "q_sql_pricing" -> sqlPricingOracle)
+    "q_sql_pricing" -> sqlPricingOracle,
+    "q_qualify" -> qualifyTopOracle)
 }
