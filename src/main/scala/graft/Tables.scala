@@ -79,13 +79,34 @@ object Tables {
 
   /** Real loader behind the [[events]] memo key. NOTE: callers must
     * have set nanosAsLong before the first `events` read (done in
-    * [[events]]). */
-  private def eventsDecoded(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_nanos", col("ts"))
-      // integral `div`, NOT `/`: Spark's `/` is double division and
-      // epoch nanos (~1.7e18) exceed double's 53-bit mantissa → ±1µs
-      // drift vs DuckDB's exact truncation (caught by q_join_asof)
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
-      .drop("ts")
+    * [[events]]).
+    *
+    * Schema-adaptive: generated data has shipped `ts` both as parquet
+    * TIMESTAMP(NANOS) (surfaced as LONG via nanosAsLong) and as plain
+    * micro TIMESTAMP (surfaced as TIMESTAMP_NTZ). Both decode to the
+    * same two columns — `ts2 TIMESTAMP` (micros, = DuckDB's native
+    * read) and `ts_nanos LONG` (exact integer arithmetic) — so every
+    * downstream query is agnostic to which vintage is on disk.
+    */
+  private def eventsDecoded(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_nanos", col("ts"))
+          // integral `div`, NOT `/`: Spark's `/` is double division and
+          // epoch nanos (~1.7e18) exceed double's 53-bit mantissa → ±1µs
+          // drift vs DuckDB's exact truncation (caught by q_join_asof)
+          .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+          .drop("ts")
+      case _ =>
+        // micro-precision vintage: NTZ→LTZ cast is identity under the
+        // UTC session timezone; nanos are micros*1000 exactly (no
+        // precision created or lost — epoch micros ~1.7e15 · 1000
+        // stays far under Long.Max)
+        val t = raw.withColumn("ts2",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        t.withColumn("ts_nanos", unix_micros(col("ts2")) * lit(1000L))
+          .drop("ts")
+    }
+  }
 }
