@@ -54,7 +54,7 @@ object SparkEntry {
     RankTestQueries.queries ++ SeriesDiagQueries.queries ++
     MultivarQueries.queries ++ ClassMetricsQueries.queries ++
     EncodingEconQueries.queries ++ TextGraphQueries.queries ++
-    VarTestQueries.queries
+    VarTestQueries.queries ++ TpchQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -103,5 +103,6 @@ object SparkEntry {
     ShapleyQueries.oracle ++ RankTestQueries.oracle ++
     SeriesDiagQueries.oracle ++ MultivarQueries.oracle ++
     ClassMetricsQueries.oracle ++ EncodingEconQueries.oracle ++
-    TextGraphQueries.oracle ++ VarTestQueries.oracle
+    TextGraphQueries.oracle ++ VarTestQueries.oracle ++
+    TpchQueries.oracle
 }

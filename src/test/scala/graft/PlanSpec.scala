@@ -180,4 +180,19 @@ class PlanSpec extends GraftSpecBase {
     val p = plan(MixSampleQueries.sampleWeighted(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
+
+  test("q_tpch_q3/q10: top-k bounded, no cartesian products") {
+    for (q <- Seq(TpchQueries.tpchQ3(spark, sf), TpchQueries.tpchQ10(spark, sf))) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+    }
+  }
+
+  test("q_tpch_q5: dimension chain broadcasts, filters pushed to scans") {
+    val p = plan(TpchQueries.tpchQ5(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(4000))
+  }
 }
