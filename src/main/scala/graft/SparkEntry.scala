@@ -54,7 +54,8 @@ object SparkEntry {
     RankTestQueries.queries ++ SeriesDiagQueries.queries ++
     MultivarQueries.queries ++ ClassMetricsQueries.queries ++
     EncodingEconQueries.queries ++ TextGraphQueries.queries ++
-    VarTestQueries.queries ++ TpchQueries.queries
+    VarTestQueries.queries ++ TpchQueries.queries ++
+    PairedTestQueries.queries ++ ReliabilityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -104,5 +105,6 @@ object SparkEntry {
     SeriesDiagQueries.oracle ++ MultivarQueries.oracle ++
     ClassMetricsQueries.oracle ++ EncodingEconQueries.oracle ++
     TextGraphQueries.oracle ++ VarTestQueries.oracle ++
-    TpchQueries.oracle
+    TpchQueries.oracle ++ PairedTestQueries.oracle ++
+    ReliabilityQueries.oracle
 }
