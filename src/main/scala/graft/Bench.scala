@@ -72,7 +72,19 @@ object Bench {
       "q_lang_id", "q_pagerank", "q_triangles", "q_vocab_growth",
       "q_try_arith", "q_dedup_simhash", "q_regr", "q_rolling_median",
       "q_ewma", "q_interpolate", "q_linreg2", "q_theil_sen",
-      "q_dau_wau", "q_emb_quantize").zipWithIndex.toMap
+      "q_dau_wau", "q_emb_quantize",
+      // round-4 360-entry refresh: the alphabetical tail (p–s) had
+      // clustered the newer heavy aggregates into one contended wave;
+      // front-loading them spreads the load (measured clean run-3)
+      "q_partial_corr", "q_regr_metrics", "q_ship_latency", "q_sax",
+      "q_reorder_rate", "q_simpsons", "q_seasonal_strength",
+      "q_seasonal_decomp", "q_seq_trigram", "q_shapley", "q_scd2",
+      "q_sample_hash", "q_weighted_median", "q_silhouette",
+      "q_session_stats", "q_seq_adjacent", "q_backlog",
+      "q_weighted_quantile", "q_share_of_parent", "q_lorenz",
+      "q_runs_test", "q_jaccard_link", "q_cronbach",
+      "q_referential_check", "q_zscore_roll", "q_vocab_bandpass",
+      "q_ipf_rake", "q_graph_degree", "q_gains").zipWithIndex.toMap
     val entries = SparkEntry.queries.toSeq
       .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
       .sortBy { case (name, _) =>
