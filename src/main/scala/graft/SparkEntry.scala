@@ -55,7 +55,8 @@ object SparkEntry {
     MultivarQueries.queries ++ ClassMetricsQueries.queries ++
     EncodingEconQueries.queries ++ TextGraphQueries.queries ++
     VarTestQueries.queries ++ TpchQueries.queries ++
-    PairedTestQueries.queries ++ ReliabilityQueries.queries
+    PairedTestQueries.queries ++ ReliabilityQueries.queries ++
+    DiversityRetrievalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -106,5 +107,5 @@ object SparkEntry {
     ClassMetricsQueries.oracle ++ EncodingEconQueries.oracle ++
     TextGraphQueries.oracle ++ VarTestQueries.oracle ++
     TpchQueries.oracle ++ PairedTestQueries.oracle ++
-    ReliabilityQueries.oracle
+    ReliabilityQueries.oracle ++ DiversityRetrievalQueries.oracle
 }
