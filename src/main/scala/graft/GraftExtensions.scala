@@ -81,6 +81,21 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "space_tokens(s) takes 1 arg")
         graft.functions.expressions.SpaceTokens(args.head)
+      }),
+    (FunctionIdentifier("top_k_struct"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.TopKStruct].getName,
+        "top_k_struct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "top_k_struct(s, k) takes 2 args")
+        val k = args(1) match {
+          case e if e.foldable && e.dataType ==
+              org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"top_k_struct k must be a foldable int literal, got $other")
+        }
+        graft.functions.expressions.TopKStruct(args.head, k)
       }))
 
   /** Register the custom functions and planner strategies into a

@@ -56,7 +56,7 @@ object SparkEntry {
     EncodingEconQueries.queries ++ TextGraphQueries.queries ++
     VarTestQueries.queries ++ TpchQueries.queries ++
     PairedTestQueries.queries ++ ReliabilityQueries.queries ++
-    DiversityRetrievalQueries.queries
+    DiversityRetrievalQueries.queries ++ TopKAggQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -107,5 +107,6 @@ object SparkEntry {
     ClassMetricsQueries.oracle ++ EncodingEconQueries.oracle ++
     TextGraphQueries.oracle ++ VarTestQueries.oracle ++
     TpchQueries.oracle ++ PairedTestQueries.oracle ++
-    ReliabilityQueries.oracle ++ DiversityRetrievalQueries.oracle
+    ReliabilityQueries.oracle ++ DiversityRetrievalQueries.oracle ++
+    TopKAggQueries.oracle
 }
