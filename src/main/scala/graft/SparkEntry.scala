@@ -56,7 +56,8 @@ object SparkEntry {
     EncodingEconQueries.queries ++ TextGraphQueries.queries ++
     VarTestQueries.queries ++ TpchQueries.queries ++
     PairedTestQueries.queries ++ ReliabilityQueries.queries ++
-    DiversityRetrievalQueries.queries ++ TopKAggQueries.queries
+    DiversityRetrievalQueries.queries ++ TopKAggQueries.queries ++
+    MatchedRanksQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -108,5 +109,5 @@ object SparkEntry {
     TextGraphQueries.oracle ++ VarTestQueries.oracle ++
     TpchQueries.oracle ++ PairedTestQueries.oracle ++
     ReliabilityQueries.oracle ++ DiversityRetrievalQueries.oracle ++
-    TopKAggQueries.oracle
+    TopKAggQueries.oracle ++ MatchedRanksQueries.oracle
 }
