@@ -57,7 +57,7 @@ object SparkEntry {
     VarTestQueries.queries ++ TpchQueries.queries ++
     PairedTestQueries.queries ++ ReliabilityQueries.queries ++
     DiversityRetrievalQueries.queries ++ TopKAggQueries.queries ++
-    MatchedRanksQueries.queries
+    MatchedRanksQueries.queries ++ ExtremesQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -109,5 +109,6 @@ object SparkEntry {
     TextGraphQueries.oracle ++ VarTestQueries.oracle ++
     TpchQueries.oracle ++ PairedTestQueries.oracle ++
     ReliabilityQueries.oracle ++ DiversityRetrievalQueries.oracle ++
-    TopKAggQueries.oracle ++ MatchedRanksQueries.oracle
+    TopKAggQueries.oracle ++ MatchedRanksQueries.oracle ++
+    ExtremesQueries.oracle
 }
