@@ -57,7 +57,8 @@ object SparkEntry {
     VarTestQueries.queries ++ TpchQueries.queries ++
     PairedTestQueries.queries ++ ReliabilityQueries.queries ++
     DiversityRetrievalQueries.queries ++ TopKAggQueries.queries ++
-    MatchedRanksQueries.queries ++ ExtremesQueries.queries
+    MatchedRanksQueries.queries ++ ExtremesQueries.queries ++
+    PriceIndexQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -110,5 +111,5 @@ object SparkEntry {
     TpchQueries.oracle ++ PairedTestQueries.oracle ++
     ReliabilityQueries.oracle ++ DiversityRetrievalQueries.oracle ++
     TopKAggQueries.oracle ++ MatchedRanksQueries.oracle ++
-    ExtremesQueries.oracle
+    ExtremesQueries.oracle ++ PriceIndexQueries.oracle
 }
