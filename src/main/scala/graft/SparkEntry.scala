@@ -58,7 +58,7 @@ object SparkEntry {
     PairedTestQueries.queries ++ ReliabilityQueries.queries ++
     DiversityRetrievalQueries.queries ++ TopKAggQueries.queries ++
     MatchedRanksQueries.queries ++ ExtremesQueries.queries ++
-    PriceIndexQueries.queries
+    PriceIndexQueries.queries ++ SeqPatternQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -111,5 +111,6 @@ object SparkEntry {
     TpchQueries.oracle ++ PairedTestQueries.oracle ++
     ReliabilityQueries.oracle ++ DiversityRetrievalQueries.oracle ++
     TopKAggQueries.oracle ++ MatchedRanksQueries.oracle ++
-    ExtremesQueries.oracle ++ PriceIndexQueries.oracle
+    ExtremesQueries.oracle ++ PriceIndexQueries.oracle ++
+    SeqPatternQueries.oracle
 }
