@@ -58,7 +58,8 @@ object SparkEntry {
     PairedTestQueries.queries ++ ReliabilityQueries.queries ++
     DiversityRetrievalQueries.queries ++ TopKAggQueries.queries ++
     MatchedRanksQueries.queries ++ ExtremesQueries.queries ++
-    PriceIndexQueries.queries ++ SeqPatternQueries.queries
+    PriceIndexQueries.queries ++ SeqPatternQueries.queries ++
+    LlmExtraQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -112,5 +113,5 @@ object SparkEntry {
     ReliabilityQueries.oracle ++ DiversityRetrievalQueries.oracle ++
     TopKAggQueries.oracle ++ MatchedRanksQueries.oracle ++
     ExtremesQueries.oracle ++ PriceIndexQueries.oracle ++
-    SeqPatternQueries.oracle
+    SeqPatternQueries.oracle ++ LlmExtraQueries.oracle
 }
