@@ -59,7 +59,7 @@ object SparkEntry {
     DiversityRetrievalQueries.queries ++ TopKAggQueries.queries ++
     MatchedRanksQueries.queries ++ ExtremesQueries.queries ++
     PriceIndexQueries.queries ++ SeqPatternQueries.queries ++
-    LlmExtraQueries.queries
+    LlmExtraQueries.queries ++ InferExtraQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -113,5 +113,6 @@ object SparkEntry {
     ReliabilityQueries.oracle ++ DiversityRetrievalQueries.oracle ++
     TopKAggQueries.oracle ++ MatchedRanksQueries.oracle ++
     ExtremesQueries.oracle ++ PriceIndexQueries.oracle ++
-    SeqPatternQueries.oracle ++ LlmExtraQueries.oracle
+    SeqPatternQueries.oracle ++ LlmExtraQueries.oracle ++
+    InferExtraQueries.oracle
 }
