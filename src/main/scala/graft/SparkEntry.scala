@@ -59,7 +59,8 @@ object SparkEntry {
     DiversityRetrievalQueries.queries ++ TopKAggQueries.queries ++
     MatchedRanksQueries.queries ++ ExtremesQueries.queries ++
     PriceIndexQueries.queries ++ SeqPatternQueries.queries ++
-    LlmExtraQueries.queries ++ InferExtraQueries.queries
+    LlmExtraQueries.queries ++ InferExtraQueries.queries ++
+    GraphDistQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -114,5 +115,5 @@ object SparkEntry {
     TopKAggQueries.oracle ++ MatchedRanksQueries.oracle ++
     ExtremesQueries.oracle ++ PriceIndexQueries.oracle ++
     SeqPatternQueries.oracle ++ LlmExtraQueries.oracle ++
-    InferExtraQueries.oracle
+    InferExtraQueries.oracle ++ GraphDistQueries.oracle
 }
