@@ -60,7 +60,7 @@ object SparkEntry {
     MatchedRanksQueries.queries ++ ExtremesQueries.queries ++
     PriceIndexQueries.queries ++ SeqPatternQueries.queries ++
     LlmExtraQueries.queries ++ InferExtraQueries.queries ++
-    GraphDistQueries.queries
+    GraphDistQueries.queries ++ UncertaintyEconQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -115,5 +115,6 @@ object SparkEntry {
     TopKAggQueries.oracle ++ MatchedRanksQueries.oracle ++
     ExtremesQueries.oracle ++ PriceIndexQueries.oracle ++
     SeqPatternQueries.oracle ++ LlmExtraQueries.oracle ++
-    InferExtraQueries.oracle ++ GraphDistQueries.oracle
+    InferExtraQueries.oracle ++ GraphDistQueries.oracle ++
+    UncertaintyEconQueries.oracle
 }
