@@ -60,7 +60,8 @@ object SparkEntry {
     MatchedRanksQueries.queries ++ ExtremesQueries.queries ++
     PriceIndexQueries.queries ++ SeqPatternQueries.queries ++
     LlmExtraQueries.queries ++ InferExtraQueries.queries ++
-    GraphDistQueries.queries ++ UncertaintyEconQueries.queries
+    GraphDistQueries.queries ++ UncertaintyEconQueries.queries ++
+    CountDispersionQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -116,5 +117,5 @@ object SparkEntry {
     ExtremesQueries.oracle ++ PriceIndexQueries.oracle ++
     SeqPatternQueries.oracle ++ LlmExtraQueries.oracle ++
     InferExtraQueries.oracle ++ GraphDistQueries.oracle ++
-    UncertaintyEconQueries.oracle
+    UncertaintyEconQueries.oracle ++ CountDispersionQueries.oracle
 }
