@@ -61,7 +61,7 @@ object SparkEntry {
     PriceIndexQueries.queries ++ SeqPatternQueries.queries ++
     LlmExtraQueries.queries ++ InferExtraQueries.queries ++
     GraphDistQueries.queries ++ UncertaintyEconQueries.queries ++
-    CountDispersionQueries.queries
+    CountDispersionQueries.queries ++ EvennessQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -117,5 +117,6 @@ object SparkEntry {
     ExtremesQueries.oracle ++ PriceIndexQueries.oracle ++
     SeqPatternQueries.oracle ++ LlmExtraQueries.oracle ++
     InferExtraQueries.oracle ++ GraphDistQueries.oracle ++
-    UncertaintyEconQueries.oracle ++ CountDispersionQueries.oracle
+    UncertaintyEconQueries.oracle ++ CountDispersionQueries.oracle ++
+    EvennessQueries.oracle
 }
