@@ -61,7 +61,10 @@ object SparkEntry {
     PriceIndexQueries.queries ++ SeqPatternQueries.queries ++
     LlmExtraQueries.queries ++ InferExtraQueries.queries ++
     GraphDistQueries.queries ++ UncertaintyEconQueries.queries ++
-    CountDispersionQueries.queries ++ EvennessQueries.queries
+    CountDispersionQueries.queries ++ EvennessQueries.queries ++
+    TpchExtraQueries.queries ++ InventoryEconQueries.queries ++
+    GraphShapeQueries.queries ++ TailRiskQueries.queries ++
+    InequalityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -118,5 +121,7 @@ object SparkEntry {
     SeqPatternQueries.oracle ++ LlmExtraQueries.oracle ++
     InferExtraQueries.oracle ++ GraphDistQueries.oracle ++
     UncertaintyEconQueries.oracle ++ CountDispersionQueries.oracle ++
-    EvennessQueries.oracle
+    EvennessQueries.oracle ++ TpchExtraQueries.oracle ++
+    InventoryEconQueries.oracle ++ GraphShapeQueries.oracle ++
+    TailRiskQueries.oracle ++ InequalityQueries.oracle
 }
