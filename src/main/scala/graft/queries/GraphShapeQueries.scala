@@ -75,8 +75,8 @@ object GraphShapeQueries {
   }
 
   val graphShapeOracle: String =
-    s"""WITH e AS ($edgesSql),
-      |simple AS (SELECT src, dst FROM e WHERE src <> dst),
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+      |simple AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
       |nodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM
       |  (SELECT src AS v FROM e UNION SELECT dst FROM e)),
       |m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM simple),
@@ -135,14 +135,14 @@ object GraphShapeQueries {
   }
 
   val assortativityOracle: String =
-    s"""WITH e AS ($edgesSql),
-      |raw AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+      |raw AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
       |    CAST(sum(w) AS BIGINT) AS w
       |  FROM e WHERE src <> dst GROUP BY 1, 2),
       |thr AS (SELECT avg(w) AS mw FROM raw),
-      |und AS (SELECT a, b FROM raw, thr
+      |und AS MATERIALIZED (SELECT a, b FROM raw, thr
       |  WHERE CAST(w AS DOUBLE) >= 1.1*mw),
-      |stubs AS (SELECT a AS u, b AS v FROM und
+      |stubs AS MATERIALIZED (SELECT a AS u, b AS v FROM und
       |  UNION ALL SELECT b AS u, a AS v FROM und),
       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
       |  FROM stubs GROUP BY 1),
@@ -210,8 +210,8 @@ object GraphShapeQueries {
   }
 
   val modularityOracle: String =
-    s"""WITH e0 AS ($edgesSql),
-      |e AS (SELECT e0.*, ns.n_regionkey AS r_src, nd.n_regionkey AS r_dst
+    s"""WITH e0 AS MATERIALIZED ($edgesSql),
+      |e AS MATERIALIZED (SELECT e0.*, ns.n_regionkey AS r_src, nd.n_regionkey AS r_dst
       |  FROM e0 JOIN nation ns ON ns.n_nationkey = e0.src
       |  JOIN nation nd ON nd.n_nationkey = e0.dst),
       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM e),
