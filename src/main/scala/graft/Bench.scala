@@ -84,7 +84,16 @@ object Bench {
       "q_weighted_quantile", "q_share_of_parent", "q_lorenz",
       "q_runs_test", "q_jaccard_link", "q_cronbach",
       "q_referential_check", "q_zscore_roll", "q_vocab_bandpass",
-      "q_ipf_rake", "q_graph_degree", "q_gains").zipWithIndex.toMap
+      "q_ipf_rake", "q_graph_degree", "q_gains",
+      // round-4 427-entry refresh: the new iterative/corpus-heavy
+      // families front-load too (token self-joins, power iterations,
+      // BFS closure, greedy MMR rounds, TPC-H 5-way trees)
+      "q_containment", "q_yule_k", "q_heaps_fit", "q_hurst",
+      "q_mmr_select", "q_tpch_q9", "q_tpch_q8", "q_tpch_q7",
+      "q_closeness", "q_eigenvector", "q_jonckheere", "q_logrank",
+      "q_t_closeness", "q_growth_acct", "q_markov_stationary",
+      "q_cooks_d", "q_isotonic", "q_modularity", "q_assortativity")
+      .zipWithIndex.toMap
     val entries = SparkEntry.queries.toSeq
       .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
       .sortBy { case (name, _) =>
