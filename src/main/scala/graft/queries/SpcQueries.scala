@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-4 widening #80: statistical process control — the
+  * individuals (X/MR) control chart over each type's daily activity
+  * with out-of-limit and longest-run-one-side signals, and the
+  * process-capability indices Cp / Cpk against fixed spec limits
+  * (the manufacturing-ops view the monitoring shelf was missing).
+  *
+  * Scale notes (100 TB): both live on the bounded (type, day) grid;
+  * moving ranges and run lengths use type-partitioned windows only
+  * (the run-length "islands" come from the two-row_number gap trick,
+  * both partitioned); capability is a single decimal-moment fold.
+  *
+  * Determinism: daily values pinned at 4dp; moving ranges at 4dp into
+  * decimal sums; 2.66 / 3.0 / 6.0 constants exact; sqrt IEEE-exact;
+  * final 6dp. */
+object SpcQueries {
+
+  private def daily(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type").as("t"), to_date(col("ts2")).as("day"))
+      .agg(round(graft.Determinism.dsum(col("value")), 4).as("v"))
+
+  private val dailySql: String =
+    """SELECT event_type AS t, CAST(ts AS DATE) AS day,
+      |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS v
+      |  FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q_control_chart — per type: the individuals-chart panel
+    * (centerline, average moving range, UCL/LCL at ±2.66·MR̄),
+    * out-of-limit day counts, and the longest run of consecutive
+    * days on one side of the centerline (the classic runs-rule
+    * signal). */
+  def controlChart(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("t")).orderBy(col("day"))
+    val base = daily(s, d)
+      .withColumn("mr", round(abs(col("v") - lag(col("v"), 1).over(w)), 4))
+    val stats = base.groupBy(col("t")).agg(
+      count(lit(1)).as("n_days"),
+      round(sum(col("v").cast("decimal(18,4)")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("center"),
+      round(sum(col("mr").cast("decimal(18,4)")).cast("double")
+        / count(col("mr")).cast("double"), 6).as("mr_bar"))
+    val limits = stats.select(col("t"), col("n_days"), col("center"),
+      col("mr_bar"),
+      round(col("center") + lit(2.66) * col("mr_bar"), 6).as("ucl"),
+      round(col("center") - lit(2.66) * col("mr_bar"), 6).as("lcl"))
+    val flagged = base.join(broadcast(limits), "t")
+      .withColumn("side", when(col("v") > col("center"), lit(1))
+        .when(col("v") < col("center"), lit(-1)).otherwise(lit(0)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rns", row_number().over(
+        Window.partitionBy(col("t"), col("side")).orderBy(col("day"))))
+    val runs = flagged.filter(col("side") =!= 0)
+      .groupBy(col("t"), col("side"), (col("rn") - col("rns")).as("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("t")).agg(max(col("len")).as("max_run"))
+    val oob = flagged.groupBy(col("t")).agg(
+      count(when(col("v") > col("ucl"), lit(1))).as("n_above_ucl"),
+      count(when(col("v") < col("lcl"), lit(1))).as("n_below_lcl"))
+    limits.join(oob, "t").join(runs, "t")
+      .select(col("t"), col("n_days"), col("center"), col("mr_bar"),
+        col("ucl"), col("lcl"), col("n_above_ucl"), col("n_below_lcl"),
+        col("max_run"))
+      .orderBy(col("t"))
+  }
+
+  val controlChartOracle: String =
+    s"""WITH daily AS ($dailySql),
+      |base AS (SELECT t, day, v,
+      |    round(abs(v - lag(v) OVER (PARTITION BY t ORDER BY day)), 4)
+      |      AS mr
+      |  FROM daily),
+      |stats AS (SELECT t, CAST(count(*) AS BIGINT) AS n_days,
+      |    round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+      |      /CAST(count(*) AS DOUBLE), 6) AS center,
+      |    round(CAST(sum(CAST(mr AS DECIMAL(18,4))) AS DOUBLE)
+      |      /CAST(count(mr) AS DOUBLE), 6) AS mr_bar
+      |  FROM base GROUP BY 1),
+      |limits AS (SELECT t, n_days, center, mr_bar,
+      |    round(center + 2.66*mr_bar, 6) AS ucl,
+      |    round(center - 2.66*mr_bar, 6) AS lcl
+      |  FROM stats),
+      |flagged AS (SELECT base.t, day, v, center, ucl, lcl,
+      |    CASE WHEN v > center THEN 1 WHEN v < center THEN -1
+      |      ELSE 0 END AS side,
+      |    row_number() OVER (PARTITION BY base.t ORDER BY day) AS rn,
+      |    row_number() OVER (PARTITION BY base.t,
+      |      CASE WHEN v > center THEN 1 WHEN v < center THEN -1
+      |        ELSE 0 END ORDER BY day) AS rns
+      |  FROM base JOIN limits ON limits.t = base.t),
+      |runs AS (SELECT t, CAST(max(len) AS BIGINT) AS max_run
+      |  FROM (SELECT t, side, rn - rns AS grp,
+      |      CAST(count(*) AS BIGINT) AS len
+      |    FROM flagged WHERE side <> 0 GROUP BY 1, 2, 3)
+      |  GROUP BY 1),
+      |oob AS (SELECT t,
+      |    CAST(count(CASE WHEN v > ucl THEN 1 END) AS BIGINT)
+      |      AS n_above_ucl,
+      |    CAST(count(CASE WHEN v < lcl THEN 1 END) AS BIGINT)
+      |      AS n_below_lcl
+      |  FROM flagged GROUP BY 1)
+      |SELECT limits.t, n_days, center, mr_bar, ucl, lcl,
+      |  n_above_ucl, n_below_lcl, max_run
+      |FROM limits JOIN oob ON oob.t = limits.t
+      |JOIN runs ON runs.t = limits.t
+      |ORDER BY limits.t""".stripMargin
+
+  /** q_cpk — process capability of the raw event value stream per
+    * type against spec limits [0, 100]: Cp = (USL−LSL)/6σ,
+    * Cpk = min(USL−μ, μ−LSL)/3σ (sample σ from decimal moments). */
+  def cpk(s: SparkSession, d: String): DataFrame = {
+    val m = events(s, d).groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,6)")).as("sx"),
+      sum(round(col("value") * col("value"), 6).cast("decimal(27,6)"))
+        .as("sxx"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+    val mu = sx / nD
+    val sigma = sqrt(round((nD * sxx - sx * sx)
+      / (nD * (nD - lit(1.0))), 8))
+    m.select(col("event_type"), col("n"), round(mu, 6).as("mu"),
+        round(sigma, 6).as("sigma"),
+        round(lit(100.0) / (lit(6.0) * sigma), 6).as("cp"),
+        round(least(lit(100.0) - mu, mu) / (lit(3.0) * sigma), 6)
+          .as("cpk"))
+      .orderBy(col("event_type"))
+  }
+
+  val cpkOracle: String =
+    """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(round(value*value, 6) AS DECIMAL(27,6)))
+      |      AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n,
+      |  round(sx/CAST(n AS DOUBLE), 6) AS mu,
+      |  round(sqrt(round((CAST(n AS DOUBLE)*sxx - sx*sx)
+      |    /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)), 8)), 6)
+      |    AS sigma,
+      |  round(100.0/(6.0*sqrt(round((CAST(n AS DOUBLE)*sxx - sx*sx)
+      |    /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)), 8))), 6) AS cp,
+      |  round(least(100.0 - sx/CAST(n AS DOUBLE), sx/CAST(n AS DOUBLE))
+      |    /(3.0*sqrt(round((CAST(n AS DOUBLE)*sxx - sx*sx)
+      |      /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)), 8))), 6)
+      |    AS cpk
+      |FROM m ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_control_chart" -> (controlChart _),
+    "q_cpk" -> (cpk _))
+
+  val oracle: Map[String, String] = Map(
+    "q_control_chart" -> controlChartOracle,
+    "q_cpk" -> cpkOracle)
+}
