@@ -96,6 +96,34 @@ object GraftExtensions {
             s"top_k_struct k must be a foldable int literal, got $other")
         }
         graft.functions.expressions.TopKStruct(args.head, k)
+      }),
+    (FunctionIdentifier("hist_fixed"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.HistFixed].getName,
+        "hist_fixed"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "hist_fixed(x, lo, hi, bins) takes 4 args")
+        def dbl(e: Expression, what: String): Double = e match {
+          case f if f.foldable =>
+            f.eval() match {
+              case d: java.lang.Double => d
+              case n: Number => n.doubleValue()
+              case other => throw new IllegalArgumentException(
+                s"hist_fixed $what must be numeric, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"hist_fixed $what must be a foldable literal, got $other")
+        }
+        val bins = args(3) match {
+          case e if e.foldable && e.dataType ==
+              org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"hist_fixed bins must be a foldable int literal, got $other")
+        }
+        graft.functions.expressions.HistFixed(args.head,
+          dbl(args(1), "lo"), dbl(args(2), "hi"), bins)
       }))
 
   /** Register the custom functions and planner strategies into a
