@@ -152,11 +152,105 @@ object SpcQueries {
       |    AS cpk
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** q_cusum — tabular CUSUM per type over the daily values, WITHOUT
+    * the sequential recurrence: S⁺_i = max(0, S⁺_{i-1} + (x−μ−k)) is
+    * algebraically P_i − min(0, min_{j≤i} P_j) for P = the prefix sum
+    * of (x−μ−k), so both one-sided CUSUMs come from ONE
+    * type-partitioned cumulative-sum + running-min pass over exact
+    * decimals — the same distributed shape as every other chart here,
+    * where the textbook loop is unparallelizable. Reports the
+    * decision-interval (h = 4σ) signal count, extremes, and first
+    * alarm day per type. */
+  def cusum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("t")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = daily(s, d).groupBy(col("t")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("v").cast("decimal(18,4)")).as("sv"),
+      sum((col("v") * col("v")).cast("decimal(27,8)")).as("svv"))
+    def f(c: String) = col(c).cast("double")
+    val nD = col("n_days").cast("double")
+    val mu = round(f("sv") / nD, 8)
+    val sd = round(sqrt(round((nD * f("svv") - f("sv") * f("sv"))
+      / (nD * (nD - lit(1.0))), 8)), 8)
+    val lim = stats.select(col("t"), col("n_days"), mu.as("mu"),
+      round(lit(0.5) * sd, 8).as("k"), round(lit(4.0) * sd, 8).as("h"))
+    val zero = lit(BigDecimal(0)).cast("decimal(27,8)")
+    val walk = daily(s, d).join(broadcast(lim), "t")
+      .withColumn("tu", round(col("v") - col("mu") - col("k"), 8)
+        .cast("decimal(27,8)"))
+      .withColumn("td", round(col("mu") - col("k") - col("v"), 8)
+        .cast("decimal(27,8)"))
+      .withColumn("pu", sum(col("tu")).over(w))
+      .withColumn("pd", sum(col("td")).over(w))
+      .withColumn("sp", round((col("pu")
+        - least(zero, min(col("pu")).over(w))).cast("double"), 6))
+      .withColumn("sm", round((col("pd")
+        - least(zero, min(col("pd")).over(w))).cast("double"), 6))
+    walk.groupBy(col("t")).agg(
+        first(col("n_days")).as("n_days"),
+        first(col("h")).as("h"),
+        max(col("sp")).as("max_sp"),
+        max(col("sm")).as("max_sm"),
+        count(when(col("sp") > col("h") || col("sm") > col("h"), lit(1)))
+          .as("n_signal"),
+        min(when(col("sp") > col("h") || col("sm") > col("h"),
+          col("day"))).as("first_signal_day"))
+      .orderBy(col("t"))
+  }
+
+  val cusumOracle: String =
+    s"""WITH d AS ($dailySql),
+       |m AS (SELECT t, CAST(count(*) AS BIGINT) AS n_days,
+       |    sum(CAST(v AS DECIMAL(18,4))) AS sv,
+       |    sum(CAST(v*v AS DECIMAL(27,8))) AS svv
+       |  FROM d GROUP BY t),
+       |lim AS (SELECT t, n_days,
+       |    round(CAST(sv AS DOUBLE)/CAST(n_days AS DOUBLE), 8) AS mu,
+       |    round(0.5*round(sqrt(round((CAST(n_days AS DOUBLE)
+       |      *CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))
+       |      /(CAST(n_days AS DOUBLE)*(CAST(n_days AS DOUBLE) - 1.0)),
+       |      8)), 8), 8) AS k,
+       |    round(4.0*round(sqrt(round((CAST(n_days AS DOUBLE)
+       |      *CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))
+       |      /(CAST(n_days AS DOUBLE)*(CAST(n_days AS DOUBLE) - 1.0)),
+       |      8)), 8), 8) AS h
+       |  FROM m),
+       |walk AS (SELECT d.t, d.day, lim.n_days, lim.h,
+       |    CAST(round(v - mu - k, 8) AS DECIMAL(27,8)) AS tu,
+       |    CAST(round(mu - k - v, 8) AS DECIMAL(27,8)) AS td
+       |  FROM d JOIN lim ON lim.t = d.t),
+       |pfx AS (SELECT t, day, n_days, h,
+       |    sum(tu) OVER (PARTITION BY t ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+       |    sum(td) OVER (PARTITION BY t ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd
+       |  FROM walk),
+       |s AS (SELECT t, day, n_days, h,
+       |    round(CAST(pu - least(CAST(0 AS DECIMAL(27,8)),
+       |      min(pu) OVER (PARTITION BY t ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |      AS DOUBLE), 6) AS sp,
+       |    round(CAST(pd - least(CAST(0 AS DECIMAL(27,8)),
+       |      min(pd) OVER (PARTITION BY t ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |      AS DOUBLE), 6) AS sm
+       |  FROM pfx)
+       |SELECT t, any_value(n_days) AS n_days, any_value(h) AS h,
+       |  max(sp) AS max_sp, max(sm) AS max_sm,
+       |  CAST(count(CASE WHEN sp > h OR sm > h THEN 1 END) AS BIGINT)
+       |    AS n_signal,
+       |  min(CASE WHEN sp > h OR sm > h THEN day END)
+       |    AS first_signal_day
+       |FROM s GROUP BY t ORDER BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_control_chart" -> (controlChart _),
-    "q_cpk" -> (cpk _))
+    "q_cpk" -> (cpk _),
+    "q_cusum" -> (cusum _))
 
   val oracle: Map[String, String] = Map(
     "q_control_chart" -> controlChartOracle,
-    "q_cpk" -> cpkOracle)
+    "q_cpk" -> cpkOracle,
+    "q_cusum" -> cusumOracle)
 }
