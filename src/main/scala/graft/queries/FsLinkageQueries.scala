@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-4 widening #97: Fellegi–Sunter probabilistic record linkage
+  * — the classic match/non-match log-likelihood-ratio scorer behind
+  * every entity-resolution pipeline, beside the string-similarity
+  * shelf (q_fuzzy_match / q_fuzzy_jw) and the dedup family.
+  *
+  * Setup: customer self-linkage blocked by nation. Three comparison
+  * fields — market segment, account-balance thousand-band, and the
+  * name's trailing two digits. u-probabilities (chance agreement
+  * between NON-matches) are estimated from the data the standard way,
+  * u = Σ_v p_v² over each field's value distribution; m-probabilities
+  * are fixed literals (0.95/0.85/0.7). Agreement carries
+  * w⁺ = ln(m/u), disagreement w⁻ = ln((1−m)/(1−u)).
+  *
+  * Scale notes (100 TB): u-estimation is three tiny keyed
+  * contractions (field-value marginals) crossed into ONE broadcast
+  * weight row; candidate generation is the BLOCKED self-join on the
+  * nation key (never all-pairs — the block bound is the contract,
+  * like q_dedup_editdist's blocking); scoring is a codegen'd
+  * projection; the report is a TakeOrderedAndProject top-10.
+  *
+  * Determinism (D1–D5): marginal shares round at 10dp before
+  * squaring into exact decimal sums; weights are house-ln on
+  * 10dp-rounded ratios, rounded at 8dp; pair totals are sums of ≤3
+  * rounded weights, rounded at 6dp, with the (c1, c2) key pair as
+  * the total tiebreak. */
+object FsLinkageQueries {
+
+  private val M = Seq("seg" -> 0.95, "bal" -> 0.85, "dig" -> 0.7)
+
+  /** Broadcastable 1-row u-probability frame (u_seg, u_bal, u_dig). */
+  private def uStats(s: SparkSession, d: String): DataFrame = {
+    def u(field: String, c: org.apache.spark.sql.Column): DataFrame = {
+      val n = customer(s, d).agg(count(lit(1)).as("n"))
+      customer(s, d).select(c.as("v")).groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .select(round(col("cnt").cast("double")
+          / col("n").cast("double"), 10).as("p"))
+        .agg(round(sum(round(col("p") * col("p"), 12)
+          .cast("decimal(18,12)")).cast("double"), 10).as(s"u_$field"))
+    }
+    u("seg", col("c_mktsegment"))
+      .crossJoin(broadcast(u("bal",
+        floor(col("c_acctbal") / 1000.0).cast("int"))))
+      .crossJoin(broadcast(u("dig", substring(col("c_name"), -2, 2))))
+  }
+
+  private val uStatsSql: String =
+    """nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+      |useg AS (SELECT round(CAST(sum(CAST(round(p*p, 12)
+      |      AS DECIMAL(18,12))) AS DOUBLE), 10) AS u_seg
+      |  FROM (SELECT round(CAST(count(*) AS DOUBLE)
+      |      /CAST(any_value(nn.n) AS DOUBLE), 10) AS p
+      |    FROM customer, nn GROUP BY c_mktsegment)),
+      |ubal AS (SELECT round(CAST(sum(CAST(round(p*p, 12)
+      |      AS DECIMAL(18,12))) AS DOUBLE), 10) AS u_bal
+      |  FROM (SELECT round(CAST(count(*) AS DOUBLE)
+      |      /CAST(any_value(nn.n) AS DOUBLE), 10) AS p
+      |    FROM customer, nn
+      |    GROUP BY CAST(floor(c_acctbal/1000.0) AS INT))),
+      |udig AS (SELECT round(CAST(sum(CAST(round(p*p, 12)
+      |      AS DECIMAL(18,12))) AS DOUBLE), 10) AS u_dig
+      |  FROM (SELECT round(CAST(count(*) AS DOUBLE)
+      |      /CAST(any_value(nn.n) AS DOUBLE), 10) AS p
+      |    FROM customer, nn
+      |    GROUP BY substr(c_name, length(c_name) - 1, 2)))""".stripMargin
+
+  /** q_fs_weights — the Fellegi–Sunter weight table: per field, the
+    * estimated u, the fixed m, and the agreement / disagreement
+    * log-likelihood weights. */
+  def fsWeights(s: SparkSession, d: String): DataFrame = {
+    val u = uStats(s, d)
+    val rows = M.map { case (field, m) =>
+      u.select(lit(field).as("field"), lit(m).as("m"),
+        col(s"u_$field").as("u"),
+        round(log(round(lit(m) / col(s"u_$field"), 10)), 8).as("w_agree"),
+        round(log(round((lit(1.0) - lit(m))
+          / (lit(1.0) - col(s"u_$field")), 10)), 8).as("w_disagree"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("field"))
+  }
+
+  val fsWeightsOracle: String = {
+    val rows = M.map { case (field, m) =>
+      s"""SELECT '$field' AS field, CAST($m AS DOUBLE) AS m,
+         |  u_$field AS u,
+         |  round(ln(round($m/u_$field, 10)), 8) AS w_agree,
+         |  round(ln(round((1.0 - $m)/(1.0 - u_$field), 10)), 8)
+         |    AS w_disagree
+         |FROM useg, ubal, udig""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $uStatsSql
+       |SELECT * FROM ($rows) w ORDER BY field""".stripMargin
+  }
+
+  /** q_fs_linkage — top-10 nation-blocked customer pairs by total FS
+    * match weight (never all-pairs: the nation block bounds the
+    * candidate join). */
+  def fsLinkage(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).select(col("c_custkey"),
+      col("c_nationkey"), col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 1000.0).cast("int").as("bal"),
+      substring(col("c_name"), -2, 2).as("dig"))
+    val a = cust.toDF("c1", "nk", "seg1", "bal1", "dig1")
+    val b = cust.toDF("c2", "nk2", "seg2", "bal2", "dig2")
+    def w(agree: org.apache.spark.sql.Column, m: Double, u: String) =
+      when(agree, round(log(round(lit(m) / col(u), 10)), 8))
+        .otherwise(round(log(round(lit(1.0 - m)
+          / (lit(1.0) - col(u)), 10)), 8))
+    a.join(b, col("nk") === col("nk2") && col("c1") < col("c2"))
+      .crossJoin(broadcast(uStats(s, d)))
+      .select(col("c1"), col("c2"),
+        (when(col("seg1") === col("seg2"), 1).otherwise(0)
+          + when(col("bal1") === col("bal2"), 1).otherwise(0)
+          + when(col("dig1") === col("dig2"), 1).otherwise(0))
+          .as("n_agree"),
+        round(w(col("seg1") === col("seg2"), 0.95, "u_seg")
+          + w(col("bal1") === col("bal2"), 0.85, "u_bal")
+          + w(col("dig1") === col("dig2"), 0.7, "u_dig"), 6)
+          .as("w_total"))
+      .orderBy(col("w_total").desc, col("c1"), col("c2"))
+      .limit(10)
+  }
+
+  val fsLinkageOracle: String =
+    s"""WITH $uStatsSql,
+       |cust AS (SELECT c_custkey, c_nationkey,
+       |    c_mktsegment AS seg,
+       |    CAST(floor(c_acctbal/1000.0) AS INT) AS bal,
+       |    substr(c_name, length(c_name) - 1, 2) AS dig
+       |  FROM customer),
+       |pairs AS (SELECT a.c_custkey AS c1, b.c_custkey AS c2,
+       |    (CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END
+       |      + CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END
+       |      + CASE WHEN a.dig = b.dig THEN 1 ELSE 0 END) AS n_agree,
+       |    round(
+       |      CASE WHEN a.seg = b.seg
+       |        THEN round(ln(round(0.95/u_seg, 10)), 8)
+       |        ELSE round(ln(round((1.0 - 0.95)/(1.0 - u_seg), 10)), 8) END
+       |      + CASE WHEN a.bal = b.bal
+       |        THEN round(ln(round(0.85/u_bal, 10)), 8)
+       |        ELSE round(ln(round((1.0 - 0.85)/(1.0 - u_bal), 10)), 8) END
+       |      + CASE WHEN a.dig = b.dig
+       |        THEN round(ln(round(0.7/u_dig, 10)), 8)
+       |        ELSE round(ln(round((1.0 - 0.7)/(1.0 - u_dig), 10)), 8) END,
+       |      6) AS w_total
+       |  FROM cust a JOIN cust b
+       |    ON a.c_nationkey = b.c_nationkey
+       |    AND a.c_custkey < b.c_custkey,
+       |    useg, ubal, udig)
+       |SELECT c1, c2, n_agree, w_total
+       |FROM pairs ORDER BY w_total DESC, c1, c2 LIMIT 10""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fs_weights" -> (fsWeights _),
+    "q_fs_linkage" -> (fsLinkage _))
+
+  val oracle: Map[String, String] = Map(
+    "q_fs_weights" -> fsWeightsOracle,
+    "q_fs_linkage" -> fsLinkageOracle)
+}
