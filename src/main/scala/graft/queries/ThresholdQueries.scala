@@ -38,7 +38,7 @@ object ThresholdQueries {
       Seq("ccnt" -> col("cnt"), "cpos" -> col("pos")))
     val tot = byVal.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("p"))
     cum.crossJoin(broadcast(tot))
-      .select(col("value").as("thr"),
+      .select(col("value").as("thr"), col("pos").as("pos_at"),
         (col("p") - col("cpos") + col("pos")).as("tp"),
         (col("n") - col("ccnt") + col("cnt")
           - (col("p") - col("cpos") + col("pos"))).as("fp"),
@@ -57,7 +57,7 @@ object ThresholdQueries {
       |  FROM byval),
       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
       |    CAST(sum(pos) AS BIGINT) AS p FROM byval)
-      |SELECT thr, p - cpos + pos AS tp,
+      |SELECT thr, pos AS pos_at, p - cpos + pos AS tp,
       |  n - ccnt + cnt - (p - cpos + pos) AS fp,
       |  n, p, p - (p - cpos + pos) AS fn
       |FROM cum, tot""".stripMargin
@@ -166,13 +166,41 @@ object ThresholdQueries {
       |  w0, mu0, mu1, bcv
       |FROM scored ORDER BY bcv DESC, bin LIMIT 1""".stripMargin
 
+  /** q_pr_auc — average precision (the PR-curve area) WITHOUT any
+    * ordered traversal: AP = Σ_t (pos(t)/P)·precision(t) over the
+    * distinct-score sweep — ΔRecall at threshold t is just that
+    * score's positive share, so the whole integral is one
+    * order-independent aggregation over the contracted domain (where
+    * the textbook formulation walks the ranking sequentially). */
+  def prAuc(s: SparkSession, d: String): DataFrame = {
+    def f(c: String) = col(c).cast("double")
+    sweep(s, d)
+      .withColumn("term", round((f("pos_at") / f("p"))
+        * (f("tp") / (f("tp") + f("fp"))), 12))
+      .agg(first(col("p")).as("n_pos"),
+        round(sum(col("term").cast("decimal(18,12)")).cast("double"), 8)
+          .as("pr_auc"))
+  }
+
+  val prAucOracle: String =
+    s"""WITH s AS ($sweepSql)
+       |SELECT any_value(p) AS n_pos,
+       |  round(CAST(sum(CAST(round((CAST(pos_at AS DOUBLE)
+       |      /CAST(p AS DOUBLE))
+       |    *(CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)
+       |      + CAST(fp AS DOUBLE))), 12) AS DECIMAL(18,12)))
+       |    AS DOUBLE), 8) AS pr_auc
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_best_f1" -> (bestF1 _),
     "q_youden_j" -> (youdenJ _),
-    "q_otsu" -> (otsu _))
+    "q_otsu" -> (otsu _),
+    "q_pr_auc" -> (prAuc _))
 
   val oracle: Map[String, String] = Map(
     "q_best_f1" -> bestF1Oracle,
     "q_youden_j" -> youdenJOracle,
-    "q_otsu" -> otsuOracle)
+    "q_otsu" -> otsuOracle,
+    "q_pr_auc" -> prAucOracle)
 }
