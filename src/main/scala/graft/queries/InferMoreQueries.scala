@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-4 widening #101: three inference completions — Dunn's
+  * post-hoc pairwise z statistics (the follow-up q_kruskal_wallis
+  * needs before any group difference can be claimed), the TOST
+  * equivalence test (two one-sided Welch t's against ±δ bounds —
+  * "statistically the same" is NOT a failed difference test), and
+  * Neyman optimal stratified-sample allocation (the survey-design
+  * complement to q_sample_stratified).
+  *
+  * Scale notes (100 TB): Dunn reuses the q_auc shape — the relation
+  * contracts to per-distinct-value counts, global midranks come from
+  * PrefixOps' distributed prefix sums over that contracted domain,
+  * per-group rank sums are one keyed aggregation, and the pairwise
+  * z's evaluate on the |types|² broadcast grid. TOST and Neyman are
+  * single decimal moment folds (per cohort / per stratum).
+  *
+  * Determinism (D1–D5): midranks exact at .5 into decimal sums; tie
+  * correction Σ(f³−f) exact BIGINT; all ratios spelled in one shared
+  * expression order with 8dp rounds before sqrt; allocation counts
+  * integer-rounded identically from 6dp-rounded shares. */
+object InferMoreQueries {
+
+  /** q_dunn — pairwise Dunn z over event types: z_ij =
+    * (R̄_i−R̄_j)/√((N(N+1)/12 − T/(12(N−1)))(1/n_i+1/n_j)). */
+  def dunn(s: SparkSession, d: String): DataFrame = {
+    val byVal = events(s, d).select(col("event_type"), col("value"))
+      .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+    val cum = graft.operators.PrefixOps.runningSums(byVal,
+      col("value"), Seq(col("value")), Seq("ccnt" -> col("cnt")))
+      .withColumn("midrank",
+        (col("ccnt") - col("cnt") + 1 + (col("cnt") - 1) / lit(2.0))
+          .cast("decimal(18,2)"))
+    val perType = events(s, d).select(col("event_type").as("t"),
+        col("value"))
+      .join(cum.select(col("value"), col("midrank")), "value")
+      .groupBy(col("t")).agg(count(lit(1)).as("n_g"),
+        sum(col("midrank")).as("rsum"))
+      .select(col("t"), col("n_g"),
+        round(col("rsum").cast("double") / col("n_g").cast("double"), 8)
+          .as("rbar"))
+    val tot = byVal.agg(sum(col("cnt")).as("n"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie"))
+    def f(c: String) = col(c).cast("double")
+    val a = perType.select(col("t").as("t1"), col("n_g").as("n1"),
+      col("rbar").as("r1"))
+    val b = perType.select(col("t").as("t2"), col("n_g").as("n2"),
+      col("rbar").as("r2"))
+    a.join(b, col("t1") < col("t2")).crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"),
+        round((col("r1") - col("r2"))
+          / sqrt(round((f("n") * (f("n") + lit(1.0)) / lit(12.0)
+            - f("tie") / (lit(12.0) * (f("n") - lit(1.0))))
+            * (lit(1.0) / f("n1") + lit(1.0) / f("n2")), 8)), 6).as("z"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  val dunnOracle: String =
+    """WITH byval AS (SELECT value, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |cum AS (SELECT value, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY value) AS BIGINT) AS ccnt
+      |  FROM byval),
+      |mr AS (SELECT value,
+      |    CAST(ccnt - cnt + 1 + (cnt - 1)/2.0 AS DECIMAL(18,2))
+      |      AS midrank
+      |  FROM cum),
+      |pt AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n_g,
+      |    round(CAST(sum(midrank) AS DOUBLE)/CAST(count(*) AS DOUBLE), 8)
+      |      AS rbar
+      |  FROM events JOIN mr ON mr.value = events.value
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |    CAST(sum(cnt*cnt*cnt - cnt) AS BIGINT) AS tie FROM byval)
+      |SELECT a.t AS t1, b.t AS t2,
+      |  round((a.rbar - b.rbar)
+      |    /sqrt(round((CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) + 1.0)/12.0
+      |      - CAST(tie AS DOUBLE)/(12.0*(CAST(n AS DOUBLE) - 1.0)))
+      |      *(1.0/CAST(a.n_g AS DOUBLE) + 1.0/CAST(b.n_g AS DOUBLE)),
+      |      8)), 6) AS z
+      |FROM pt a JOIN pt b ON a.t < b.t, tot
+      |ORDER BY t1, t2""".stripMargin
+
+  /** q_tost — Welch-t equivalence of weekend vs weekday event value
+    * within ±δ=5: both one-sided t's must clear ±1.645. */
+  def tost(s: SparkSession, d: String): DataFrame = {
+    val m = events(s, d)
+      .select(dayofweek(to_date(col("ts2"))).isin(1, 7).as("wk"),
+        col("value"))
+      .groupBy(col("wk")).agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"),
+        sum((col("value") * col("value")).cast("decimal(27,4)")).as("svv"))
+    def f(c: String) = col(c).cast("double")
+    val stats = m.select(col("wk"), col("n"),
+      round(f("sv") / f("n"), 8).as("mu"),
+      round((f("n") * f("svv") - f("sv") * f("sv"))
+        / (f("n") * (f("n") - lit(1.0))), 8).as("s2"))
+    val a = stats.filter(col("wk")).select(col("n").as("n1"),
+      col("mu").as("mu1"), col("s2").as("s21"))
+    val b = stats.filter(!col("wk")).select(col("n").as("n2"),
+      col("mu").as("mu2"), col("s2").as("s22"))
+    a.crossJoin(broadcast(b))
+      .select(col("n1"), col("n2"),
+        round(col("mu1") - col("mu2"), 8).as("diff"),
+        round(sqrt(round(col("s21") / col("n1").cast("double")
+          + col("s22") / col("n2").cast("double"), 10)), 8).as("se"))
+      .select(col("n1"), col("n2"), col("diff"), col("se"),
+        round((col("diff") + lit(5.0)) / col("se"), 6).as("t_lower"),
+        round((col("diff") - lit(5.0)) / col("se"), 6).as("t_upper"))
+      .withColumn("equivalent",
+        col("t_lower") > 1.645 && col("t_upper") < -1.645)
+  }
+
+  val tostOracle: String =
+    """WITH m AS (SELECT
+      |    (dayofweek(CAST(ts AS DATE)) + 1) IN (1, 7) AS wk,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS sv,
+      |    sum(CAST(value*value AS DECIMAL(27,4))) AS svv
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT wk, n,
+      |    round(CAST(sv AS DOUBLE)/CAST(n AS DOUBLE), 8) AS mu,
+      |    round((CAST(n AS DOUBLE)*CAST(svv AS DOUBLE)
+      |      - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))
+      |      /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)), 8) AS s2
+      |  FROM m),
+      |j AS (SELECT a.n AS n1, b.n AS n2,
+      |    round(a.mu - b.mu, 8) AS diff,
+      |    round(sqrt(round(a.s2/CAST(a.n AS DOUBLE)
+      |      + b.s2/CAST(b.n AS DOUBLE), 10)), 8) AS se
+      |  FROM st a, st b WHERE a.wk AND NOT b.wk)
+      |SELECT n1, n2, diff, se,
+      |  round((diff + 5.0)/se, 6) AS t_lower,
+      |  round((diff - 5.0)/se, 6) AS t_upper,
+      |  round((diff + 5.0)/se, 6) > 1.645
+      |    AND round((diff - 5.0)/se, 6) < -1.645 AS equivalent
+      |FROM j""".stripMargin
+
+  /** q_neyman_alloc — Neyman optimal allocation of a 1000-unit
+    * sample across region strata: n_h ∝ N_h·S_h. */
+  def neymanAlloc(s: SparkSession, d: String): DataFrame = {
+    val dim = customer(s, d)
+      .join(broadcast(nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val m = orders(s, d).join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name")).agg(count(lit(1)).as("n_h"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sv"),
+        sum((col("o_totalprice") * col("o_totalprice"))
+          .cast("decimal(27,4)")).as("svv"))
+    def f(c: String) = col(c).cast("double")
+    val w = m.select(col("r_name"), col("n_h"),
+      round(sqrt(round((f("n_h") * f("svv") - f("sv") * f("sv"))
+        / (f("n_h") * (f("n_h") - lit(1.0))), 8)), 8).as("s_h"))
+      .withColumn("w_h", round(col("n_h").cast("double") * col("s_h"), 6))
+    val tw = w.agg(sum(col("w_h").cast("decimal(27,6)")).as("tw"))
+    w.crossJoin(broadcast(tw))
+      .select(col("r_name"), col("n_h"), col("s_h"),
+        round(col("w_h") / col("tw").cast("double"), 6).as("share"),
+        round(lit(1000.0) * round(col("w_h")
+          / col("tw").cast("double"), 6), 0).cast("long").as("alloc_n"))
+      .orderBy(col("r_name"))
+  }
+
+  val neymanAllocOracle: String =
+    """WITH dim AS (SELECT c_custkey, r_name
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey),
+      |m AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n_h,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sv,
+      |    sum(CAST(o_totalprice*o_totalprice AS DECIMAL(27,4))) AS svv
+      |  FROM orders JOIN dim ON o_custkey = c_custkey
+      |  GROUP BY r_name),
+      |w AS (SELECT r_name, n_h,
+      |    round(sqrt(round((CAST(n_h AS DOUBLE)*CAST(svv AS DOUBLE)
+      |      - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))
+      |      /(CAST(n_h AS DOUBLE)*(CAST(n_h AS DOUBLE) - 1.0)), 8)), 8)
+      |      AS s_h
+      |  FROM m),
+      |ww AS (SELECT r_name, n_h, s_h,
+      |    round(CAST(n_h AS DOUBLE)*s_h, 6) AS w_h
+      |  FROM w),
+      |tw AS (SELECT sum(CAST(w_h AS DECIMAL(27,6))) AS tw FROM ww)
+      |SELECT r_name, n_h, s_h,
+      |  round(w_h/CAST(tw AS DOUBLE), 6) AS share,
+      |  CAST(round(1000.0*round(w_h/CAST(tw AS DOUBLE), 6), 0)
+      |    AS BIGINT) AS alloc_n
+      |FROM ww, tw ORDER BY r_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dunn" -> (dunn _),
+    "q_tost" -> (tost _),
+    "q_neyman_alloc" -> (neymanAlloc _))
+
+  val oracle: Map[String, String] = Map(
+    "q_dunn" -> dunnOracle,
+    "q_tost" -> tostOracle,
+    "q_neyman_alloc" -> neymanAllocOracle)
+}
