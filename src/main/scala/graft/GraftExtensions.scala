@@ -124,6 +124,23 @@ object GraftExtensions {
         }
         graft.functions.expressions.HistFixed(args.head,
           dbl(args(1), "lo"), dbl(args(2), "hi"), bins)
+      }),
+    (FunctionIdentifier("bitset_distinct"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.BitsetDistinct].getName,
+        "bitset_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bitset_distinct(k, maxId) takes 2 args")
+        val maxId = args(1) match {
+          case e if e.foldable && (e.dataType ==
+              org.apache.spark.sql.types.IntegerType || e.dataType ==
+              org.apache.spark.sql.types.LongType) =>
+            e.eval().asInstanceOf[Number].longValue()
+          case other => throw new IllegalArgumentException(
+            s"bitset_distinct maxId must be a foldable integer literal, got $other")
+        }
+        graft.functions.expressions.BitsetDistinct(args.head, maxId)
       }))
 
   /** Register the custom functions and planner strategies into a

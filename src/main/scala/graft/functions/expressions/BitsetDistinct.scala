@@ -1,0 +1,113 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+
+/** Exact COUNT(DISTINCT) over a BOUNDED non-negative integer key
+  * domain as a Catalyst-native TypedImperativeAggregate whose
+  * aggregation buffer IS a bitmap — the fourth member of the
+  * mergeable-state family ([[KmvDistinct]] approximate,
+  * [[TopKStruct]] top-k, [[HistFixed]] histograms).
+  *
+  * Why this is the better 100 TB plan for bounded ID domains: Spark
+  * plans `count(DISTINCT k)` as an EXPAND + re-shuffle of every
+  * distinct key (one row per (group, key) crosses the wire, then a
+  * second aggregate counts them); this aggregate reduces each
+  * (mapper, group) to ONE ⌈(maxId+1)/64⌉-word bitset, merge is a
+  * word-wise OR — commutative and idempotent, hence deterministic
+  * under any partitioning AND retry-safe (a replayed update cannot
+  * double-count a set bit, unlike additive sketches) — and eval is a
+  * popcount scan. The wire cost is domain/8 bytes per (mapper,
+  * group) regardless of row count: for a 1M-key domain that is
+  * 125 KB where the EXPAND shuffle ships millions of rows.
+  *
+  * Semantics: `bitset_distinct(k, maxId)` counts distinct values of
+  * `k` within [0, maxId]; NULL and out-of-domain keys are IGNORED
+  * (the bound is a contract — size it from the dimension's key
+  * ceiling). Returns BIGINT.
+  */
+case class BitsetDistinct(
+    child: Expression,
+    maxId: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(maxId >= 0, "bitset_distinct needs maxId >= 0")
+  require(maxId < (1L << 31) * 64, "bitset_distinct domain too large")
+
+  private val words = ((maxId >> 6) + 1).toInt
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitset_distinct needs an integral key, got $other")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val k = v.asInstanceOf[Number].longValue()
+      if (k >= 0L && k <= maxId) {
+        buf((k >> 6).toInt) |= (1L << (k & 63L))
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var n = 0L
+    var i = 0
+    while (i < words) { n += java.lang.Long.bitCount(buf(i)); i += 1 }
+    n
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * words)
+    var i = 0
+    while (i < words) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](words)
+    var i = 0
+    while (i < words) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitsetDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitsetDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitsetDistinct =
+    copy(child = newChild)
+  override def prettyName: String = "bitset_distinct"
+}
+
+object BitsetDistinct {
+  /** Column-API entry point: `distinctOf(col("user_id"), 65535)`. */
+  def distinctOf(c: Column, maxId: Long): Column =
+    GraftSqlBridge.toColumn(
+      BitsetDistinct(GraftSqlBridge.toExpression(c), maxId)
+        .toAggregateExpression())
+}

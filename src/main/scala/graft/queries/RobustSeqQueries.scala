@@ -197,11 +197,85 @@ object RobustSeqQueries {
       |FROM flagged, last, decision
       |WHERE day = last_day""".stripMargin
 
+  /** q_hampel — the Hampel identifier over each type's daily value
+    * series: a CENTERED 7-day rolling median and rolling MAD from
+    * one frame-collect (the q_rolling_median array idiom extended
+    * with a higher-order transform for the deviations — no second
+    * window pass), flagging days where |v − med| > 3·1.4826·MAD.
+    * Top-20 anomalies by robust z. All windows type-partitioned;
+    * the frame arrays are ≤7 elements, so the per-row HOF work is
+    * constant. */
+  def hampel(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t")).orderBy(col("day")).rowsBetween(-3, 3)
+    val daily = events(s, d)
+      .groupBy(col("event_type").as("t"), to_date(col("ts2")).as("day"))
+      .agg(round(graft.Determinism.dsum(col("value")), 4).as("v"))
+    def medOf(arr: org.apache.spark.sql.Column) = {
+      val sz = size(arr)
+      val mid = ((sz + 1) / 2).cast("int")
+      val lo = (sz / 2).cast("int")
+      when(sz % 2 === 1, element_at(arr, mid))
+        .otherwise((element_at(arr, lo) + element_at(arr, lo + 1))
+          / lit(2.0))
+    }
+    val framed = daily
+      .withColumn("frame", array_sort(collect_list(col("v")).over(w)))
+      .withColumn("med", round(medOf(col("frame")), 6))
+      .withColumn("devs", array_sort(transform(col("frame"),
+        e => round(abs(e - col("med")), 6))))
+      .withColumn("mad", round(medOf(col("devs")), 6))
+    framed.filter(col("mad") > 0)
+      .withColumn("rz",
+        round(abs(col("v") - col("med"))
+          / (lit(1.4826) * col("mad")), 4))
+      .filter(col("rz") > 3.0)
+      .select(col("t"), col("day"), col("v"), col("med"), col("mad"),
+        col("rz"))
+      .orderBy(col("rz").desc, col("t"), col("day"))
+      .limit(20)
+  }
+
+  val hampelOracle: String =
+    """WITH daily AS (SELECT event_type AS t, CAST(ts AS DATE) AS day,
+      |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+      |      AS v
+      |  FROM events GROUP BY 1, 2),
+      |framed AS (SELECT t, day, v,
+      |    list_sort(list(v) OVER (PARTITION BY t ORDER BY day
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS frame
+      |  FROM daily),
+      |med AS (SELECT t, day, v, frame,
+      |    round(CASE WHEN len(frame) % 2 = 1
+      |      THEN frame[CAST((len(frame) + 1)/2 AS INT)]
+      |      ELSE (frame[CAST(len(frame)/2 AS INT)]
+      |        + frame[CAST(len(frame)/2 AS INT) + 1])/2.0 END, 6)
+      |      AS med
+      |  FROM framed),
+      |dv AS (SELECT t, day, v, med,
+      |    list_sort(list_transform(frame,
+      |      e -> round(abs(e - med), 6))) AS devs
+      |  FROM med),
+      |md AS (SELECT t, day, v, med,
+      |    round(CASE WHEN len(devs) % 2 = 1
+      |      THEN devs[CAST((len(devs) + 1)/2 AS INT)]
+      |      ELSE (devs[CAST(len(devs)/2 AS INT)]
+      |        + devs[CAST(len(devs)/2 AS INT) + 1])/2.0 END, 6) AS mad
+      |  FROM dv)
+      |SELECT t, day, v, med, mad,
+      |  round(abs(v - med)/(CAST(1.4826 AS DOUBLE)*mad), 4) AS rz
+      |FROM md
+      |WHERE mad > 0
+      |  AND round(abs(v - med)/(CAST(1.4826 AS DOUBLE)*mad), 4) > 3.0
+      |ORDER BY rz DESC, t, day LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorized_corr" -> (winsorizedCorr _),
-    "q_sprt" -> (sprt _))
+    "q_sprt" -> (sprt _),
+    "q_hampel" -> (hampel _))
 
   val oracle: Map[String, String] = Map(
     "q_winsorized_corr" -> winsorizedCorrOracle,
-    "q_sprt" -> sprtOracle)
+    "q_sprt" -> sprtOracle,
+    "q_hampel" -> hampelOracle)
 }

@@ -164,11 +164,33 @@ object SketchExactQueries {
       |FROM agg CROSS JOIN sb""".stripMargin
   }
 
+  /** q_bitset_distinct — exact per-type distinct users through the
+    * [[graft.functions.expressions.BitsetDistinct]] bitmap
+    * aggregate: one ⌈domain/64⌉-word state per (mapper, group)
+    * crosses the shuffle where `count(DISTINCT)` plans an EXPAND +
+    * per-key re-shuffle; the OR-merge is idempotent, so the result
+    * is exact, partition-invariant, and retry-safe. Graded exactly
+    * against DuckDB's count(DISTINCT). */
+  def bitsetDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("event_type"))
+      .agg(graft.functions.expressions.BitsetDistinct
+          .distinctOf(col("user_id"), 65535L).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val bitsetDistinctOracle: String =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms_freq" -> (cmsFreq _),
-    "q_bloom_fpr" -> (bloomFpr _))
+    "q_bloom_fpr" -> (bloomFpr _),
+    "q_bitset_distinct" -> (bitsetDistinct _))
 
   val oracle: Map[String, String] = Map(
     "q_cms_freq" -> cmsFreqOracle,
-    "q_bloom_fpr" -> bloomFprOracle)
+    "q_bloom_fpr" -> bloomFprOracle,
+    "q_bitset_distinct" -> bitsetDistinctOracle)
 }
