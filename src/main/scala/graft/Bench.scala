@@ -92,7 +92,16 @@ object Bench {
       "q_mmr_select", "q_tpch_q9", "q_tpch_q8", "q_tpch_q7",
       "q_closeness", "q_eigenvector", "q_jonckheere", "q_logrank",
       "q_t_closeness", "q_growth_acct", "q_markov_stationary",
-      "q_cooks_d", "q_isotonic", "q_modularity", "q_assortativity")
+      "q_cooks_d", "q_isotonic", "q_modularity", "q_assortativity",
+      // round-4 490-entry refresh: the session's corpus/token-heavy
+      // additions (winnowing gram windows, FS blocked self-join,
+      // Q21's triple lineitem tree, retrieval LM token explodes,
+      // MACD's 52 lag terms, the threshold/Dunn value contractions)
+      "q_tpch_q21", "q_fs_linkage", "q_winnow_sim", "q_winnow",
+      "q_tpch_q17", "q_tpch_q13", "q_query_likelihood",
+      "q_jelinek_mercer", "q_term_dispersion", "q_macd", "q_dunn",
+      "q_learning_curve", "q_good_turing", "q_chao1", "q_kde_epan",
+      "q_best_f1", "q_youden_j", "q_pr_auc", "q_hampel")
       .zipWithIndex.toMap
     val entries = SparkEntry.queries.toSeq
       .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }

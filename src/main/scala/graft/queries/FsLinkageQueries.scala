@@ -109,20 +109,32 @@ object FsLinkageQueries {
       substring(col("c_name"), -2, 2).as("dig"))
     val a = cust.toDF("c1", "nk", "seg1", "bal1", "dig1")
     val b = cust.toDF("c2", "nk2", "seg2", "bal2", "dig2")
-    def w(agree: org.apache.spark.sql.Column, m: Double, u: String) =
-      when(agree, round(log(round(lit(m) / col(u), 10)), 8))
-        .otherwise(round(log(round(lit(1.0 - m)
-          / (lit(1.0) - col(u)), 10)), 8))
+    // hoist the six ln-ratio weights into the 1-row broadcast: they
+    // are functions of u ALONE, and Spark's round() is a per-row
+    // BigDecimal trip — six of them on every candidate pair was the
+    // whole query cost at sf0.1 (20 s → the pair stage now does one
+    // round per row)
+    def wa(m: Double, u: String) =
+      round(log(round(lit(m) / col(u), 10)), 8)
+    def wd(m: Double, u: String) =
+      round(log(round(lit(1.0 - m) / (lit(1.0) - col(u)), 10)), 8)
+    val weights = uStats(s, d).select(
+      wa(0.95, "u_seg").as("wa_seg"), wd(0.95, "u_seg").as("wd_seg"),
+      wa(0.85, "u_bal").as("wa_bal"), wd(0.85, "u_bal").as("wd_bal"),
+      wa(0.7, "u_dig").as("wa_dig"), wd(0.7, "u_dig").as("wd_dig"))
     a.join(b, col("nk") === col("nk2") && col("c1") < col("c2"))
-      .crossJoin(broadcast(uStats(s, d)))
+      .crossJoin(broadcast(weights))
       .select(col("c1"), col("c2"),
         (when(col("seg1") === col("seg2"), 1).otherwise(0)
           + when(col("bal1") === col("bal2"), 1).otherwise(0)
           + when(col("dig1") === col("dig2"), 1).otherwise(0))
           .as("n_agree"),
-        round(w(col("seg1") === col("seg2"), 0.95, "u_seg")
-          + w(col("bal1") === col("bal2"), 0.85, "u_bal")
-          + w(col("dig1") === col("dig2"), 0.7, "u_dig"), 6)
+        round(when(col("seg1") === col("seg2"), col("wa_seg"))
+            .otherwise(col("wd_seg"))
+          + when(col("bal1") === col("bal2"), col("wa_bal"))
+            .otherwise(col("wd_bal"))
+          + when(col("dig1") === col("dig2"), col("wa_dig"))
+            .otherwise(col("wd_dig")), 6)
           .as("w_total"))
       .orderBy(col("w_total").desc, col("c1"), col("c2"))
       .limit(10)
@@ -135,25 +147,27 @@ object FsLinkageQueries {
        |    CAST(floor(c_acctbal/1000.0) AS INT) AS bal,
        |    substr(c_name, length(c_name) - 1, 2) AS dig
        |  FROM customer),
+       |wt AS (SELECT
+       |    round(ln(round(0.95/u_seg, 10)), 8) AS wa_seg,
+       |    round(ln(round((1.0 - 0.95)/(1.0 - u_seg), 10)), 8) AS wd_seg,
+       |    round(ln(round(0.85/u_bal, 10)), 8) AS wa_bal,
+       |    round(ln(round((1.0 - 0.85)/(1.0 - u_bal), 10)), 8) AS wd_bal,
+       |    round(ln(round(0.7/u_dig, 10)), 8) AS wa_dig,
+       |    round(ln(round((1.0 - 0.7)/(1.0 - u_dig), 10)), 8) AS wd_dig
+       |  FROM useg, ubal, udig),
        |pairs AS (SELECT a.c_custkey AS c1, b.c_custkey AS c2,
        |    (CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END
        |      + CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END
        |      + CASE WHEN a.dig = b.dig THEN 1 ELSE 0 END) AS n_agree,
        |    round(
-       |      CASE WHEN a.seg = b.seg
-       |        THEN round(ln(round(0.95/u_seg, 10)), 8)
-       |        ELSE round(ln(round((1.0 - 0.95)/(1.0 - u_seg), 10)), 8) END
-       |      + CASE WHEN a.bal = b.bal
-       |        THEN round(ln(round(0.85/u_bal, 10)), 8)
-       |        ELSE round(ln(round((1.0 - 0.85)/(1.0 - u_bal), 10)), 8) END
-       |      + CASE WHEN a.dig = b.dig
-       |        THEN round(ln(round(0.7/u_dig, 10)), 8)
-       |        ELSE round(ln(round((1.0 - 0.7)/(1.0 - u_dig), 10)), 8) END,
+       |      CASE WHEN a.seg = b.seg THEN wa_seg ELSE wd_seg END
+       |      + CASE WHEN a.bal = b.bal THEN wa_bal ELSE wd_bal END
+       |      + CASE WHEN a.dig = b.dig THEN wa_dig ELSE wd_dig END,
        |      6) AS w_total
        |  FROM cust a JOIN cust b
        |    ON a.c_nationkey = b.c_nationkey
        |    AND a.c_custkey < b.c_custkey,
-       |    useg, ubal, udig)
+       |    wt)
        |SELECT c1, c2, n_agree, w_total
        |FROM pairs ORDER BY w_total DESC, c1, c2 LIMIT 10""".stripMargin
 
