@@ -174,13 +174,70 @@ object ClassMetricsQueries {
       |    AS log_loss
       |FROM r""".stripMargin
 
+  /** q_balanced_acc — the imbalance-robust scorecard at the house
+    * threshold (value>60 predicting purchase): balanced accuracy,
+    * the geometric mean of sensitivity and specificity, Youden's
+    * informedness (TPR+TNR−1), and markedness (PPV+NPV−1) — the
+    * four numbers that stay honest when the positive class is the
+    * 20% minority accuracy ignores. One conditional-count scan. */
+  def balancedAcc(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      (col("event_type") === "purchase").as("actual"),
+      (col("value") > 60.0).as("pred"))
+    def f(c: String) = col(c).cast("double")
+    val tpr = round(f("tp") / (f("tp") + f("fn")), 8)
+    val tnr = round(f("tn") / (f("tn") + f("fp")), 8)
+    val ppv = round(f("tp") / (f("tp") + f("fp")), 8)
+    val npv = round(f("tn") / (f("tn") + f("fn")), 8)
+    e.agg(
+        count(when(col("actual") && col("pred"), lit(1))).as("tp"),
+        count(when(!col("actual") && col("pred"), lit(1))).as("fp"),
+        count(when(col("actual") && !col("pred"), lit(1))).as("fn"),
+        count(when(!col("actual") && !col("pred"), lit(1))).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round((tpr + tnr) / lit(2.0), 6).as("balanced_acc"),
+        round(sqrt(round(tpr * tnr, 12)), 6).as("g_mean"),
+        round(tpr + tnr - lit(1.0), 6).as("informedness"),
+        round(ppv + npv - lit(1.0), 6).as("markedness"))
+  }
+
+  val balancedAccOracle: String =
+    """WITH c AS (SELECT
+      |    CAST(count(CASE WHEN event_type = 'purchase' AND value > 60.0
+      |      THEN 1 END) AS BIGINT) AS tp,
+      |    CAST(count(CASE WHEN event_type <> 'purchase' AND value > 60.0
+      |      THEN 1 END) AS BIGINT) AS fp,
+      |    CAST(count(CASE WHEN event_type = 'purchase'
+      |      AND NOT value > 60.0 THEN 1 END) AS BIGINT) AS fn,
+      |    CAST(count(CASE WHEN event_type <> 'purchase'
+      |      AND NOT value > 60.0 THEN 1 END) AS BIGINT) AS tn
+      |  FROM events),
+      |r AS (SELECT tp, fp, fn, tn,
+      |    round(CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)
+      |      + CAST(fn AS DOUBLE)), 8) AS tpr,
+      |    round(CAST(tn AS DOUBLE)/(CAST(tn AS DOUBLE)
+      |      + CAST(fp AS DOUBLE)), 8) AS tnr,
+      |    round(CAST(tp AS DOUBLE)/(CAST(tp AS DOUBLE)
+      |      + CAST(fp AS DOUBLE)), 8) AS ppv,
+      |    round(CAST(tn AS DOUBLE)/(CAST(tn AS DOUBLE)
+      |      + CAST(fn AS DOUBLE)), 8) AS npv
+      |  FROM c)
+      |SELECT tp, fp, fn, tn,
+      |  round((tpr + tnr)/2.0, 6) AS balanced_acc,
+      |  round(sqrt(round(tpr*tnr, 12)), 6) AS g_mean,
+      |  round(tpr + tnr - 1.0, 6) AS informedness,
+      |  round(ppv + npv - 1.0, 6) AS markedness
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mcc" -> (mcc _),
     "q_brier" -> (brier _),
-    "q_log_loss" -> (logLoss _))
+    "q_log_loss" -> (logLoss _),
+    "q_balanced_acc" -> (balancedAcc _))
 
   val oracle: Map[String, String] = Map(
     "q_mcc" -> mccOracle,
     "q_brier" -> brierOracle,
-    "q_log_loss" -> logLossOracle)
+    "q_log_loss" -> logLossOracle,
+    "q_balanced_acc" -> balancedAccOracle)
 }

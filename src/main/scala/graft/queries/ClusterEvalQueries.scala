@@ -196,13 +196,143 @@ object ClusterEvalQueries {
       |  round(sqrt(CAST(min((d2, vec_id))[1] AS DOUBLE)), 6) AS dist
       |FROM d2 GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** q_ch_db — Calinski–Harabasz and Davies–Bouldin validity of the
+    * LABEL partition (the ground-truth clustering): CH =
+    * (B/(k−1))/(W/(n−k)) from exact within/between scatter, DB =
+    * mean over clusters of the worst (s_i+s_j)/d_ij neighbor ratio.
+    * Scale shape: one exploded pass contracts to |labels|×|dims|
+    * centroids (broadcast); W is a second map-side pass against
+    * them; everything after runs on the bounded label grid (≤k²
+    * centroid pairs). */
+  def chDb(s: SparkSession, d: String): DataFrame = {
+    val e = ex(s, d)
+    val labCent = e.groupBy(col("label"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(18,8)")).cast("double")
+        / count(lit(1)).cast("double"), 8).as("mu"))
+    val grand = e.groupBy(col("pos"))
+      .agg(round(sum(col("x").cast("decimal(18,8)")).cast("double")
+        / count(lit(1)).cast("double"), 8).as("g"))
+    val sizes = embeddings(s, d).groupBy(col("label"))
+      .agg(count(lit(1)).as("n_g"))
+    val tot = sizes.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"))
+    val wAgg = e.join(broadcast(labCent), Seq("label", "pos"))
+      .agg(sum(round((col("x") - col("mu")) * (col("x") - col("mu")), 10)
+        .cast("decimal(27,10)")).as("w"))
+      .select(round(col("w").cast("double"), 6).as("w"))
+    val bAgg = labCent.join(broadcast(grand), "pos")
+      .groupBy(col("label"))
+      .agg(sum(round((col("mu") - col("g")) * (col("mu") - col("g")), 10)
+        .cast("decimal(27,10)")).as("b2"))
+      .join(broadcast(sizes), "label")
+      .agg(sum(round(col("b2").cast("double")
+        * col("n_g").cast("double"), 8).cast("decimal(27,8)")).as("b"))
+      .select(round(col("b").cast("double"), 6).as("b"))
+    val perVec = e.join(broadcast(labCent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(round((col("x") - col("mu")) * (col("x") - col("mu")), 10)
+        .cast("decimal(27,10)")).as("d2"))
+      .select(col("label"), round(sqrt(col("d2").cast("double")), 8)
+        .as("dd"))
+    val si = perVec.groupBy(col("label"))
+      .agg(round(sum(col("dd").cast("decimal(18,8)")).cast("double")
+        / count(lit(1)).cast("double"), 8).as("s_i"))
+    val c1 = labCent.select(col("label").as("l1"), col("pos"),
+      col("mu").as("m1"))
+    val c2 = labCent.select(col("label").as("l2"), col("pos"),
+      col("mu").as("m2"))
+    val dij = c1.join(c2, Seq("pos"))
+      .filter(col("l1") =!= col("l2"))
+      .groupBy(col("l1"), col("l2"))
+      .agg(sum(round((col("m1") - col("m2")) * (col("m1") - col("m2")),
+        10).cast("decimal(27,10)")).as("dd2"))
+      .select(col("l1"), col("l2"),
+        round(sqrt(col("dd2").cast("double")), 8).as("d_ij"))
+    val sA = si.select(col("label").as("l1"), col("s_i").as("s1"))
+    val sB = si.select(col("label").as("l2"), col("s_i").as("s2"))
+    val db = dij.join(broadcast(sA), "l1").join(broadcast(sB), "l2")
+      .select(col("l1"),
+        round((col("s1") + col("s2")) / col("d_ij"), 8).as("ratio"))
+      .groupBy(col("l1")).agg(max(col("ratio")).as("worst"))
+      .agg(round(sum(col("worst").cast("decimal(18,8)")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("db"))
+    def f(c: String) = col(c).cast("double")
+    wAgg.crossJoin(broadcast(bAgg)).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(db))
+      .select(col("k"), col("n"),
+        round((f("b") / (f("k") - lit(1.0)))
+          / (f("w") / (f("n") - f("k"))), 6).as("ch"),
+        col("db"))
+  }
+
+  val chDbOracle: String =
+    """WITH ex AS (SELECT vec_id, label,
+      |    generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(UNNEST(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |labcent AS (SELECT label, pos,
+      |    round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+      |      /CAST(count(*) AS DOUBLE), 8) AS mu
+      |  FROM ex GROUP BY 1, 2),
+      |grand AS (SELECT pos,
+      |    round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+      |      /CAST(count(*) AS DOUBLE), 8) AS g
+      |  FROM ex GROUP BY 1),
+      |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_g
+      |  FROM embeddings GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS k FROM sizes),
+      |w AS (SELECT round(CAST(sum(CAST(round((x - mu)*(x - mu), 10)
+      |      AS DECIMAL(27,10))) AS DOUBLE), 6) AS w
+      |  FROM ex JOIN labcent
+      |    ON labcent.label = ex.label AND labcent.pos = ex.pos),
+      |b AS (SELECT round(CAST(sum(CAST(round(CAST(b2 AS DOUBLE)
+      |      *CAST(n_g AS DOUBLE), 8) AS DECIMAL(27,8))) AS DOUBLE), 6)
+      |      AS b
+      |  FROM (SELECT lc.label,
+      |      sum(CAST(round((mu - g)*(mu - g), 10) AS DECIMAL(27,10)))
+      |        AS b2
+      |    FROM labcent lc JOIN grand ON grand.pos = lc.pos
+      |    GROUP BY lc.label) bb
+      |  JOIN sizes ON sizes.label = bb.label),
+      |pv AS (SELECT ex.label,
+      |    round(sqrt(CAST(sum(CAST(round((x - mu)*(x - mu), 10)
+      |      AS DECIMAL(27,10))) AS DOUBLE)), 8) AS dd
+      |  FROM ex JOIN labcent
+      |    ON labcent.label = ex.label AND labcent.pos = ex.pos
+      |  GROUP BY ex.vec_id, ex.label),
+      |si AS (SELECT label,
+      |    round(CAST(sum(CAST(dd AS DECIMAL(18,8))) AS DOUBLE)
+      |      /CAST(count(*) AS DOUBLE), 8) AS s_i
+      |  FROM pv GROUP BY label),
+      |dij AS (SELECT a.label AS l1, b.label AS l2,
+      |    round(sqrt(CAST(sum(CAST(round((a.mu - b.mu)*(a.mu - b.mu),
+      |      10) AS DECIMAL(27,10))) AS DOUBLE)), 8) AS d_ij
+      |  FROM labcent a JOIN labcent b
+      |    ON a.pos = b.pos AND a.label <> b.label
+      |  GROUP BY a.label, b.label),
+      |worst AS (SELECT l1, max(round((sa.s_i + sb.s_i)/d_ij, 8))
+      |      AS worst
+      |  FROM dij JOIN si sa ON sa.label = l1
+      |  JOIN si sb ON sb.label = l2
+      |  GROUP BY l1),
+      |dbv AS (SELECT round(CAST(sum(CAST(worst AS DECIMAL(18,8)))
+      |      AS DOUBLE)/CAST(count(*) AS DOUBLE), 6) AS db
+      |  FROM worst)
+      |SELECT k, n,
+      |  round((b/(CAST(k AS DOUBLE) - 1.0))
+      |    /(w/(CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS ch,
+      |  db
+      |FROM w, b, tot, dbv""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_silhouette" -> (silhouette _),
     "q_cluster_ari" -> (clusterAri _),
-    "q_exemplar" -> (exemplar _))
+    "q_exemplar" -> (exemplar _),
+    "q_ch_db" -> (chDb _))
 
   val oracle: Map[String, String] = Map(
     "q_silhouette" -> silhouetteOracle,
     "q_cluster_ari" -> clusterAriOracle,
-    "q_exemplar" -> exemplarOracle)
+    "q_exemplar" -> exemplarOracle,
+    "q_ch_db" -> chDbOracle)
 }
