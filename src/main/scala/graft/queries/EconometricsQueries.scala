@@ -307,13 +307,104 @@ object EconometricsQueries {
        |  round(sqrt(g0/CAST(n AS DOUBLE)), 8) AS se_naive
        |FROM g0, g1, g2, g3""".stripMargin
 
+  /** q_engle_granger — two-step cointegration test between the
+    * purchase and non-purchase daily series: (1) the cointegrating
+    * OLS y ~ x from exact BIGINT moments; (2) the Dickey–Fuller
+    * regression-through-origin Δe_t = ρ·e_{t-1} on the residual
+    * series, with its t statistic. Residuals come from ONE broadcast
+    * coefficient row; the lag is a day+1 equi-join; ρ and its SE are
+    * closed forms over two more decimal folds — no iteration. */
+  def engleGranger(s: SparkSession, d: String): DataFrame = {
+    val p = daily(s, d)
+    val m = p.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    def f(c: String) = col(c).cast("double")
+    val nD = f("n")
+    val b1 = (nD * f("sxy") - f("sx") * f("sy")) /
+      (nD * f("sxx") - f("sx") * f("sx"))
+    val coef = m.select(round(b1, 8).as("b1"),
+      round((f("sy") - round(b1, 8) * f("sx")) / nD, 8).as("b0"))
+    val resid = p.crossJoin(broadcast(coef))
+      .select(col("day"),
+        round(col("y") - col("b0") - col("b1") * col("x"), 6).as("e"),
+        col("b0"), col("b1"))
+    val l = resid.select(col("day").as("lday"), col("e").as("e1"))
+    val pairs = resid.join(l, col("day") === date_add(col("lday"), 1))
+      .select(col("b0"), col("b1"), col("e1"),
+        round(col("e") - col("e1"), 6).as("de"))
+    val rhoM = pairs.agg(first(col("b0")).as("b0"),
+      first(col("b1")).as("b1"), count(lit(1)).as("m"),
+      sum(round(col("e1") * col("de"), 6).cast("decimal(27,6)")).as("sed"),
+      sum(round(col("e1") * col("e1"), 6).cast("decimal(27,6)")).as("see"))
+    val rho = round(col("sed").cast("double")
+      / col("see").cast("double"), 8)
+    val withRho = pairs.crossJoin(broadcast(
+      rhoM.select(col("m"), col("see"), rho.as("rho"))))
+    withRho.agg(first(col("m")).as("n_pairs"),
+        first(col("rho")).as("rho"), first(col("see")).as("see"),
+        sum(round((col("de") - col("rho") * col("e1"))
+          * (col("de") - col("rho") * col("e1")), 6)
+          .cast("decimal(27,6)")).as("ssr"))
+      .select(col("n_pairs"), col("rho"),
+        round(col("rho") / sqrt(round(
+          (col("ssr").cast("double")
+            / (col("n_pairs").cast("double") - lit(2.0)))
+            / col("see").cast("double"), 12)), 6).as("df_t"))
+  }
+
+  val engleGrangerOracle: String =
+    s"""WITH p AS ($dailySql),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x*x) AS BIGINT) AS sxx,
+       |    CAST(sum(x*y) AS BIGINT) AS sxy
+       |  FROM p),
+       |coef AS (SELECT
+       |    round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+       |      /(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 8) AS b1,
+       |    round((CAST(sy AS DOUBLE)
+       |      - round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+       |        /(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 8)
+       |        *CAST(sx AS DOUBLE))/CAST(n AS DOUBLE), 8) AS b0
+       |  FROM m),
+       |resid AS (SELECT day, round(y - b0 - b1*x, 6) AS e
+       |  FROM p, coef),
+       |pairs AS (SELECT a.e - b.e AS de0, b.e AS e1,
+       |    round(a.e - b.e, 6) AS de
+       |  FROM resid a JOIN resid b ON a.day = b.day + 1),
+       |rm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |    sum(CAST(round(e1*de, 6) AS DECIMAL(27,6))) AS sed,
+       |    sum(CAST(round(e1*e1, 6) AS DECIMAL(27,6))) AS see
+       |  FROM pairs),
+       |rr AS (SELECT m, see,
+       |    round(CAST(sed AS DOUBLE)/CAST(see AS DOUBLE), 8) AS rho
+       |  FROM rm),
+       |fin AS (SELECT any_value(m) AS n_pairs,
+       |    any_value(rho) AS rho, any_value(see) AS see,
+       |    sum(CAST(round((de - rho*e1)*(de - rho*e1), 6)
+       |      AS DECIMAL(27,6))) AS ssr
+       |  FROM pairs, rr)
+       |SELECT n_pairs, rho,
+       |  round(rho/sqrt(round((CAST(ssr AS DOUBLE)
+       |    /(CAST(n_pairs AS DOUBLE) - 2.0))
+       |    /CAST(see AS DOUBLE), 12)), 6) AS df_t
+       |FROM fin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_granger" -> (granger _),
     "q_variance_ratio" -> (varianceRatio _),
-    "q_newey_west" -> (neweyWest _))
+    "q_newey_west" -> (neweyWest _),
+    "q_engle_granger" -> (engleGranger _))
 
   val oracle: Map[String, String] = Map(
     "q_granger" -> grangerOracle,
     "q_variance_ratio" -> varianceRatioOracle,
-    "q_newey_west" -> neweyWestOracle)
+    "q_newey_west" -> neweyWestOracle,
+    "q_engle_granger" -> engleGrangerOracle)
 }
