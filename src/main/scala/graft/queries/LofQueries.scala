@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-4 widening #111: Local Outlier Factor (k=5) over the
+  * embedding table — the density-ratio anomaly score (Breunig et al.
+  * 2000) that flags vectors whose local density is low RELATIVE to
+  * their neighbors', where global distance scores (q_emb_outlier's
+  * centroid cosine) miss cluster-relative outliers.
+  *
+  * Scale shape: candidate pairs are LABEL-BLOCKED (the dedup-family
+  * contract — never corpus-wide all-pairs); distances are the
+  * codegen'd [[graft.functions.expressions.FloatVecDot]] norm
+  * identity; the kNN cut is a SOURCE-partitioned rank window (no
+  * global funnel); reach/lrd/LOF are three keyed self-joins on the
+  * kNN edge list (≤k rows per vector). A 100 TB deployment swaps the
+  * label block for Ann.bucketCol LSH blocks — the downstream algebra
+  * is unchanged.
+  *
+  * Determinism (D1–D5): distances round at 3dp (the q_sim_cosine
+  * convention — both engines' float reductions agree after the
+  * round, ties break on vec_id); reach at 3dp; lrd at 6dp off exact
+  * decimal sums; LOF at 4dp with vec_id tiebreaks. */
+object LofQueries {
+
+  private val K = 5
+
+  /** q_lof — top-10 most anomalous vectors by LOF(5). */
+  def lof(s: SparkSession, d: String): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.expressions.FloatVecDot.dot(a, b)
+    val e = embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"))
+    val a = e.toDF("src", "label", "ea")
+    val b = e.toDF("dst", "labelb", "eb")
+    val pairs = a.join(b, col("label") === col("labelb")
+        && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(sqrt(greatest(lit(0.0),
+          dot(col("ea"), col("ea")) + dot(col("eb"), col("eb"))
+            - lit(2.0) * dot(col("ea"), col("eb")))), 3).as("dd"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("dd"), col("dst"))
+    val knn = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+    val kdist = knn.groupBy(col("src").as("v"))
+      .agg(max(col("dd")).as("kdist"))
+    val reach = knn
+      .join(kdist.select(col("v").as("dst"), col("kdist")), "dst")
+      .select(col("src"), col("dst"),
+        greatest(col("kdist"), col("dd")).as("reach"))
+    val lrd = reach.groupBy(col("src"))
+      .agg(round(lit(K.toDouble)
+        / sum(col("reach").cast("decimal(18,3)")).cast("double"), 6)
+        .as("lrd"))
+    val lofScores = knn.select(col("src"), col("dst"))
+      .join(lrd.select(col("src").as("dst"), col("lrd").as("lrd_j")),
+        "dst")
+      .join(lrd, "src")
+      .groupBy(col("src"), col("lrd"))
+      .agg(sum(round(col("lrd_j") / col("lrd"), 8)
+        .cast("decimal(18,8)")).as("ssum"))
+      .select(col("src").as("vec_id"),
+        round(col("ssum").cast("double") / K, 4).as("lof"))
+    lofScores.orderBy(col("lof").desc, col("vec_id")).limit(10)
+  }
+
+  val lofOracle: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |    CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(list_distance(a.emb, b.emb), 3) AS dd
+       |  FROM e a JOIN e b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |knn AS (SELECT src, dst, dd,
+       |    row_number() OVER (PARTITION BY src ORDER BY dd, dst) AS rn
+       |  FROM pairs QUALIFY rn <= $K),
+       |kdist AS (SELECT src AS v, max(dd) AS kdist
+       |  FROM knn GROUP BY src),
+       |reach AS (SELECT knn.src, knn.dst,
+       |    greatest(kdist.kdist, knn.dd) AS reach
+       |  FROM knn JOIN kdist ON kdist.v = knn.dst),
+       |lrd AS (SELECT src,
+       |    round($K.0/CAST(sum(CAST(reach AS DECIMAL(18,3)))
+       |      AS DOUBLE), 6) AS lrd
+       |  FROM reach GROUP BY src),
+       |lofs AS (SELECT knn.src AS vec_id,
+       |    round(CAST(sum(CAST(round(lj.lrd/li.lrd, 8)
+       |      AS DECIMAL(18,8))) AS DOUBLE)/$K, 4) AS lof
+       |  FROM knn
+       |  JOIN lrd lj ON lj.src = knn.dst
+       |  JOIN lrd li ON li.src = knn.src
+       |  GROUP BY knn.src)
+       |SELECT vec_id, lof FROM lofs
+       |ORDER BY lof DESC, vec_id LIMIT 10""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lof" -> (lof _))
+
+  val oracle: Map[String, String] = Map(
+    "q_lof" -> lofOracle)
+}
