@@ -118,11 +118,126 @@ object CountDispersionQueries {
       |    AS ln_a
       |FROM f""".stripMargin
 
+  /** Hourly (type, hour-slot) counts INCLUDING empty slots — the
+    * zero-inflation substrate (daily counts never hit zero here).
+    * The slot grid is days×24 crossed from broadcast 1-row bounds. */
+  private def hourly(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).select(col("event_type").as("t"),
+      (floor(col("ts_nanos").cast("double") / 3.6e12)).cast("long").as("slot"))
+    val bounds = base.agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
+    val types = base.select(col("t")).distinct()
+    val slots = types.crossJoin(broadcast(bounds))
+      .select(col("t"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+    val counts = base.groupBy(col("t"), col("slot"))
+      .agg(count(lit(1)).as("c"))
+    slots.join(counts, Seq("t", "slot"), "left")
+      .select(col("t"), col("slot"), coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  private val hourlySql: String =
+    """base AS (SELECT event_type AS t,
+      |    CAST(floor(epoch_ns(ts)/3600000000000.0) AS BIGINT) AS slot
+      |  FROM events),
+      |bounds AS (SELECT min(slot) AS lo, max(slot) AS hi FROM base),
+      |types AS (SELECT DISTINCT t FROM base),
+      |slots AS (SELECT t, unnest(range(lo, hi + 1)) AS slot
+      |  FROM types, bounds),
+      |counts AS (SELECT t, slot, CAST(count(*) AS BIGINT) AS c
+      |  FROM base GROUP BY 1, 2),
+      |hourly AS (SELECT slots.t, slots.slot, coalesce(c, 0) AS c
+      |  FROM slots LEFT JOIN counts
+      |    ON counts.t = slots.t AND counts.slot = slots.slot)""".stripMargin
+
+  /** q_negbin_fit — per-type negative-binomial method-of-moments fit
+    * on the hourly counts: r = μ²/(σ²−μ), p = μ/σ² (NULL when the
+    * data is UNDER-dispersed and NB degenerates). */
+  def negbinFit(s: SparkSession, d: String): DataFrame = {
+    def f(c: String) = col(c).cast("double")
+    val m = hourly(s, d).groupBy(col("t")).agg(
+      count(lit(1)).as("n"), sum(col("c")).as("sc"),
+      sum(col("c") * col("c")).as("scc"))
+    val mu = round(f("sc") / f("n"), 8)
+    val v = round(f("scc") / f("n") - mu * mu, 8)
+    m.select(col("t"), col("n"), mu.as("mu"), v.as("var"),
+        when(v > mu, round(mu * mu / (v - mu), 6))
+          .otherwise(lit(null).cast("double")).as("r_nb"),
+        when(v > mu, round(mu / v, 6))
+          .otherwise(lit(null).cast("double")).as("p_nb"))
+      .orderBy(col("t"))
+  }
+
+  val negbinFitOracle: String =
+    s"""WITH $hourlySql,
+       |m AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(c) AS BIGINT) AS sc,
+       |    CAST(sum(c*c) AS BIGINT) AS scc
+       |  FROM hourly GROUP BY t),
+       |s AS (SELECT t, n,
+       |    round(CAST(sc AS DOUBLE)/CAST(n AS DOUBLE), 8) AS mu,
+       |    round(CAST(scc AS DOUBLE)/CAST(n AS DOUBLE)
+       |      - round(CAST(sc AS DOUBLE)/CAST(n AS DOUBLE), 8)
+       |        *round(CAST(sc AS DOUBLE)/CAST(n AS DOUBLE), 8), 8)
+       |      AS var
+       |  FROM m)
+       |SELECT t, n, mu, var,
+       |  CASE WHEN var > mu THEN round(mu*mu/(var - mu), 6) END AS r_nb,
+       |  CASE WHEN var > mu THEN round(mu/var, 6) END AS p_nb
+       |FROM s ORDER BY t""".stripMargin
+
+  /** q_zip_fit — zero-inflated-Poisson method-of-moments fit per
+    * type on the hourly counts: λ̂ = (s² + μ² − μ)/μ, π̂ = 1 − μ/λ̂,
+    * beside the observed vs Poisson-implied zero share. */
+  def zipFit(s: SparkSession, d: String): DataFrame = {
+    def f(c: String) = col(c).cast("double")
+    val m = hourly(s, d).groupBy(col("t")).agg(
+      count(lit(1)).as("n"), sum(col("c")).as("sc"),
+      sum(col("c") * col("c")).as("scc"),
+      count(when(col("c") === 0, lit(1))).as("zeros"))
+    val mu = round(f("sc") / f("n"), 8)
+    val v = round(f("scc") / f("n") - mu * mu, 8)
+    val lam = round((v + mu * mu - mu) / mu, 8)
+    m.select(col("t"), col("n"), col("zeros"),
+        round(f("zeros") / f("n"), 6).as("zero_share"),
+        when(lam > 0, round(lam, 6)).otherwise(lit(null).cast("double"))
+          .as("lambda_zip"),
+        when(lam > 0, round(lit(1.0) - mu / lam, 6))
+          .otherwise(lit(null).cast("double")).as("pi_zip"))
+      .orderBy(col("t"))
+  }
+
+  val zipFitOracle: String =
+    s"""WITH $hourlySql,
+       |m AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(c) AS BIGINT) AS sc,
+       |    CAST(sum(c*c) AS BIGINT) AS scc,
+       |    CAST(count(CASE WHEN c = 0 THEN 1 END) AS BIGINT) AS zeros
+       |  FROM hourly GROUP BY t),
+       |s AS (SELECT t, n, zeros,
+       |    round(CAST(sc AS DOUBLE)/CAST(n AS DOUBLE), 8) AS mu,
+       |    round(CAST(scc AS DOUBLE)/CAST(n AS DOUBLE)
+       |      - round(CAST(sc AS DOUBLE)/CAST(n AS DOUBLE), 8)
+       |        *round(CAST(sc AS DOUBLE)/CAST(n AS DOUBLE), 8), 8)
+       |      AS var
+       |  FROM m),
+       |l AS (SELECT t, n, zeros, mu,
+       |    round((var + mu*mu - mu)/mu, 8) AS lam
+       |  FROM s)
+       |SELECT t, n, zeros,
+       |  round(CAST(zeros AS DOUBLE)/CAST(n AS DOUBLE), 6)
+       |    AS zero_share,
+       |  CASE WHEN lam > 0 THEN round(lam, 6) END AS lambda_zip,
+       |  CASE WHEN lam > 0 THEN round(1.0 - mu/lam, 6) END AS pi_zip
+       |FROM l ORDER BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dispersion_index" -> (dispersionIndex _),
-    "q_taylor_law" -> (taylorLaw _))
+    "q_taylor_law" -> (taylorLaw _),
+    "q_negbin_fit" -> (negbinFit _),
+    "q_zip_fit" -> (zipFit _))
 
   val oracle: Map[String, String] = Map(
     "q_dispersion_index" -> dispersionIndexOracle,
-    "q_taylor_law" -> taylorLawOracle)
+    "q_taylor_law" -> taylorLawOracle,
+    "q_negbin_fit" -> negbinFitOracle,
+    "q_zip_fit" -> zipFitOracle)
 }

@@ -194,13 +194,80 @@ object ExtremesQueries {
       |  round(((e7 - e5) + (e3 - e1))/(e6 - e2), 6) AS moors_kurtosis
       |FROM o ORDER BY event_type""".stripMargin
 
+  /** q_pot_gpd — peaks-over-threshold with a method-of-moments GPD
+    * fit on event-value excesses over u=90 (ξ = ½(1−μ²/s²),
+    * σ = ½μ(1+μ²/s²) — closed forms, no likelihood iteration),
+    * plus the mean-excess ladder at thresholds 70..90 whose
+    * linearity-in-u is the standard GPD diagnostic. Everything is
+    * one conditional-moment pass: each threshold's excess moments
+    * are filtered decimal folds over the same scan. */
+  def potGpd(s: SparkSession, d: String): DataFrame = {
+    val v = events(s, d).select(col("value"))
+    val thresholds = Seq(70.0, 75.0, 80.0, 85.0, 90.0)
+    def f(c: String) = col(c).cast("double")
+    val rows = thresholds.map { u =>
+      val ex = v.filter(col("value") > u)
+        .select(round(col("value") - u, 2).as("e"))
+      val m = ex.agg(count(lit(1)).as("n"),
+        sum(col("e").cast("decimal(18,2)")).as("se"),
+        sum((col("e") * col("e")).cast("decimal(27,4)")).as("see"))
+      val nD = f("n")
+      val mu = round(f("se") / nD, 8)
+      val s2 = round(f("see") / nD - mu * mu, 8)
+      val base = m.select(lit(u).as("u"), col("n"),
+        mu.as("mean_excess"), s2.as("var_excess"))
+      if (u == 90.0)
+        base.select(col("u"), col("n"), col("mean_excess"),
+          round(lit(0.5) * (lit(1.0) - col("mean_excess")
+            * col("mean_excess") / col("var_excess")), 6).as("xi"),
+          round(lit(0.5) * col("mean_excess") * (lit(1.0)
+            + col("mean_excess") * col("mean_excess")
+            / col("var_excess")), 6).as("sigma"))
+      else
+        base.select(col("u"), col("n"), col("mean_excess"),
+          lit(null).cast("double").as("xi"),
+          lit(null).cast("double").as("sigma"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("u"))
+  }
+
+  val potGpdOracle: String = {
+    val rows = Seq(70.0, 75.0, 80.0, 85.0, 90.0).map { u =>
+      val fit =
+        if (u == 90.0)
+          """round(0.5*(1.0 - mean_excess*mean_excess/var_excess), 6)
+            |    AS xi,
+            |  round(0.5*mean_excess*(1.0
+            |    + mean_excess*mean_excess/var_excess), 6) AS sigma""".stripMargin
+        else "CAST(NULL AS DOUBLE) AS xi, CAST(NULL AS DOUBLE) AS sigma"
+      s"""SELECT u, n, mean_excess, $fit
+         |FROM (SELECT CAST($u AS DOUBLE) AS u,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    round(CAST(sum(CAST(round(value - $u, 2) AS DECIMAL(18,2)))
+         |      AS DOUBLE)/CAST(count(*) AS DOUBLE), 8) AS mean_excess,
+         |    round(CAST(sum(CAST(round(value - $u, 2)
+         |        *round(value - $u, 2) AS DECIMAL(27,4))) AS DOUBLE)
+         |      /CAST(count(*) AS DOUBLE)
+         |      - round(CAST(sum(CAST(round(value - $u, 2)
+         |          AS DECIMAL(18,2))) AS DOUBLE)
+         |        /CAST(count(*) AS DOUBLE), 8)
+         |        *round(CAST(sum(CAST(round(value - $u, 2)
+         |          AS DECIMAL(18,2))) AS DOUBLE)
+         |        /CAST(count(*) AS DOUBLE), 8), 8) AS var_excess
+         |  FROM events WHERE value > $u) m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM ($rows) t ORDER BY u""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gumbel_fit" -> (gumbelFit _),
     "q_pacf2" -> (pacf2 _),
-    "q_bowley_moors" -> (bowleyMoors _))
+    "q_bowley_moors" -> (bowleyMoors _),
+    "q_pot_gpd" -> (potGpd _))
 
   val oracle: Map[String, String] = Map(
     "q_gumbel_fit" -> gumbelFitOracle,
     "q_pacf2" -> pacf2Oracle,
-    "q_bowley_moors" -> bowleyMoorsOracle)
+    "q_bowley_moors" -> bowleyMoorsOracle,
+    "q_pot_gpd" -> potGpdOracle)
 }
