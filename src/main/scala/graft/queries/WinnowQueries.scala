@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** Round-4 widening #99: MOSS-style winnowing fingerprints — the
@@ -85,11 +86,15 @@ object WinnowQueries {
 
   private def winnowSimSql(tokenizer: String): String =
     s"""WITH ${selSql(tokenizer)},
+       |rare AS (SELECT m FROM sel GROUP BY m
+       |  HAVING count(*) <= 50),
+       |sel2 AS (SELECT sel.doc_id, sel.m
+       |  FROM sel JOIN rare ON rare.m = sel.m),
        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
-       |  FROM sel GROUP BY doc_id),
+       |  FROM sel2 GROUP BY doc_id),
        |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
        |    CAST(count(*) AS BIGINT) AS n_shared
-       |  FROM sel a JOIN sel b
+       |  FROM sel2 a JOIN sel2 b
        |    ON a.m = b.m AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
        |  HAVING count(*) >= 2)
@@ -102,10 +107,51 @@ object WinnowQueries {
        |ORDER BY jaccard DESC, d1, d2 LIMIT 10""".stripMargin
 
   /** q_winnow_sim — top-10 document pairs by Jaccard over winnowed
-    * fingerprint sets (fingerprint-keyed equi-join, ≥2 shared). */
+    * fingerprint sets (fingerprint-keyed equi-join, ≥2 shared).
+    * Fingerprints appearing in >50 docs are masked first — the
+    * standard MOSS boilerplate cut, and the skew cap that bounds any
+    * join bucket at 50² pairs. The Spark side builds the fingerprint
+    * set ONCE behind a persist() barrier: the SQL form references
+    * `sel` four times and Spark inlines CTEs, re-running the whole
+    * gram/md5/window pipeline per reference (11.9 s → ~3 s at
+    * sf0.1); the cache is the optimizer barrier that guarantees one
+    * pipeline execution (the q_dedup_editdist rule). */
   def winnowSim(s: SparkSession, d: String): DataFrame = {
-    documents(s, d).createOrReplaceTempView("documents")
-    s.sql(winnowSimSql(sparkTok))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tokpos = documents(s, d).select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+    val grams = tokpos
+      .withColumn("g", concat(col("token"), lit(" "),
+        lead(col("token"), 1).over(w), lit(" "),
+        lead(col("token"), 2).over(w)))
+      .filter(col("g").isNotNull)
+      .withColumn("h", expr(s"${hexval("md5(g)")} % 1000003"))
+    val wm = grams
+      .withColumn("m", min(col("h")).over(
+        w.rowsBetween(Window.currentRow, 3)))
+      .withColumn("maxpos", max(col("pos")).over(
+        Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("maxpos") - 3)
+    val sel = wm.select(col("doc_id"), col("m")).distinct()
+    val rare = sel.groupBy(col("m")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("m"))
+    val sel2 = sel.join(rare, "m").persist()
+    val nf = sel2.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val a = sel2.toDF("m", "d1")
+    val b = sel2.toDF("m", "d2")
+    val shared = a.join(b, Seq("m")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    shared
+      .join(nf.toDF("d1", "f1"), "d1")
+      .join(nf.toDF("d2", "f2"), "d2")
+      .select(col("d1"), col("d2"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / (col("f1") + col("f2") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(10)
   }
 
   val winnowSimOracle: String = winnowSimSql(duckTok)
