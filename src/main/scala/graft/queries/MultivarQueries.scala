@@ -135,11 +135,154 @@ object MultivarQueries {
       |FROM lineitem CROSS JOIN m
       |ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
 
+  /** q_cca — first/second canonical correlations between the daily
+    * purchase block X=(count, value) and non-purchase block
+    * Y=(count, value): the eigenvalues of Σxx⁻¹ΣxyΣyy⁻¹Σyx by the
+    * 2×2 closed form (adjugates instead of inverses so nothing
+    * divides until the final trace/det assembly — the q_pca2
+    * convention scaled up to a 4-variable covariance fold). One
+    * decimal moment pass over the bounded daily grid; everything
+    * after is scalar algebra on 14 rounded doubles. */
+  def cca(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d).groupBy(to_date(col("ts2")).as("day"))
+      .agg(count(when(col("event_type") === "purchase", lit(1)))
+          .cast("double").as("a"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)).cast("decimal(18,2)")).cast("double"), 2)
+          .as("b"),
+        count(when(col("event_type") =!= "purchase", lit(1)))
+          .cast("double").as("c"),
+        round(sum(when(col("event_type") =!= "purchase", col("value"))
+          .otherwise(lit(0.0)).cast("decimal(18,2)")).cast("double"), 2)
+          .as("dd"))
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("a").cast("decimal(18,2)")).as("sa"),
+      sum(col("b").cast("decimal(18,2)")).as("sb"),
+      sum(col("c").cast("decimal(18,2)")).as("sc"),
+      sum(col("dd").cast("decimal(18,2)")).as("sd"),
+      sum((col("a") * col("a")).cast("decimal(38,4)")).as("saa"),
+      sum((col("a") * col("b")).cast("decimal(38,4)")).as("sab"),
+      sum((col("a") * col("c")).cast("decimal(38,4)")).as("sac"),
+      sum((col("a") * col("dd")).cast("decimal(38,4)")).as("sad"),
+      sum((col("b") * col("b")).cast("decimal(38,4)")).as("sbb"),
+      sum((col("b") * col("c")).cast("decimal(38,4)")).as("sbc"),
+      sum((col("b") * col("dd")).cast("decimal(38,4)")).as("sbd"),
+      sum((col("c") * col("c")).cast("decimal(38,4)")).as("scc"),
+      sum((col("c") * col("dd")).cast("decimal(38,4)")).as("scd"),
+      sum((col("dd") * col("dd")).cast("decimal(38,4)")).as("sdd"))
+    def f(c: String) = col(c).cast("double")
+    val nD = f("n")
+    def mu(su: String) = round(f(su) / nD, 8)
+    def cov(suv: String, su: String, sv: String) =
+      round(f(suv) / nD - mu(su) * mu(sv), 8)
+    val vaa = cov("saa", "sa", "sa"); val vab = cov("sab", "sa", "sb")
+    val vac = cov("sac", "sa", "sc"); val vad = cov("sad", "sa", "sd")
+    val vbb = cov("sbb", "sb", "sb"); val vbc = cov("sbc", "sb", "sc")
+    val vbd = cov("sbd", "sb", "sd"); val vcc = cov("scc", "sc", "sc")
+    val vcd = cov("scd", "sc", "sd"); val vdd = cov("sdd", "sd", "sd")
+    val detx = round(vaa * vbb - vab * vab, 10)
+    val dety = round(vcc * vdd - vcd * vcd, 10)
+    val a11 = round(vbb * vac - vab * vbc, 10)
+    val a12 = round(vbb * vad - vab * vbd, 10)
+    val a21 = round(vaa * vbc - vab * vac, 10)
+    val a22 = round(vaa * vbd - vab * vad, 10)
+    val b11 = round(vdd * vac - vcd * vad, 10)
+    val b12 = round(vdd * vbc - vcd * vbd, 10)
+    val b21 = round(vcc * vad - vcd * vac, 10)
+    val b22 = round(vcc * vbd - vcd * vbc, 10)
+    val m11 = round(a11 * b11 + a12 * b21, 8)
+    val m22 = round(a21 * b12 + a22 * b22, 8)
+    val tr = round((m11 + m22) / (detx * dety), 10)
+    val detm = round((round(a11 * a22 - a12 * a21, 8)
+      * round(b11 * b22 - b12 * b21, 8))
+      / (detx * dety * detx * dety), 12)
+    val disc = round(tr * tr - lit(4.0) * detm, 12)
+    val lmax = round((tr + sqrt(greatest(lit(0.0), disc))) / lit(2.0), 10)
+    val lmin = round((tr - sqrt(greatest(lit(0.0), disc))) / lit(2.0), 10)
+    m.select(col("n"),
+      round(sqrt(greatest(lit(0.0), lmax)), 6).as("rho1"),
+      round(sqrt(greatest(lit(0.0), lmin)), 6).as("rho2"))
+  }
+
+  val ccaOracle: String = {
+    def mu(su: String) = s"round(CAST($su AS DOUBLE)/CAST(n AS DOUBLE), 8)"
+    def cov(suv: String, su: String, sv: String) =
+      s"round(CAST($suv AS DOUBLE)/CAST(n AS DOUBLE) - ${mu(su)}*${mu(sv)}, 8)"
+    val defs = Seq(
+      "vaa" -> cov("saa", "sa", "sa"), "vab" -> cov("sab", "sa", "sb"),
+      "vac" -> cov("sac", "sa", "sc"), "vad" -> cov("sad", "sa", "sd"),
+      "vbb" -> cov("sbb", "sb", "sb"), "vbc" -> cov("sbc", "sb", "sc"),
+      "vbd" -> cov("sbd", "sb", "sd"), "vcc" -> cov("scc", "sc", "sc"),
+      "vcd" -> cov("scd", "sc", "sd"), "vdd" -> cov("sdd", "sd", "sd"))
+      .map { case (nm, e) => s"$e AS $nm" }.mkString(",\n    ")
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+      |      AS DOUBLE) AS a,
+      |    round(CAST(sum(CAST(CASE WHEN event_type = 'purchase'
+      |      THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |      AS b,
+      |    CAST(count(CASE WHEN event_type <> 'purchase' THEN 1 END)
+      |      AS DOUBLE) AS c,
+      |    round(CAST(sum(CAST(CASE WHEN event_type <> 'purchase'
+      |      THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |      AS dd
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(a AS DECIMAL(18,2))) AS sa,
+      |    sum(CAST(b AS DECIMAL(18,2))) AS sb,
+      |    sum(CAST(c AS DECIMAL(18,2))) AS sc,
+      |    sum(CAST(dd AS DECIMAL(18,2))) AS sd,
+      |    sum(CAST(a*a AS DECIMAL(38,4))) AS saa,
+      |    sum(CAST(a*b AS DECIMAL(38,4))) AS sab,
+      |    sum(CAST(a*c AS DECIMAL(38,4))) AS sac,
+      |    sum(CAST(a*dd AS DECIMAL(38,4))) AS sad,
+      |    sum(CAST(b*b AS DECIMAL(38,4))) AS sbb,
+      |    sum(CAST(b*c AS DECIMAL(38,4))) AS sbc,
+      |    sum(CAST(b*dd AS DECIMAL(38,4))) AS sbd,
+      |    sum(CAST(c*c AS DECIMAL(38,4))) AS scc,
+      |    sum(CAST(c*dd AS DECIMAL(38,4))) AS scd,
+      |    sum(CAST(dd*dd AS DECIMAL(38,4))) AS sdd
+      |  FROM daily),
+      |v AS (SELECT n,
+      |    """.stripMargin + defs + """
+      |  FROM m),
+      |e1 AS (SELECT n,
+      |    round(vaa*vbb - vab*vab, 10) AS detx,
+      |    round(vcc*vdd - vcd*vcd, 10) AS dety,
+      |    round(vbb*vac - vab*vbc, 10) AS a11,
+      |    round(vbb*vad - vab*vbd, 10) AS a12,
+      |    round(vaa*vbc - vab*vac, 10) AS a21,
+      |    round(vaa*vbd - vab*vad, 10) AS a22,
+      |    round(vdd*vac - vcd*vad, 10) AS b11,
+      |    round(vdd*vbc - vcd*vbd, 10) AS b12,
+      |    round(vcc*vad - vcd*vac, 10) AS b21,
+      |    round(vcc*vbd - vcd*vbc, 10) AS b22
+      |  FROM v),
+      |e2 AS (SELECT n,
+      |    round((round(a11*b11 + a12*b21, 8)
+      |      + round(a21*b12 + a22*b22, 8))/(detx*dety), 10) AS tr,
+      |    round((round(a11*a22 - a12*a21, 8)
+      |      *round(b11*b22 - b12*b21, 8))
+      |      /(detx*dety*detx*dety), 12) AS detm
+      |  FROM e1),
+      |e3 AS (SELECT n, tr,
+      |    round(tr*tr - 4.0*detm, 12) AS disc
+      |  FROM e2)
+      |SELECT n,
+      |  round(sqrt(greatest(0.0,
+      |    round((tr + sqrt(greatest(0.0, disc)))/2.0, 10))), 6) AS rho1,
+      |  round(sqrt(greatest(0.0,
+      |    round((tr - sqrt(greatest(0.0, disc)))/2.0, 10))), 6) AS rho2
+      |FROM e3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca2" -> (pca2 _),
-    "q_mahalanobis" -> (mahalanobis _))
+    "q_mahalanobis" -> (mahalanobis _),
+    "q_cca" -> (cca _))
 
   val oracle: Map[String, String] = Map(
     "q_pca2" -> pca2Oracle,
-    "q_mahalanobis" -> mahalanobisOracle)
+    "q_mahalanobis" -> mahalanobisOracle,
+    "q_cca" -> ccaOracle)
 }
