@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-4 widening #115: embedding aggregation operators — the
+  * per-source mean-pooled embedding with the pairwise source
+  * similarity report (the doc/embedding cross-table join a
+  * retrieval deployment runs to see which sources cover the same
+  * semantic space), and the GEOMETRIC median of the embedding cloud
+  * by two unrolled Weiszfeld iterations (the robust multivariate
+  * location estimate — coordinate means chase outliers, the L1
+  * point does not).
+  *
+  * Scale notes (100 TB): centroids are (source, dim) keyed decimal
+  * contractions off one exploded pass; the source-pair cosine matrix
+  * lives on the broadcast |sources|×dims grid. Weiszfeld iterations
+  * are each ONE map-side pass: per-vector distances to the broadcast
+  * current point (exploded decimal d², exact), then a weighted
+  * per-dim contraction — no driver loop, two fixed passes.
+  *
+  * Determinism (D1–D5): float→double casts exact; per-dim sums as
+  * decimals; means/weights rounded 8dp; distances from exact decimal
+  * d² with 8dp sqrt rounds; outputs 6dp with pair/dim tiebreaks. */
+object EmbAggQueries {
+
+  private def ex(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("x", col("v").cast("double"))
+
+  private val exSql: String =
+    """ex AS (SELECT vec_id,
+      |    generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(UNNEST(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)""".stripMargin
+
+  /** q_source_emb_sim — top-5 source pairs by cosine of mean-pooled
+    * doc embeddings (vec_id = doc_id row alignment). */
+  def sourceEmbSim(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    val cent = ex(s, d)
+      .join(src, col("vec_id") === col("doc_id"))
+      .groupBy(col("source"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(18,8)")).cast("double")
+        / count(lit(1)).cast("double"), 8).as("c"))
+    val a = cent.toDF("s1", "pos", "c1")
+    val b = cent.toDF("s2", "pos", "c2")
+    a.join(b, Seq("pos")).filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(round(col("c1") * col("c2"), 10).cast("decimal(27,10)"))
+          .as("dot"),
+        sum(round(col("c1") * col("c1"), 10).cast("decimal(27,10)"))
+          .as("n1"),
+        sum(round(col("c2") * col("c2"), 10).cast("decimal(27,10)"))
+          .as("n2"))
+      .select(col("s1"), col("s2"),
+        round(col("dot").cast("double")
+          / (round(sqrt(col("n1").cast("double")), 8)
+            * round(sqrt(col("n2").cast("double")), 8)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("s1"), col("s2"))
+      .limit(5)
+  }
+
+  val sourceEmbSimOracle: String =
+    s"""WITH $exSql,
+       |cent AS (SELECT d.source, ex.pos,
+       |    round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+       |      /CAST(count(*) AS DOUBLE), 8) AS c
+       |  FROM ex JOIN documents d ON d.doc_id = ex.vec_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT a.source AS s1, b.source AS s2,
+       |    sum(CAST(round(a.c*b.c, 10) AS DECIMAL(27,10))) AS dot,
+       |    sum(CAST(round(a.c*a.c, 10) AS DECIMAL(27,10))) AS n1,
+       |    sum(CAST(round(b.c*b.c, 10) AS DECIMAL(27,10))) AS n2
+       |  FROM cent a JOIN cent b
+       |    ON a.pos = b.pos AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT s1, s2,
+       |  round(CAST(dot AS DOUBLE)
+       |    /(round(sqrt(CAST(n1 AS DOUBLE)), 8)
+       |      *round(sqrt(CAST(n2 AS DOUBLE)), 8)), 6) AS cos
+       |FROM pairs ORDER BY cos DESC, s1, s2 LIMIT 5""".stripMargin
+
+  /** One Weiszfeld step: given broadcast point (pos, c), return the
+    * reweighted point (pos, c). */
+  private def weiszfeld(e: DataFrame, point: DataFrame): DataFrame = {
+    val dist = e.join(broadcast(point), "pos")
+      .groupBy(col("vec_id"))
+      .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 10)
+        .cast("decimal(27,10)")).as("d2"))
+      .select(col("vec_id"),
+        round(lit(1.0) / greatest(lit(1e-6),
+          round(sqrt(col("d2").cast("double")), 8)), 8).as("w"))
+    e.join(dist, "vec_id")
+      .groupBy(col("pos"))
+      .agg(round(sum(round(col("w") * col("x"), 10)
+          .cast("decimal(27,10)")).cast("double"), 8).as("sw_x"),
+        round(sum(col("w").cast("decimal(18,8)")).cast("double"), 8)
+          .as("sw"))
+      .select(col("pos"), round(col("sw_x") / col("sw"), 8).as("c"))
+  }
+
+  /** q_geomedian — two unrolled Weiszfeld iterations from the
+    * coordinate mean; reports the first 8 coordinates and the mean
+    * L2 distance improvement vs the mean point. */
+  def geomedian(s: SparkSession, d: String): DataFrame = {
+    val e = ex(s, d)
+    val mean = e.groupBy(col("pos"))
+      .agg(round(sum(col("x").cast("decimal(18,8)")).cast("double")
+        / count(lit(1)).cast("double"), 8).as("c"))
+    val p1 = weiszfeld(e, mean)
+    val p2 = weiszfeld(e, p1)
+    def meanDist(point: DataFrame): DataFrame =
+      e.join(broadcast(point), "pos")
+        .groupBy(col("vec_id"))
+        .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 10)
+          .cast("decimal(27,10)")).as("d2"))
+        .select(round(sqrt(col("d2").cast("double")), 8).as("dd"))
+        .agg(round(sum(col("dd").cast("decimal(18,8)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("md"))
+    val mdMean = meanDist(mean).toDF("mean_dist_mean")
+    val mdGeo = meanDist(p2).toDF("mean_dist_geomedian")
+    p2.filter(col("pos") < 8)
+      .select(col("pos"), col("c"))
+      .crossJoin(broadcast(mdMean)).crossJoin(broadcast(mdGeo))
+      .orderBy(col("pos"))
+  }
+
+  val geomedianOracle: String = {
+    def distSql(pt: String) =
+      s"""SELECT vec_id,
+         |    round(1.0/greatest(0.000001,
+         |      round(sqrt(CAST(sum(CAST(round((x - c)*(x - c), 10)
+         |        AS DECIMAL(27,10))) AS DOUBLE)), 8)), 8) AS w
+         |  FROM ex JOIN $pt p ON p.pos = ex.pos
+         |  GROUP BY vec_id""".stripMargin
+    def stepSql(pt: String) =
+      """SELECT ex.pos,
+        |    round(round(CAST(sum(CAST(round(w*x, 10)
+        |        AS DECIMAL(27,10))) AS DOUBLE), 8)
+        |      /round(CAST(sum(CAST(w AS DECIMAL(18,8))) AS DOUBLE), 8),
+        |      8) AS c
+        |  FROM ex JOIN (__DIST__) dw ON dw.vec_id = ex.vec_id
+        |  GROUP BY ex.pos""".stripMargin
+        .replace("__DIST__", distSql(pt))
+    def meanDistSql(pt: String) =
+      s"""SELECT round(CAST(sum(CAST(dd AS DECIMAL(18,8))) AS DOUBLE)
+         |    /CAST(count(*) AS DOUBLE), 6) AS md
+         |  FROM (SELECT round(sqrt(CAST(sum(CAST(round((x - c)*(x - c),
+         |      10) AS DECIMAL(27,10))) AS DOUBLE)), 8) AS dd
+         |    FROM ex JOIN $pt p ON p.pos = ex.pos
+         |    GROUP BY vec_id) dv""".stripMargin
+    s"""WITH $exSql,
+       |mean0 AS (SELECT pos,
+       |    round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE)
+       |      /CAST(count(*) AS DOUBLE), 8) AS c
+       |  FROM ex GROUP BY pos),
+       |p1 AS (${stepSql("mean0")}),
+       |p2 AS (${stepSql("p1")}),
+       |mdm AS (${meanDistSql("mean0")}),
+       |mdg AS (${meanDistSql("p2")})
+       |SELECT pos, c, mdm.md AS mean_dist_mean,
+       |  mdg.md AS mean_dist_geomedian
+       |FROM p2, mdm, mdg
+       |WHERE pos < 8 ORDER BY pos""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_emb_sim" -> (sourceEmbSim _),
+    "q_geomedian" -> (geomedian _))
+
+  val oracle: Map[String, String] = Map(
+    "q_source_emb_sim" -> (sourceEmbSimOracle),
+    "q_geomedian" -> (geomedianOracle))
+}
