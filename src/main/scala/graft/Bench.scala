@@ -101,7 +101,15 @@ object Bench {
       "q_tpch_q17", "q_tpch_q13", "q_query_likelihood",
       "q_jelinek_mercer", "q_term_dispersion", "q_macd", "q_dunn",
       "q_learning_curve", "q_good_turing", "q_chao1", "q_kde_epan",
-      "q_best_f1", "q_youden_j", "q_pr_auc", "q_hampel")
+      "q_best_f1", "q_youden_j", "q_pr_auc", "q_hampel",
+      // 513-entry refresh: LOF's blocked vector pairs, the winnow
+      // fingerprint pipeline, the iterative fits (Huber IRLS, GMM EM,
+      // Weiszfeld), the 5-scan Box-Cox grid, and the multi-join CCF
+      "q_lof", "q_huber", "q_boxcox", "q_gmm_em", "q_geomedian",
+      "q_cross_corr", "q_walk_forward", "q_adstock", "q_mi_ranking",
+      "q_keyness", "q_burrows_delta", "q_segmented", "q_anova2",
+      "q_cca", "q_source_emb_sim", "q_periodogram", "q_gof_poisson",
+      "q_negbin_fit", "q_zip_fit")
       .zipWithIndex.toMap
     val entries = SparkEntry.queries.toSeq
       .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }

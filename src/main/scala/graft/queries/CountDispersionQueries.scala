@@ -229,15 +229,90 @@ object CountDispersionQueries {
        |  CASE WHEN lam > 0 THEN round(1.0 - mu/lam, 6) END AS pi_zip
        |FROM l ORDER BY t""".stripMargin
 
+  /** q_gof_poisson — chi-square goodness-of-fit of the hourly
+    * PURCHASE count distribution against its fitted Poisson(λ̂):
+    * observed bins 0..7 plus the 8+ tail, expected masses
+    * n·e^{−λ}λ^c/c! with factorial literals and the house exp on the
+    * 8dp-rounded λ. The binned-count contraction makes both the
+    * observed table and the χ² fold constant-size. */
+  def gofPoisson(s: SparkSession, d: String): DataFrame = {
+    val h = hourly(s, d).filter(col("t") === "purchase")
+    val m = h.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      .select(col("n"),
+        round(col("sc").cast("double") / col("n").cast("double"), 8)
+          .as("lam"))
+    val obs = h.select(least(lit(8L), col("c")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("o"))
+    val fact = Seq(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L)
+    val expRows = (0 to 7).map { c =>
+      m.select(lit(c.toLong).as("bin"), col("n"), col("lam"),
+        round(col("n").cast("double") * exp(-col("lam"))
+          * pow(col("lam"), lit(c.toDouble)) / lit(fact(c).toDouble), 8)
+          .as("e"))
+    }
+    val bodied = expRows.reduce(_ unionByName _)
+    val tail = bodied.groupBy(col("n"))
+      .agg(sum(col("e").cast("decimal(18,8)")).cast("double").as("se"))
+      .select(lit(8L).as("bin"), round(col("n").cast("double")
+        - col("se"), 8).as("e"))
+    val expected = bodied.select(col("bin"), col("e"))
+      .unionByName(tail)
+    val terms = expected.join(obs, Seq("bin"), "left")
+      .select(col("bin"), col("e"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .filter(col("e") > 0.0001)
+      .select(round((col("o").cast("double") - col("e"))
+        * (col("o").cast("double") - col("e")) / col("e"), 8)
+        .cast("decimal(18,8)").as("term"))
+    terms.agg(count(lit(1)).as("n_bins"),
+      round(sum(col("term")).cast("double"), 4).as("chi2"))
+  }
+
+  val gofPoissonOracle: String = {
+    val fact = Seq(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L)
+    val expRows = (0 to 7).map { c =>
+      s"""SELECT CAST($c AS BIGINT) AS bin, n, lam,
+         |  round(CAST(n AS DOUBLE)*exp(-lam)
+         |    *pow(lam, CAST($c.0 AS DOUBLE))
+         |    /CAST(${fact(c)}.0 AS DOUBLE), 8) AS e
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $hourlySql,
+       |hp AS (SELECT * FROM hourly WHERE t = 'purchase'),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    round(CAST(sum(c) AS DOUBLE)/CAST(count(*) AS DOUBLE), 8)
+       |      AS lam
+       |  FROM hp),
+       |obs AS (SELECT least(8, c) AS bin, CAST(count(*) AS BIGINT) AS o
+       |  FROM hp GROUP BY 1),
+       |body AS ($expRows),
+       |tail AS (SELECT CAST(8 AS BIGINT) AS bin,
+       |    round(CAST(any_value(n) AS DOUBLE)
+       |      - CAST(sum(CAST(e AS DECIMAL(18,8))) AS DOUBLE), 8) AS e
+       |  FROM body),
+       |expd AS (SELECT bin, e FROM body UNION ALL SELECT bin, e
+       |  FROM tail),
+       |terms AS (SELECT CAST(round((CAST(coalesce(o, 0) AS DOUBLE) - e)
+       |      *(CAST(coalesce(o, 0) AS DOUBLE) - e)/e, 8)
+       |      AS DECIMAL(18,8)) AS term
+       |  FROM expd LEFT JOIN obs USING (bin)
+       |  WHERE e > 0.0001)
+       |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       |  round(CAST(sum(term) AS DOUBLE), 4) AS chi2
+       |FROM terms""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dispersion_index" -> (dispersionIndex _),
     "q_taylor_law" -> (taylorLaw _),
     "q_negbin_fit" -> (negbinFit _),
-    "q_zip_fit" -> (zipFit _))
+    "q_zip_fit" -> (zipFit _),
+    "q_gof_poisson" -> (gofPoisson _))
 
   val oracle: Map[String, String] = Map(
     "q_dispersion_index" -> dispersionIndexOracle,
     "q_taylor_law" -> taylorLawOracle,
     "q_negbin_fit" -> negbinFitOracle,
-    "q_zip_fit" -> zipFitOracle)
+    "q_zip_fit" -> zipFitOracle,
+    "q_gof_poisson" -> gofPoissonOracle)
 }

@@ -173,11 +173,111 @@ object FinanceExtraQueries {
        |FROM top WHERE rn <= 5
        |ORDER BY t, day""".stripMargin
 
+  /** q_adstock — geometric adstock (Koyck) marketing response: the
+    * click series decays into purchases with carryover λ=0.6 over a
+    * 10-day truncation, and the response OLS compares the adstocked
+    * regressor against raw clicks by R². The adstock transform is
+    * NOT a sequential filter here: ONE join of the daily series
+    * against a 10-row broadcast (offset, λ^j) grid re-keys every
+    * observation to its target day, and a keyed sum assembles all
+    * adstock values simultaneously. */
+  def adstock(s: SparkSession, d: String): DataFrame = {
+    val dd = events(s, d)
+      .groupBy(to_date(col("ts2")).as("day"))
+      .agg(count(when(col("event_type") === "click", lit(1))).as("x"),
+        count(when(col("event_type") === "purchase", lit(1))).as("y"))
+    val offs = s.range(0, 10).select(col("id").cast("int").as("j"),
+      pow(lit(0.6), col("id").cast("double")).as("lam"))
+    val ad = dd.crossJoin(broadcast(offs))
+      .select(date_add(col("day"), col("j").cast("int")).as("tday"),
+        round(col("lam") * col("x"), 6).as("wx"))
+      .groupBy(col("tday"))
+      .agg(count(lit(1)).as("k"),
+        round(sum(col("wx").cast("decimal(18,6)")).cast("double"), 6)
+          .as("adx"))
+      .filter(col("k") === 10)
+    val joined = dd.join(ad, col("day") === col("tday"))
+      .select(col("day"), col("x").cast("double").as("x"),
+        col("adx"), col("y").cast("double").as("y"))
+    def f(c: String) = col(c).cast("double")
+    def r2Of(xc: String): org.apache.spark.sql.Column = {
+      val num = (f("n") * col(s"s_${xc}y") - col(s"s_$xc") * col("sy"))
+      round(num * num
+        / ((f("n") * col(s"s_${xc}$xc") - col(s"s_$xc") * col(s"s_$xc"))
+          * (f("n") * col("syy") - col("sy") * col("sy"))), 6)
+    }
+    val m = joined.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,2)")).cast("double").as("s_x"),
+      sum(col("adx").cast("decimal(18,6)")).cast("double").as("s_a"),
+      sum(col("y").cast("decimal(18,2)")).cast("double").as("sy"),
+      sum(round(col("x") * col("x"), 4).cast("decimal(27,4)"))
+        .cast("double").as("s_xx"),
+      sum(round(col("adx") * col("adx"), 6).cast("decimal(27,6)"))
+        .cast("double").as("s_aa"),
+      sum(round(col("x") * col("y"), 4).cast("decimal(27,4)"))
+        .cast("double").as("s_xy"),
+      sum(round(col("adx") * col("y"), 6).cast("decimal(27,6)"))
+        .cast("double").as("s_ay"),
+      sum(round(col("y") * col("y"), 4).cast("decimal(27,4)"))
+        .cast("double").as("syy"))
+    m.select(col("n"), r2Of("x").as("r2_raw"), r2Of("a").as("r2_adstock"))
+  }
+
+  val adstockOracle: String = {
+    val lamRows = (0 to 9).map { j =>
+      val lam = java.math.BigDecimal.valueOf(math.pow(0.6, j)).toPlainString
+      s"SELECT $j AS j, CAST($lam AS DOUBLE) AS lam"
+    }.mkString(" UNION ALL ")
+    s"""WITH dd AS (SELECT CAST(ts AS DATE) AS day,
+       |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+       |      AS BIGINT) AS x,
+       |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+       |      AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |offs AS ($lamRows),
+       |ad AS (SELECT tday,
+       |    round(CAST(sum(CAST(wx AS DECIMAL(18,6))) AS DOUBLE), 6)
+       |      AS adx
+       |  FROM (SELECT day + j AS tday, round(lam*x, 6) AS wx
+       |    FROM dd, offs) t
+       |  GROUP BY tday HAVING count(*) = 10),
+       |joined AS (SELECT day, CAST(x AS DOUBLE) AS x, adx,
+       |    CAST(y AS DOUBLE) AS y
+       |  FROM dd JOIN ad ON ad.tday = dd.day),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS s_x,
+       |    CAST(sum(CAST(adx AS DECIMAL(18,6))) AS DOUBLE) AS s_a,
+       |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(round(x*x, 4) AS DECIMAL(27,4))) AS DOUBLE)
+       |      AS s_xx,
+       |    CAST(sum(CAST(round(adx*adx, 6) AS DECIMAL(27,6)))
+       |      AS DOUBLE) AS s_aa,
+       |    CAST(sum(CAST(round(x*y, 4) AS DECIMAL(27,4))) AS DOUBLE)
+       |      AS s_xy,
+       |    CAST(sum(CAST(round(adx*y, 6) AS DECIMAL(27,6))) AS DOUBLE)
+       |      AS s_ay,
+       |    CAST(sum(CAST(round(y*y, 4) AS DECIMAL(27,4))) AS DOUBLE)
+       |      AS syy
+       |  FROM joined)
+       |SELECT n,
+       |  round((CAST(n AS DOUBLE)*s_xy - s_x*sy)
+       |    *(CAST(n AS DOUBLE)*s_xy - s_x*sy)
+       |    /((CAST(n AS DOUBLE)*s_xx - s_x*s_x)
+       |      *(CAST(n AS DOUBLE)*syy - sy*sy)), 6) AS r2_raw,
+       |  round((CAST(n AS DOUBLE)*s_ay - s_a*sy)
+       |    *(CAST(n AS DOUBLE)*s_ay - s_a*sy)
+       |    /((CAST(n AS DOUBLE)*s_aa - s_a*s_a)
+       |      *(CAST(n AS DOUBLE)*syy - sy*sy)), 6) AS r2_adstock
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_risk_ratios" -> (riskRatios _),
-    "q_macd" -> (macd _))
+    "q_macd" -> (macd _),
+    "q_adstock" -> (adstock _))
 
   val oracle: Map[String, String] = Map(
     "q_risk_ratios" -> riskRatiosOracle,
-    "q_macd" -> macdOracle)
+    "q_macd" -> macdOracle,
+    "q_adstock" -> adstockOracle)
 }

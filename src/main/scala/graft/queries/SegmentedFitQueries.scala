@@ -172,9 +172,107 @@ object SegmentedFitQueries {
       |SELECT * FROM scored
       |ORDER BY rss_split, break_day LIMIT 1""".stripMargin
 
+  /** q_walk_forward — expanding-window one-step-ahead backtest of
+    * the daily trend OLS over the last 10 days: for each target day,
+    * the model trains on ALL strictly earlier days — and there is NO
+    * per-fold pass, because the same inclusive-prefix moments that
+    * power q_segmented give every fold's coefficients as algebra on
+    * its own row (train moments = prefix − own). Reports per-day
+    * forecast errors and the MAE. */
+  def walkForward(s: SparkSession, d: String): DataFrame = {
+    val daily0 = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts2")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily0.agg(min(col("day")).as("d0"),
+      count(lit(1)).as("n_days"))
+    val daily = daily0.crossJoin(broadcast(d0))
+      .select(col("day"), datediff(col("day"), col("d0")).as("i"),
+        col("y"), col("n_days"))
+    val cum = graft.operators.PrefixOps.runningSums(daily,
+      col("i"), Seq(col("i")),
+      Seq("cn" -> lit(1L), "ci" -> col("i").cast("long"),
+        "cii" -> (col("i") * col("i")).cast("long"),
+        "cy" -> col("y"), "ciy" -> (col("i") * col("y"))))
+    def f(c: org.apache.spark.sql.Column) = c.cast("double")
+    // train = strictly-before moments (prefix minus own row)
+    val folds = cum
+      .withColumn("tn", col("cn") - 1)
+      .withColumn("ti", col("ci") - col("i"))
+      .withColumn("tii", col("cii") - col("i") * col("i"))
+      .withColumn("ty", col("cy") - col("y"))
+      .withColumn("tiy", col("ciy") - col("i") * col("y"))
+      .filter(col("cn") > col("n_days") - 10 && col("tn") >= 3)
+    val b1 = round((f(col("tn")) * f(col("tiy"))
+      - f(col("ti")) * f(col("ty"))) /
+      (f(col("tn")) * f(col("tii")) - f(col("ti")) * f(col("ti"))), 8)
+    val scored = folds
+      .withColumn("b1", b1)
+      .withColumn("b0", round((f(col("ty")) - col("b1") * f(col("ti")))
+        / f(col("tn")), 8))
+      .withColumn("err", round(f(col("y"))
+        - (col("b0") + col("b1") * f(col("i"))), 4))
+    val mae = scored.agg(round(sum(round(abs(col("err")), 4)
+      .cast("decimal(18,4)")).cast("double")
+      / count(lit(1)).cast("double"), 4).as("mae"))
+    scored.select(col("day"), col("y"), col("b1"),
+        round(col("b0") + col("b1") * f(col("i")), 4).as("forecast"),
+        col("err"))
+      .crossJoin(broadcast(mae))
+      .orderBy(col("day"))
+  }
+
+  val walkForwardOracle: String =
+    """WITH daily0 AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |d0 AS (SELECT min(day) AS d0, CAST(count(*) AS BIGINT) AS n_days
+      |  FROM daily0),
+      |daily AS (SELECT day,
+      |    CAST(date_diff('day', d0, day) AS BIGINT) AS i, y, n_days
+      |  FROM daily0, d0),
+      |cum AS (SELECT day, i, y, n_days,
+      |    CAST(count(*) OVER w AS BIGINT) AS cn,
+      |    CAST(sum(i) OVER w AS BIGINT) AS ci,
+      |    CAST(sum(i*i) OVER w AS BIGINT) AS cii,
+      |    CAST(sum(y) OVER w AS BIGINT) AS cy,
+      |    CAST(sum(i*y) OVER w AS BIGINT) AS ciy
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY i
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |folds AS (SELECT day, i, y, n_days,
+      |    cn - 1 AS tn, ci - i AS ti, cii - i*i AS tii,
+      |    cy - y AS ty, ciy - i*y AS tiy
+      |  FROM cum
+      |  WHERE cn > n_days - 10 AND cn - 1 >= 3),
+      |scored AS (SELECT day, y, i,
+      |    round((CAST(tn AS DOUBLE)*CAST(tiy AS DOUBLE)
+      |      - CAST(ti AS DOUBLE)*CAST(ty AS DOUBLE))
+      |      /(CAST(tn AS DOUBLE)*CAST(tii AS DOUBLE)
+      |      - CAST(ti AS DOUBLE)*CAST(ti AS DOUBLE)), 8) AS b1,
+      |    tn, ti, ty
+      |  FROM folds),
+      |s2 AS (SELECT day, y, i, b1,
+      |    round((CAST(ty AS DOUBLE) - b1*CAST(ti AS DOUBLE))
+      |      /CAST(tn AS DOUBLE), 8) AS b0
+      |  FROM scored),
+      |s3 AS (SELECT day, y, b1,
+      |    round(b0 + b1*CAST(i AS DOUBLE), 4) AS forecast,
+      |    round(CAST(y AS DOUBLE) - (b0 + b1*CAST(i AS DOUBLE)), 4)
+      |      AS err
+      |  FROM s2),
+      |mae AS (SELECT round(CAST(sum(CAST(round(abs(err), 4)
+      |      AS DECIMAL(18,4))) AS DOUBLE)/CAST(count(*) AS DOUBLE), 4)
+      |      AS mae
+      |  FROM s3)
+      |SELECT day, y, b1, forecast, err, mae
+      |FROM s3, mae ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_segmented" -> (segmented _))
+    "q_segmented" -> (segmented _),
+    "q_walk_forward" -> (walkForward _))
 
   val oracle: Map[String, String] = Map(
-    "q_segmented" -> segmentedOracle)
+    "q_segmented" -> segmentedOracle,
+    "q_walk_forward" -> walkForwardOracle)
 }
