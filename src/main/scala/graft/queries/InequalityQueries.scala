@@ -213,13 +213,62 @@ object InequalityQueries {
        |    AS theil_direct
        |FROM c""".stripMargin
 
+  /** q_lorenz_asym — the Lorenz asymmetry coefficient S = F(μ) + L(μ)
+    * (Damgaard & Weiner 2000): WHERE the Lorenz curve touches its
+    * parallel-to-diagonal tangent — S < 1 means inequality is driven
+    * by many small spenders, S > 1 by few giants (Gini alone cannot
+    * tell). F(μ) and L(μ) are one conditional fold against the
+    * broadcast mean — no sort at all. */
+  def lorenzAsym(s: SparkSession, d: String): DataFrame = {
+    val sp = spend(s, d).select(col("spend").cast("double").as("x"))
+    val mu = sp.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,2)")).as("sx"))
+      .select(col("n"), col("sx"),
+        round(col("sx").cast("double") / col("n").cast("double"), 8)
+          .as("mu"))
+    def f(c: String) = col(c).cast("double")
+    sp.crossJoin(broadcast(mu))
+      .agg(first(col("n")).as("n"), first(col("sx")).as("sx"),
+        count(when(col("x") < col("mu"), lit(1))).as("m"),
+        sum(when(col("x") < col("mu"), col("x")).otherwise(lit(0.0))
+          .cast("decimal(18,2)")).as("sb"))
+      .select(col("n"), col("m"),
+        round(f("m") / f("n"), 6).as("f_mu"),
+        round(f("sb") / f("sx"), 6).as("l_mu"))
+      .select(col("n"), col("m"), col("f_mu"), col("l_mu"),
+        round(col("f_mu") + col("l_mu"), 6).as("s_asym"))
+  }
+
+  val lorenzAsymOracle: String =
+    s"""WITH sp AS (SELECT CAST(spend AS DOUBLE) AS x
+       |  FROM ($spendSql) s0),
+       |mu AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS DECIMAL(18,2))) AS sx,
+       |    round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+       |      /CAST(count(*) AS DOUBLE), 8) AS mu
+       |  FROM sp),
+       |agg AS (SELECT any_value(n) AS n, any_value(sx) AS sx,
+       |    CAST(count(CASE WHEN x < mu THEN 1 END) AS BIGINT) AS m,
+       |    sum(CAST(CASE WHEN x < mu THEN x ELSE 0.0 END
+       |      AS DECIMAL(18,2))) AS sb
+       |  FROM sp, mu)
+       |SELECT n, m,
+       |  round(CAST(m AS DOUBLE)/CAST(n AS DOUBLE), 6) AS f_mu,
+       |  round(CAST(sb AS DOUBLE)/CAST(sx AS DOUBLE), 6) AS l_mu,
+       |  round(round(CAST(m AS DOUBLE)/CAST(n AS DOUBLE), 6)
+       |    + round(CAST(sb AS DOUBLE)/CAST(sx AS DOUBLE), 6), 6)
+       |    AS s_asym
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_atkinson" -> (atkinson _),
     "q_palma" -> (palma _),
-    "q_theil_decomp" -> (theilDecomp _))
+    "q_theil_decomp" -> (theilDecomp _),
+    "q_lorenz_asym" -> (lorenzAsym _))
 
   val oracle: Map[String, String] = Map(
     "q_atkinson" -> atkinsonOracle,
     "q_palma" -> palmaOracle,
-    "q_theil_decomp" -> theilDecompOracle)
+    "q_theil_decomp" -> theilDecompOracle,
+    "q_lorenz_asym" -> lorenzAsymOracle)
 }
