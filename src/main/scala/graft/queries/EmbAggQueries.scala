@@ -167,11 +167,75 @@ object EmbAggQueries {
        |WHERE pos < 8 ORDER BY pos""".stripMargin
   }
 
+  /** q_mmd — kernel two-sample test between the label-0 and label-1
+    * embedding clouds: MMD² = E[k(x,x′)] + E[k(y,y′)] − 2E[k(x,y)]
+    * with the degree-2 POLYNOMIAL kernel k = (1 + ⟨a,b⟩/64)² — a
+    * polynomial of the codegen'd FloatVecDot, so no Gaussian-kernel
+    * exp and the 3dp rounding convention reconciles both engines'
+    * float reductions. The three expectation terms are label-blocked
+    * pair joins (i<j within, full cross between) — bounded by the
+    * two block sizes, never corpus-wide. */
+  def mmd(s: SparkSession, d: String): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.expressions.FloatVecDot.dot(a, b)
+    val e0 = embeddings(s, d).filter(col("label") === 0)
+      .select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val e1 = embeddings(s, d).filter(col("label") === 1)
+      .select(col("vec_id").as("j"), col("embedding").as("eb"))
+    def k(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val base = lit(1.0) + round(dot(a, b), 3) / lit(64.0)
+      round(base * base, 8)
+    }
+    def meanK(df: DataFrame, kc: org.apache.spark.sql.Column): DataFrame =
+      df.agg(round(sum(kc.cast("decimal(27,8)")).cast("double")
+        / count(lit(1)).cast("double"), 8).as("mk"))
+    val xx = meanK(e0.toDF("i", "ea")
+        .join(e0.toDF("i2", "eb"), col("i") < col("i2")),
+      k(col("ea"), col("eb"))).toDF("k_xx")
+    val yy = meanK(e1.toDF("j", "ea")
+        .join(e1.toDF("j2", "eb"), col("j") < col("j2")),
+      k(col("ea"), col("eb"))).toDF("k_yy")
+    val xy = meanK(e0.crossJoin(e1), k(col("ea"), col("eb"))).toDF("k_xy")
+    xx.crossJoin(broadcast(yy)).crossJoin(broadcast(xy))
+      .select(col("k_xx"), col("k_yy"), col("k_xy"),
+        round(col("k_xx") + col("k_yy") - lit(2.0) * col("k_xy"), 6)
+          .as("mmd2"))
+  }
+
+  val mmdOracle: String =
+    """WITH e0 AS (SELECT vec_id AS i, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE label = 0),
+      |e1 AS (SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE label = 1),
+      |xx AS (SELECT round(CAST(sum(CAST(round((1.0
+      |      + round(list_dot_product(a.emb, b.emb), 3)/64.0)
+      |      *(1.0 + round(list_dot_product(a.emb, b.emb), 3)/64.0), 8)
+      |      AS DECIMAL(27,8))) AS DOUBLE)/CAST(count(*) AS DOUBLE), 8)
+      |      AS k_xx
+      |  FROM e0 a JOIN e0 b ON a.i < b.i),
+      |yy AS (SELECT round(CAST(sum(CAST(round((1.0
+      |      + round(list_dot_product(a.emb, b.emb), 3)/64.0)
+      |      *(1.0 + round(list_dot_product(a.emb, b.emb), 3)/64.0), 8)
+      |      AS DECIMAL(27,8))) AS DOUBLE)/CAST(count(*) AS DOUBLE), 8)
+      |      AS k_yy
+      |  FROM e1 a JOIN e1 b ON a.j < b.j),
+      |xy AS (SELECT round(CAST(sum(CAST(round((1.0
+      |      + round(list_dot_product(a.emb, b.emb), 3)/64.0)
+      |      *(1.0 + round(list_dot_product(a.emb, b.emb), 3)/64.0), 8)
+      |      AS DECIMAL(27,8))) AS DOUBLE)/CAST(count(*) AS DOUBLE), 8)
+      |      AS k_xy
+      |  FROM e0 a, e1 b)
+      |SELECT k_xx, k_yy, k_xy,
+      |  round(k_xx + k_yy - 2.0*k_xy, 6) AS mmd2
+      |FROM xx, yy, xy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_emb_sim" -> (sourceEmbSim _),
-    "q_geomedian" -> (geomedian _))
+    "q_geomedian" -> (geomedian _),
+    "q_mmd" -> (mmd _))
 
   val oracle: Map[String, String] = Map(
     "q_source_emb_sim" -> (sourceEmbSimOracle),
-    "q_geomedian" -> (geomedianOracle))
+    "q_geomedian" -> (geomedianOracle),
+    "q_mmd" -> mmdOracle)
 }
