@@ -194,13 +194,69 @@ object InferMoreQueries {
       |    AS BIGINT) AS alloc_n
       |FROM ww, tw ORDER BY r_name""".stripMargin
 
+  /** Two-sided critical z for p = 0.005·i, i = 1..10 (the BH ladder
+    * α·i/m at α=0.05, m=10) — exact literals shared by both engines
+    * so no cross-engine Φ⁻¹ is ever evaluated. */
+  private val bhCrit = Seq(2.8070338, 2.5758293, 2.4323790, 2.3263479,
+    2.2414027, 2.1700904, 2.1080723, 2.0537489, 2.0047182, 1.9599640)
+
+  /** q_bh_dunn — Benjamini–Hochberg step-up over the 10 Dunn pairwise
+    * z's at α=0.05, ON THE Z SCALE: p(i) ≤ αi/m ⟺ |z|(i) ≥ crit(i)
+    * with the critical ladder as exact literals (no cross-engine
+    * normal quantile). Ranks come from self-join counting on the
+    * bounded pair panel — no window; the step-up k* is one max over
+    * satisfying ranks, flagged back by rank ≤ k*. */
+  def bhDunn(s: SparkSession, d: String): DataFrame = {
+    val z = dunn(s, d).select(col("t1"), col("t2"), col("z"),
+      round(abs(col("z")), 6).as("az"))
+    val o = z.select(col("az").as("az2"), col("t1").as("u1"),
+      col("t2").as("u2"))
+    val ranked = z.join(o, col("az2") > col("az") ||
+        (col("az2") === col("az") &&
+          (col("u1") < col("t1") ||
+            (col("u1") === col("t1") && col("u2") < col("t2")))), "left")
+      .groupBy(col("t1"), col("t2"), col("z"), col("az"))
+      .agg((count(col("u1")) + 1).cast("int").as("rnk"))
+      .withColumn("crit", element_at(
+        array(bhCrit.map(lit): _*), col("rnk")))
+      .withColumn("hit", col("az") >= col("crit"))
+    val kstar = ranked.agg(coalesce(max(when(col("hit"), col("rnk"))),
+      lit(0)).as("k_star"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("t1"), col("t2"), col("z"), col("rnk"),
+        round(col("crit"), 6).as("crit_z"), col("k_star"),
+        (col("rnk") <= col("k_star")).as("significant"))
+      .orderBy(col("rnk"))
+  }
+
+  val bhDunnOracle: String = {
+    val arr = bhCrit.map(v =>
+      java.math.BigDecimal.valueOf(v).toPlainString).mkString(", ")
+    s"""WITH z AS (SELECT t1, t2, z, round(abs(z), 6) AS az
+       |  FROM ($dunnOracle) dz),
+       |ranked AS (SELECT a.t1, a.t2, a.z, a.az,
+       |    CAST(count(b.t1) + 1 AS INT) AS rnk
+       |  FROM z a LEFT JOIN z b
+       |    ON b.az > a.az OR (b.az = a.az AND (b.t1 < a.t1
+       |      OR (b.t1 = a.t1 AND b.t2 < a.t2)))
+       |  GROUP BY a.t1, a.t2, a.z, a.az),
+       |crit AS (SELECT *, CAST(([$arr])[rnk] AS DOUBLE) AS crit FROM ranked),
+       |ks AS (SELECT coalesce(max(CASE WHEN az >= crit THEN rnk END),
+       |    0) AS k_star FROM crit)
+       |SELECT t1, t2, z, rnk, round(crit, 6) AS crit_z, k_star,
+       |  rnk <= k_star AS significant
+       |FROM crit, ks ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dunn" -> (dunn _),
     "q_tost" -> (tost _),
-    "q_neyman_alloc" -> (neymanAlloc _))
+    "q_neyman_alloc" -> (neymanAlloc _),
+    "q_bh_dunn" -> (bhDunn _))
 
   val oracle: Map[String, String] = Map(
     "q_dunn" -> dunnOracle,
     "q_tost" -> tostOracle,
-    "q_neyman_alloc" -> neymanAllocOracle)
+    "q_neyman_alloc" -> neymanAllocOracle,
+    "q_bh_dunn" -> bhDunnOracle)
 }
