@@ -120,9 +120,89 @@ object LearningCurveQueries {
        |ORDER BY fraction""".stripMargin
   }
 
+  /** q_ridge_path — the L2 shrinkage path of the same revenue~quantity
+    * model: b(λ) = (nΣxy−ΣxΣy)/(nΣxx−(Σx)² + nλ) for λ ∈ {0, 1e4,
+    * 1e5, 1e6}, each fit validated on the md5 holdout. ALL four
+    * models come from ONE train moment fold (λ only enters the
+    * denominator) and ONE validation pass against the 4-row
+    * broadcast coefficient frame — regularization sweep without
+    * re-training. */
+  def ridgePath(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(
+      substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))), 1, 2).as("h"),
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val m = li.filter(col("h") < "e6").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,2)")).as("sx"),
+      sum(col("y").cast("decimal(18,2)")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(27,4)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(27,4)")).as("sxy"))
+    def f(c: String) = col(c).cast("double")
+    val lams = Seq(0.0, 1e4, 1e5, 1e6)
+    val coef = lams.map { lam =>
+      val nD = f("n")
+      val b1 = round((nD * f("sxy") - f("sx") * f("sy"))
+        / (nD * f("sxx") - f("sx") * f("sx") + nD * lit(lam)), 8)
+      m.select(lit(lam).as("lambda"), b1.as("b1"),
+        round((f("sy") - b1 * f("sx")) / nD, 8).as("b0"))
+    }.reduce(_ unionByName _)
+    li.filter(col("h") >= "e6")
+      .join(broadcast(coef))
+      .select(col("lambda"), col("b1"),
+        round((col("y") - col("b0") - col("b1") * col("x"))
+          * (col("y") - col("b0") - col("b1") * col("x")), 4)
+          .cast("decimal(27,4)").as("se"))
+      .groupBy(col("lambda"), col("b1"))
+      .agg(round(sqrt(round(sum(col("se")).cast("double")
+        / count(lit(1)).cast("double"), 8)), 4).as("rmse_val"))
+      .orderBy(col("lambda"))
+  }
+
+  val ridgePathOracle: String = {
+    val coefSql = Seq(0.0, 1e4, 1e5, 1e6).map { lam =>
+      s"""SELECT CAST($lam AS DOUBLE) AS lambda,
+         |  round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         |    /(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)
+         |    + CAST(n AS DOUBLE)*CAST($lam AS DOUBLE)), 8) AS b1,
+         |  round((CAST(sy AS DOUBLE)
+         |    - round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         |      /(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)
+         |      + CAST(n AS DOUBLE)*CAST($lam AS DOUBLE)), 8)
+         |      *CAST(sx AS DOUBLE))/CAST(n AS DOUBLE), 8) AS b0
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT
+       |    substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+       |      || CAST(l_linenumber AS VARCHAR)), 1, 2) AS h,
+       |    l_quantity AS x, l_extendedprice AS y
+       |  FROM lineitem),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS DECIMAL(18,2))) AS sx,
+       |    sum(CAST(y AS DECIMAL(18,2))) AS sy,
+       |    sum(CAST(x*x AS DECIMAL(27,4))) AS sxx,
+       |    sum(CAST(x*y AS DECIMAL(27,4))) AS sxy
+       |  FROM li WHERE h < 'e6'),
+       |coef AS ($coefSql)
+       |SELECT lambda, b1,
+       |  round(sqrt(round(CAST(sum(CAST(round((y - b0 - b1*x)
+       |      *(y - b0 - b1*x), 4) AS DECIMAL(27,4))) AS DOUBLE)
+       |    /CAST(count(*) AS DOUBLE), 8)), 4) AS rmse_val
+       |FROM li, coef
+       |WHERE h >= 'e6'
+       |GROUP BY lambda, b1
+       |ORDER BY lambda""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_learning_curve" -> (learningCurve _))
+    "q_learning_curve" -> (learningCurve _),
+    "q_ridge_path" -> (ridgePath _))
 
   val oracle: Map[String, String] = Map(
-    "q_learning_curve" -> learningCurveOracle)
+    "q_learning_curve" -> learningCurveOracle,
+    "q_ridge_path" -> ridgePathOracle)
 }
