@@ -244,13 +244,66 @@ object SpcQueries {
        |    AS first_signal_day
        |FROM s GROUP BY t ORDER BY t""".stripMargin
 
+  /** q_p_chart — the attribute (proportion) control chart on the
+    * daily purchase share with VARYING binomial limits p̄ ±
+    * 3√(p̄(1−p̄)/n_t) (unequal daily volumes get their own limit
+    * width — the np-chart's fixed-limit shortcut is wrong here).
+    * One daily contraction + a broadcast centerline; reports the
+    * violation count and the top-5 most extreme days by |z|. */
+  def pChart(s: SparkSession, d: String): DataFrame = {
+    val dd = events(s, d).groupBy(to_date(col("ts2")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", lit(1))).as("x"))
+    val center = dd.agg(sum(col("x")).as("sx"), sum(col("n")).as("sn"))
+      .select(round(col("sx").cast("double")
+        / col("sn").cast("double"), 8).as("pbar"))
+    def f(c: String) = col(c).cast("double")
+    val scored = dd.crossJoin(broadcast(center))
+      .withColumn("p", round(f("x") / f("n"), 8))
+      .withColumn("se", round(sqrt(round(col("pbar")
+        * (lit(1.0) - col("pbar")) / f("n"), 12)), 8))
+      .withColumn("z", round((col("p") - col("pbar")) / col("se"), 4))
+    val viol = scored.agg(count(lit(1)).as("n_days"),
+      count(when(abs(col("z")) > 3.0, lit(1))).as("n_violations"))
+    scored.select(col("day"), col("p"), col("pbar"), col("z"))
+      .withColumn("az", abs(col("z")))
+      .orderBy(col("az").desc, col("day")).limit(5).drop("az")
+      .crossJoin(broadcast(viol))
+      .orderBy(col("day"))
+  }
+
+  val pChartOracle: String =
+    """WITH dd AS (SELECT CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |c AS (SELECT round(CAST(sum(x) AS DOUBLE)
+      |    /CAST(sum(n) AS DOUBLE), 8) AS pbar FROM dd),
+      |scored AS (SELECT day,
+      |    round(CAST(x AS DOUBLE)/CAST(n AS DOUBLE), 8) AS p, pbar,
+      |    round((round(CAST(x AS DOUBLE)/CAST(n AS DOUBLE), 8) - pbar)
+      |      /round(sqrt(round(pbar*(1.0 - pbar)/CAST(n AS DOUBLE),
+      |        12)), 8), 4) AS z
+      |  FROM dd, c),
+      |viol AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(count(CASE WHEN abs(z) > 3.0 THEN 1 END) AS BIGINT)
+      |      AS n_violations
+      |  FROM scored),
+      |top5 AS (SELECT day, p, pbar, z FROM scored
+      |  ORDER BY abs(z) DESC, day LIMIT 5)
+      |SELECT day, p, pbar, z, n_days, n_violations
+      |FROM top5, viol ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_control_chart" -> (controlChart _),
     "q_cpk" -> (cpk _),
-    "q_cusum" -> (cusum _))
+    "q_cusum" -> (cusum _),
+    "q_p_chart" -> (pChart _))
 
   val oracle: Map[String, String] = Map(
     "q_control_chart" -> controlChartOracle,
     "q_cpk" -> cpkOracle,
-    "q_cusum" -> cusumOracle)
+    "q_cusum" -> cusumOracle,
+    "q_p_chart" -> pChartOracle)
 }

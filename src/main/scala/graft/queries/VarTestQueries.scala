@@ -184,13 +184,59 @@ object VarTestQueries {
       |      (CAST(n_wd AS DOUBLE) - 1), 8), 6) AS f_ratio
       |FROM m""".stripMargin
 
+  /** q_var_outlier — the variance-outlier pair beside Levene/
+    * Bartlett's omnibus tests: Cochran's C (largest variance's share
+    * of the total — is ONE group driving the heterogeneity?) and
+    * Hartley's Fmax (max/min variance ratio), both pure algebra over
+    * the per-type variance contraction with the offending types
+    * named. */
+  def varOutlier(s: SparkSession, d: String): DataFrame = {
+    def f(c: String) = col(c).cast("double")
+    val v = events(s, d).groupBy(col("event_type").as("t")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,2)")).as("sv"),
+      sum((col("value") * col("value")).cast("decimal(27,4)")).as("svv"))
+      .select(col("t"), col("n"),
+        round((f("n") * f("svv") - f("sv") * f("sv"))
+          / (f("n") * (f("n") - lit(1.0))), 8).as("s2"))
+    val agg = v.agg(count(lit(1)).as("k"),
+      sum(col("s2").cast("decimal(27,8)")).as("ssum"),
+      max(col("s2")).as("smax"), min(col("s2")).as("smin"),
+      expr("max_by(t, s2)").as("t_max"), expr("min_by(t, s2)").as("t_min"))
+    agg.select(col("k"), col("t_max"), col("t_min"),
+      round(col("smax") / col("ssum").cast("double"), 6).as("cochran_c"),
+      round(col("smax") / col("smin"), 6).as("hartley_fmax"))
+  }
+
+  val varOutlierOracle: String =
+    """WITH v AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS sv,
+      |    sum(CAST(value*value AS DECIMAL(27,4))) AS svv
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT t, n,
+      |    round((CAST(n AS DOUBLE)*CAST(svv AS DOUBLE)
+      |      - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))
+      |      /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)), 8) AS s2
+      |  FROM v),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |    sum(CAST(s2 AS DECIMAL(27,8))) AS ssum,
+      |    max(s2) AS smax, min(s2) AS smin,
+      |    max_by(t, s2) AS t_max, min_by(t, s2) AS t_min
+      |  FROM s)
+      |SELECT k, t_max, t_min,
+      |  round(smax/CAST(ssum AS DOUBLE), 6) AS cochran_c,
+      |  round(smax/smin, 6) AS hartley_fmax
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_levene" -> (levene _),
     "q_bartlett" -> (bartlett _),
-    "q_f_test" -> (fTest _))
+    "q_f_test" -> (fTest _),
+    "q_var_outlier" -> (varOutlier _))
 
   val oracle: Map[String, String] = Map(
     "q_levene" -> leveneOracle,
     "q_bartlett" -> bartlettOracle,
-    "q_f_test" -> fTestOracle)
+    "q_f_test" -> fTestOracle,
+    "q_var_outlier" -> varOutlierOracle)
 }
