@@ -248,15 +248,68 @@ object InferMoreQueries {
        |FROM crit, ks ORDER BY rnk""".stripMargin
   }
 
+  /** q_cohens_h — the effect size for the weekend-vs-weekday purchase
+    * share difference: h = 2·asin√p₁ − 2·asin√p₂ (the arcsine
+    * variance-stabilizing scale where a 1%-vs-2% gap and a
+    * 50%-vs-51% gap stop looking alike), with the conventional
+    * small/medium/large band. asin joins the ln/exp/cos/sin house
+    * protocol: applied to 10dp-rounded operands, result re-rounded. */
+  def cohensH(s: SparkSession, d: String): DataFrame = {
+    val m = events(s, d)
+      .select(dayofweek(to_date(col("ts2"))).isin(1, 7).as("wk"),
+        (col("event_type") === "purchase").as("pur"))
+      .groupBy(col("wk")).agg(count(lit(1)).as("n"),
+        count(when(col("pur"), lit(1))).as("x"))
+      .select(col("wk"), col("n"),
+        round(col("x").cast("double") / col("n").cast("double"), 10)
+          .as("p"))
+    val a = m.filter(col("wk")).select(col("n").as("n1"), col("p").as("p1"))
+    val b = m.filter(!col("wk")).select(col("n").as("n2"),
+      col("p").as("p2"))
+    def phi(p: org.apache.spark.sql.Column) =
+      round(lit(2.0) * asin(round(sqrt(p), 10)), 8)
+    a.crossJoin(broadcast(b))
+      .select(col("n1"), col("n2"), col("p1"), col("p2"),
+        round(phi(col("p1")) - phi(col("p2")), 6).as("cohens_h"))
+      .withColumn("magnitude",
+        when(abs(col("cohens_h")) < 0.2, lit("negligible"))
+          .when(abs(col("cohens_h")) < 0.5, lit("small"))
+          .when(abs(col("cohens_h")) < 0.8, lit("medium"))
+          .otherwise(lit("large")))
+  }
+
+  val cohensHOracle: String =
+    """WITH m AS (SELECT
+      |    (dayofweek(CAST(ts AS DATE)) + 1) IN (1, 7) AS wk,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT wk, n,
+      |    round(CAST(x AS DOUBLE)/CAST(n AS DOUBLE), 10) AS p
+      |  FROM m),
+      |j AS (SELECT a.n AS n1, b.n AS n2, a.p AS p1, b.p AS p2,
+      |    round(round(2.0*asin(round(sqrt(a.p), 10)), 8)
+      |      - round(2.0*asin(round(sqrt(b.p), 10)), 8), 6) AS cohens_h
+      |  FROM p a, p b WHERE a.wk AND NOT b.wk)
+      |SELECT n1, n2, p1, p2, cohens_h,
+      |  CASE WHEN abs(cohens_h) < 0.2 THEN 'negligible'
+      |    WHEN abs(cohens_h) < 0.5 THEN 'small'
+      |    WHEN abs(cohens_h) < 0.8 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dunn" -> (dunn _),
     "q_tost" -> (tost _),
     "q_neyman_alloc" -> (neymanAlloc _),
-    "q_bh_dunn" -> (bhDunn _))
+    "q_bh_dunn" -> (bhDunn _),
+    "q_cohens_h" -> (cohensH _))
 
   val oracle: Map[String, String] = Map(
     "q_dunn" -> dunnOracle,
     "q_tost" -> tostOracle,
     "q_neyman_alloc" -> neymanAllocOracle,
-    "q_bh_dunn" -> bhDunnOracle)
+    "q_bh_dunn" -> bhDunnOracle,
+    "q_cohens_h" -> cohensHOracle)
 }
