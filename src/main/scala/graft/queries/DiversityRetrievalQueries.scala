@@ -100,7 +100,7 @@ object DiversityRetrievalQueries {
   val simpsonDivOracle: String =
     """WITH cell AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
       |  FROM documents GROUP BY 1, 2),
-      |src AS (SELECT source, sum(c) AS n,
+      |src AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
       |    CAST(count(*) AS BIGINT) AS richness
       |  FROM cell GROUP BY 1),
       |ds AS (SELECT cell.source,

@@ -49,7 +49,7 @@ object EvennessQueries {
   val evennessOracle: String =
     """WITH cell AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
       |  FROM documents GROUP BY 1, 2),
-      |src AS (SELECT source, sum(c) AS n,
+      |src AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
       |    CAST(count(*) AS BIGINT) AS richness
       |  FROM cell GROUP BY 1),
       |h AS (SELECT cell.source,
@@ -84,7 +84,8 @@ object EvennessQueries {
   val gofUniformOracle: String =
     """WITH obs AS (SELECT event_type, CAST(count(*) AS BIGINT) AS o
       |  FROM events GROUP BY 1),
-      |tot AS (SELECT sum(o) AS n, CAST(count(*) AS BIGINT) AS k FROM obs),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS k FROM obs),
       |terms AS (SELECT n, k,
       |    round(pow(CAST(o AS DOUBLE)
       |        - CAST(n AS DOUBLE)/CAST(k AS DOUBLE), 2)

@@ -93,8 +93,11 @@ object PairedTestQueries {
       |      AS BIGINT) AS x3
       |  FROM orders),
       |t2 AS (SELECT x1, x2, x3, x1 + x2 + x3 AS l FROM t),
-      |m AS (SELECT sum(x1) AS g1, sum(x2) AS g2, sum(x3) AS g3,
-      |    sum(l) AS sl, sum(l*l) AS sl2 FROM t2)
+      |m AS (SELECT CAST(sum(x1) AS BIGINT) AS g1,
+      |    CAST(sum(x2) AS BIGINT) AS g2,
+      |    CAST(sum(x3) AS BIGINT) AS g3,
+      |    CAST(sum(l) AS BIGINT) AS sl,
+      |    CAST(sum(l*l) AS BIGINT) AS sl2 FROM t2)
       |SELECT g1, g2, g3,
       |  round(CAST(2 * (3 * (g1*g1 + g2*g2 + g3*g3)
       |      - (g1+g2+g3)*(g1+g2+g3)) AS DOUBLE)

@@ -68,7 +68,7 @@ object SeqPatternQueries {
       |  GROUP BY 1)
       |SELECT c_mktsegment,
       |  CAST(count(*) AS BIGINT) AS matched_customers,
-      |  sum(n_matches) AS total_matches
+      |  CAST(sum(n_matches) AS BIGINT) AS total_matches
       |FROM m JOIN customer ON c_custkey = o_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -1,6 +1,9 @@
 #!/bin/bash
 # Fast local correctness loop: compile once, run Verify via plain java
 # (skipping sbt-run startup), then diff against the DuckDB oracle.
+# Gate = tools/hashcheck.py (strict driver-replica csv-hash); the
+# value-level oracle_check.py runs first only for readable diffs.
+# A query is NOT declared done until hashcheck passes here.
 # Usage: tools/check.sh [sf_dir] [query ...]
 set -e
 cd "$(dirname "$0")/.."
@@ -12,3 +15,4 @@ OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.la
 java $OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.Verify "$SF" "$OUT" "$@"
 python3 tools/oracle_check.py "$SF" "$OUT" "$@"
+python3 tools/hashcheck.py "$SF" "$OUT" "$@"
