@@ -132,14 +132,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2,
           "bitset_distinct(k, maxId) takes 2 args")
-        val maxId = args(1) match {
+        // Evaluate the foldable once and null-check: CAST(NULL AS INT)
+        // is foldable with IntegerType but evals to null — fall through
+        // to the same IllegalArgumentException, not an NPE.
+        val maxId = (args(1) match {
           case e if e.foldable && (e.dataType ==
               org.apache.spark.sql.types.IntegerType || e.dataType ==
               org.apache.spark.sql.types.LongType) =>
-            e.eval().asInstanceOf[Number].longValue()
-          case other => throw new IllegalArgumentException(
-            s"bitset_distinct maxId must be a foldable integer literal, got $other")
-        }
+            Option(e.eval()).map(_.asInstanceOf[Number].longValue())
+          case _ => None
+        }).getOrElse(throw new IllegalArgumentException(
+          "bitset_distinct maxId must be a non-null foldable integer " +
+            s"literal, got ${args(1)}"))
         graft.functions.expressions.BitsetDistinct(args.head, maxId)
       }))
 

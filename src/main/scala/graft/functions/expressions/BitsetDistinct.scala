@@ -41,7 +41,14 @@ case class BitsetDistinct(
   with UnaryLike[Expression] {
 
   require(maxId >= 0, "bitset_distinct needs maxId >= 0")
-  require(maxId < (1L << 31) * 64, "bitset_distinct domain too large")
+  // Practical cap: 2^31 keys = a 256 MiB buffer PER (mapper, group) —
+  // already past the point where a bitmap plan makes sense. Anything
+  // larger must fail fast here, not overflow `words` below into a
+  // negative Int and NegativeArraySizeException at aggregation time.
+  require(maxId < (1L << 31),
+    s"bitset_distinct domain too large: maxId=$maxId needs a " +
+      s"${(maxId >> 6) / (128 * 1024) + 1} MiB buffer per group " +
+      "(cap is 2^31 keys = 256 MiB); use kmv_distinct for huge domains")
 
   private val words = ((maxId >> 6) + 1).toInt
 

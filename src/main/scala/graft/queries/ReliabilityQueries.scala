@@ -18,8 +18,9 @@ import graft.Tables._
   * 8dp shares against broadcast 1-row totals, and folds five term
   * rows into the scalar panel. Nothing retains raw rows.
   *
-  * Determinism: moments travel as DECIMAL with 6dp-rounded products
-  * (D1); variances/shares/ratios round at 8dp before sqrt or ln;
+  * Determinism: product moments travel as direct DECIMAL(27,6) casts
+  * (half-up at 6dp — no per-row round() first; the q_linreg2 form,
+  * D1); variances/shares/ratios round at 8dp before sqrt or ln;
   * outputs at 4–6dp (D2).
   */
 object ReliabilityQueries {
@@ -33,9 +34,12 @@ object ReliabilityQueries {
       col("l_quantity").as("x1"), col("l_discount").as("x2"),
       col("l_tax").as("x3"),
       (col("l_quantity") + col("l_discount") + col("l_tax")).as("xt"))
+    // Direct decimal cast: cast(decimal(27,6)) already half-up rounds
+    // at 6dp, so a per-row round(x, 6) first is a redundant BigDecimal
+    // trip (the q_linreg2 form, proven hash-identical cross-engine).
     def mom(c: String) = Seq(
       sum(col(c).cast("decimal(18,6)")).cast("double").as(s"s_$c"),
-      sum(round(col(c) * col(c), 6).cast("decimal(27,6)"))
+      sum((col(c) * col(c)).cast("decimal(27,6)"))
         .cast("double").as(s"ss_$c"))
     val mm = t.agg(count(lit(1)).as("n"),
       mom("x1")(0), mom("x1")(1), mom("x2")(0), mom("x2")(1),
@@ -58,13 +62,13 @@ object ReliabilityQueries {
       |    l_quantity + l_discount + l_tax AS xt FROM lineitem),
       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(CAST(x1 AS DECIMAL(18,6))) AS DOUBLE) AS s_x1,
-      |    CAST(sum(CAST(round(x1*x1, 6) AS DECIMAL(27,6))) AS DOUBLE) AS ss_x1,
+      |    CAST(sum(CAST(x1*x1 AS DECIMAL(27,6))) AS DOUBLE) AS ss_x1,
       |    CAST(sum(CAST(x2 AS DECIMAL(18,6))) AS DOUBLE) AS s_x2,
-      |    CAST(sum(CAST(round(x2*x2, 6) AS DECIMAL(27,6))) AS DOUBLE) AS ss_x2,
+      |    CAST(sum(CAST(x2*x2 AS DECIMAL(27,6))) AS DOUBLE) AS ss_x2,
       |    CAST(sum(CAST(x3 AS DECIMAL(18,6))) AS DOUBLE) AS s_x3,
-      |    CAST(sum(CAST(round(x3*x3, 6) AS DECIMAL(27,6))) AS DOUBLE) AS ss_x3,
+      |    CAST(sum(CAST(x3*x3 AS DECIMAL(27,6))) AS DOUBLE) AS ss_x3,
       |    CAST(sum(CAST(xt AS DECIMAL(18,6))) AS DOUBLE) AS s_xt,
-      |    CAST(sum(CAST(round(xt*xt, 6) AS DECIMAL(27,6))) AS DOUBLE) AS ss_xt
+      |    CAST(sum(CAST(xt*xt AS DECIMAL(27,6))) AS DOUBLE) AS ss_xt
       |  FROM t),
       |v AS (SELECT n,
       |    round((ss_x1 - s_x1*s_x1/n)/(n - 1.0), 8) AS v1,
@@ -88,17 +92,18 @@ object ReliabilityQueries {
       sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
       sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
       sum(col("z").cast("decimal(18,6)")).cast("double").as("sz"),
-      sum(round(col("x") * col("x"), 6).cast("decimal(27,6)"))
+      // Direct decimal cast (no per-row round first) — see cronbach.
+      sum((col("x") * col("x")).cast("decimal(27,6)"))
         .cast("double").as("sxx"),
-      sum(round(col("y") * col("y"), 6).cast("decimal(27,6)"))
+      sum((col("y") * col("y")).cast("decimal(27,6)"))
         .cast("double").as("syy"),
-      sum(round(col("z") * col("z"), 6).cast("decimal(27,6)"))
+      sum((col("z") * col("z")).cast("decimal(27,6)"))
         .cast("double").as("szz"),
-      sum(round(col("x") * col("y"), 6).cast("decimal(27,6)"))
+      sum((col("x") * col("y")).cast("decimal(27,6)"))
         .cast("double").as("sxy"),
-      sum(round(col("x") * col("z"), 6).cast("decimal(27,6)"))
+      sum((col("x") * col("z")).cast("decimal(27,6)"))
         .cast("double").as("sxz"),
-      sum(round(col("y") * col("z"), 6).cast("decimal(27,6)"))
+      sum((col("y") * col("z")).cast("decimal(27,6)"))
         .cast("double").as("syz"))
     val nD = col("n").cast("double")
     def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
@@ -121,12 +126,12 @@ object ReliabilityQueries {
       |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
       |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
       |    CAST(sum(CAST(z AS DECIMAL(18,6))) AS DOUBLE) AS sz,
-      |    CAST(sum(CAST(round(x*x, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
-      |    CAST(sum(CAST(round(y*y, 6) AS DECIMAL(27,6))) AS DOUBLE) AS syy,
-      |    CAST(sum(CAST(round(z*z, 6) AS DECIMAL(27,6))) AS DOUBLE) AS szz,
-      |    CAST(sum(CAST(round(x*y, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
-      |    CAST(sum(CAST(round(x*z, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxz,
-      |    CAST(sum(CAST(round(y*z, 6) AS DECIMAL(27,6))) AS DOUBLE) AS syz
+      |    CAST(sum(CAST(x*x AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y*y AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(z*z AS DECIMAL(27,6))) AS DOUBLE) AS szz,
+      |    CAST(sum(CAST(x*y AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x*z AS DECIMAL(27,6))) AS DOUBLE) AS sxz,
+      |    CAST(sum(CAST(y*z AS DECIMAL(27,6))) AS DOUBLE) AS syz
       |  FROM t),
       |r AS (SELECT n,
       |    round((n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)), 8)

@@ -164,18 +164,38 @@ object SketchExactQueries {
       |FROM agg CROSS JOIN sb""".stripMargin
   }
 
+  /** The user_id domain ceiling the bitmap aggregate is sized to.
+    * TESTDATA.md does not publish a ceiling; observed max(user_id) is
+    * ~1.5k·sf/0.1 (1499 at sf0.1), so 65535 covers ≥ sf4. The ceiling
+    * is a CONTRACT, not a hint: BitsetDistinct silently ignores
+    * out-of-domain keys, so [[bitsetDistinct]] guards the domain with
+    * an in-plan raise_error — a violation fails the query loudly
+    * instead of returning a silently low count. */
+  val UserIdCeiling = 65535L
+
   /** q_bitset_distinct — exact per-type distinct users through the
     * [[graft.functions.expressions.BitsetDistinct]] bitmap
     * aggregate: one ⌈domain/64⌉-word state per (mapper, group)
     * crosses the shuffle where `count(DISTINCT)` plans an EXPAND +
     * per-key re-shuffle; the OR-merge is idempotent, so the result
     * is exact, partition-invariant, and retry-safe. Graded exactly
-    * against DuckDB's count(DISTINCT). */
+    * against DuckDB's count(DISTINCT). max(user_id) rides the same
+    * aggregate (no extra scan) purely to enforce the
+    * [[UserIdCeiling]] domain contract. */
   def bitsetDistinct(s: SparkSession, d: String): DataFrame =
     events(s, d).groupBy(col("event_type"))
       .agg(graft.functions.expressions.BitsetDistinct
-          .distinctOf(col("user_id"), 65535L).as("n_users"),
-        count(lit(1)).as("n_events"))
+          .distinctOf(col("user_id"), UserIdCeiling).as("n_users_raw"),
+        count(lit(1)).as("n_events"),
+        max(col("user_id")).as("max_uid"))
+      .select(col("event_type"),
+        when(col("max_uid") > UserIdCeiling,
+          raise_error(concat(lit("q_bitset_distinct: user_id "),
+            col("max_uid").cast("string"),
+            lit(s" exceeds UserIdCeiling=$UserIdCeiling — bitmap "),
+            lit("would silently undercount"))).cast("long"))
+          .otherwise(col("n_users_raw")).as("n_users"),
+        col("n_events"))
       .orderBy(col("event_type"))
 
   val bitsetDistinctOracle: String =

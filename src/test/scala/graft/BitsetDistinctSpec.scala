@@ -57,4 +57,29 @@ class BitsetDistinctSpec extends GraftSpecBase {
       .collect().map(r => r.getLong(1)).toList
     assert(got == List(2L))
   }
+
+  test("oversized domains are rejected at construction, not at runtime") {
+    // 2^31 keys (256 MiB/group) is the cap; beyond it `words` would
+    // overflow Int and surface as NegativeArraySizeException mid-job.
+    val e = intercept[IllegalArgumentException] {
+      BitsetDistinct.distinctOf(col("k"), 1L << 31)
+    }
+    assert(e.getMessage.contains("domain too large"), e.getMessage)
+    BitsetDistinct.distinctOf(col("k"), (1L << 31) - 1) // at-cap OK
+  }
+
+  test("SQL path: foldable NULL maxId raises IllegalArgument, not NPE") {
+    GraftExtensions.register(spark)
+    Seq(("a", 3L)).toDF("g", "k").createOrReplaceTempView("v_bsd_null")
+    val e = intercept[Exception] {
+      spark.sql("SELECT g, bitset_distinct(k, CAST(NULL AS INT)) " +
+        "FROM v_bsd_null GROUP BY g").collect()
+    }
+    // Spark may wrap the builder failure in an AnalysisException chain;
+    // the root message must be the intended contract error.
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-null foldable integer")),
+      msgs(e).mkString(" | "))
+  }
 }

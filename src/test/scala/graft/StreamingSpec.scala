@@ -305,6 +305,33 @@ class StreamingSpec extends GraftSpecBase {
     assert(keys.sorted === Seq("1", "2", "3", "4")) // dedup dropped one "3"
   }
 
+  test("maxFilesPerTrigger bounds admission: one landing file per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("ct_mft_in").toFile
+    val chk = java.nio.file.Files.createTempDirectory("ct_mft_chk").toFile
+    def writeGz(name: String, content: String): Unit = {
+      val os = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name)))
+      os.write(content.getBytes("UTF-8")); os.close()
+    }
+    writeGz("f1.json.gz", envelope("1", "2"))
+    writeGz("f2.json.gz", envelope("3", "4", "5"))
+    writeGz("f3.json.gz", envelope("6"))
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    TestSink.records = got
+    val q = CloudTrailPipeline.run(spark, dir.getAbsolutePath,
+      chk.getAbsolutePath, TestSink, maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    // Each envelope file is one text line, so with admission capped at
+    // 1 file/trigger every non-empty micro-batch reads exactly 1 input
+    // row and there are exactly 3 of them (uncapped, all 3 files land
+    // in a single batch). The sink still sees every record exactly once.
+    val batchRows = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(batchRows === Seq(1L, 1L, 1L), batchRows)
+    assert(got.toArray(Array.empty[String]).toSeq.sorted ===
+      Seq("1", "2", "3", "4", "5", "6"))
+  }
+
   test("stream-stream interval join matches clicks to purchases within 1h") {
     import spark.implicits._
     val clicks = MemoryStream[(Long, Timestamp)](spark)
