@@ -107,6 +107,60 @@ object PrefixOps {
       sums.flatMap { case (n, _) => Seq(s"__pfx_w_$n", s"__o_$n") }: _*)
   }
 
+  /** Adds one EXCLUSIVE running-max column `name`: for each row, the
+    * max of `value` over all rows STRICTLY BEFORE it in the total
+    * order `order` (NULL for the first row) — the two-phase shape of
+    * [[runningSums]] with max as the combiner:
+    *
+    *  1. equi-width range buckets from the broadcast (min, max) of
+    *     `key` (monotone-ascending in `order`);
+    *  2. within-bucket exclusive running max via a partitioned window
+    *     with frame (unboundedPreceding, -1) — buckets in parallel;
+    *  3. per-bucket max totals → strictly-earlier bucket offsets over
+    *     the tiny |buckets|² self-join space, broadcast back;
+    *  4. global exclusive max = greatest(offset, within), NULL iff
+    *     both are (the global first row).
+    *
+    * Exclusive (not inclusive) because that is what staircase sweeps
+    * need — e.g. the 2-D skyline's "max y over strictly larger x"
+    * (order by x DESC via a negated key). Rows whose keys TIE in
+    * `order` must be pre-contracted to one row per key (e.g. a
+    * groupBy(key).agg(max(value))) — with ties, "strictly before" is
+    * order-dependent and this helper would be nondeterministic. */
+  def exclusiveRunningMax(df: DataFrame, key: Column, order: Seq[Column],
+      name: String, value: Column, buckets: Int = 64): DataFrame = {
+    val k = key.cast("double")
+    val bounds = df.agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
+    val width =
+      (col("__pfx_hi") - col("__pfx_lo")) / lit(buckets.toDouble)
+    val b = when(col("__pfx_hi") <= col("__pfx_lo"), lit(0))
+      .otherwise(least(
+        floor((k - col("__pfx_lo")) / width).cast("int"),
+        lit(buckets - 1)))
+    val parted = df.crossJoin(broadcast(bounds))
+      .withColumn("__pfx_bucket", coalesce(b, lit(0)))
+      .drop("__pfx_lo", "__pfx_hi")
+    val w = Window.partitionBy(col("__pfx_bucket")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = parted.withColumn(s"__pfx_w_$name", max(value).over(w))
+    val totals = parted.groupBy(col("__pfx_bucket").as("__tb"))
+      .agg(max(value).as(s"__t_$name"))
+    val earlier = totals.select(col("__tb").as("__eb"),
+      col(s"__t_$name").as(s"__e_$name"))
+    val offsets = totals
+      .join(broadcast(earlier), col("__eb") < col("__tb"), "left")
+      .groupBy(col("__tb"))
+      .agg(max(col(s"__e_$name")).as(s"__o_$name"))
+    val joined = within.join(broadcast(offsets),
+      col("__pfx_bucket") === col("__tb"), "left")
+    joined
+      .withColumn(name,
+        when(col(s"__o_$name").isNull, col(s"__pfx_w_$name"))
+          .when(col(s"__pfx_w_$name").isNull, col(s"__o_$name"))
+          .otherwise(greatest(col(s"__o_$name"), col(s"__pfx_w_$name"))))
+      .drop("__pfx_bucket", "__tb", s"__pfx_w_$name", s"__o_$name")
+  }
+
   /** SQL `ntile(k)` reconstructed from a 1-based running row number
     * `rn` and the total row count `n` (both over the same total
     * order): the first `n % k` tiles take `n/k + 1` rows, the rest

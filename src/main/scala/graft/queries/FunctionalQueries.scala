@@ -211,20 +211,31 @@ object FunctionalQueries {
   // ---------------------------------------------------------------
   // q_skyline — Pareto frontier of documents on (n_chars, n_tokens):
   // a doc survives unless some other doc weakly dominates it on both
-  // dims and strictly on one. Expressed as a NOT EXISTS anti-join —
-  // Spark picks broadcast-nested-loop here; at 100 TB the standard
-  // trick is a coarse grid prune (only cells on the staircase need
-  // the quadratic check) — noted, not needed at this cardinality.
+  // dims and strictly on one. The 2-D skyline is NOT a pairwise
+  // problem: a is dominated iff max{n_tok : n_chars' > a.n_chars}
+  // ≥ a.n_tok (some strictly-longer doc has at least its tokens) OR
+  // max{n_tok : n_chars' = a.n_chars} > a.n_tok (a same-length doc
+  // strictly beats it). So: per-length max contraction, one
+  // distributed EXCLUSIVE suffix max over descending length
+  // (PrefixOps — no pairwise join, no partition-less window), and a
+  // keyed join back. Replaces the earlier NOT-EXISTS broadcast
+  // nested loop, which shipped the whole relation to every task —
+  // O(n²) compute at 100 TB.
   // ---------------------------------------------------------------
   def skyline(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), col("n_chars"),
         size(split(col("text"), " ")).as("n_tok"))
-    docs.as("a").join(docs.as("b"),
-        col("b.n_chars") >= col("a.n_chars") &&
-        col("b.n_tok") >= col("a.n_tok") &&
-        (col("b.n_chars") > col("a.n_chars") || col("b.n_tok") > col("a.n_tok")),
-        "left_anti")
+    // per distinct length: the best token count at that length
+    val perX = docs.groupBy(col("n_chars").as("x"))
+      .agg(max(col("n_tok")).as("my"))
+    // s_max(x) = max{ my(x') : x' > x } — exclusive running max in
+    // DESCENDING x (negated key; distinct-x rows so ties can't occur)
+    val sfx = graft.operators.PrefixOps.exclusiveRunningMax(
+      perX, -col("x"), Seq(col("x").desc), "s_max", col("my"))
+    docs.join(sfx, col("n_chars") === col("x"))
+      .filter((col("s_max").isNull || col("s_max") < col("n_tok")) &&
+        col("n_tok") === col("my"))
       .select(col("doc_id"), col("n_chars"), col("n_tok"))
       .orderBy(col("doc_id"))
   }

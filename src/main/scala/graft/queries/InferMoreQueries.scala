@@ -50,7 +50,7 @@ object InferMoreQueries {
       col("rbar").as("r1"))
     val b = perType.select(col("t").as("t2"), col("n_g").as("n2"),
       col("rbar").as("r2"))
-    a.join(b, col("t1") < col("t2")).crossJoin(broadcast(tot))
+    a.join(broadcast(b), col("t1") < col("t2")).crossJoin(broadcast(tot))
       .select(col("t1"), col("t2"),
         round((col("r1") - col("r2"))
           / sqrt(round((f("n") * (f("n") + lit(1.0)) / lit(12.0)
@@ -211,7 +211,7 @@ object InferMoreQueries {
       round(abs(col("z")), 6).as("az"))
     val o = z.select(col("az").as("az2"), col("t1").as("u1"),
       col("t2").as("u2"))
-    val ranked = z.join(o, col("az2") > col("az") ||
+    val ranked = z.join(broadcast(o), col("az2") > col("az") ||
         (col("az2") === col("az") &&
           (col("u1") < col("t1") ||
             (col("u1") === col("t1") && col("u2") < col("t2")))), "left")

@@ -44,14 +44,14 @@ object IsotonicQueries {
     // (b ≤ a), carrying each bin's own (n, sy) so the interval sum
     // j..k is (cy_k − cy_j + sy_j) / (cn_k − cn_j + n_j)
     val pre = bins.as("a")
-      .join(bins.as("b"), col("b.bin") <= col("a.bin"))
+      .join(broadcast(bins.as("b")), col("b.bin") <= col("a.bin"))
       .groupBy(col("a.bin").as("bin"))
       .agg(sum(col("b.n")).as("cn"), sum(col("b.sy")).as("cy"),
         max(when(col("b.bin") === col("a.bin"), col("b.n"))).as("nj"),
         max(when(col("b.bin") === col("a.bin"), col("b.sy"))).as("syj"))
     // interval average A(j,k) for every j ≤ k from the prefix rows
     val ivals = pre.as("j")
-      .join(pre.as("k"), col("j.bin") <= col("k.bin"))
+      .join(broadcast(pre.as("k")), col("j.bin") <= col("k.bin"))
       .select(col("j.bin").as("j"), col("k.bin").as("k"),
         round((col("k.cy").cast("double") - col("j.cy").cast("double")
             + col("j.syj").cast("double"))
@@ -59,7 +59,8 @@ object IsotonicQueries {
             + col("j.nj").cast("double")), 8).as("a"))
     // iso_i = max over j ≤ i of (min over k ≥ i of A(j,k))
     val grid = bins.select(col("bin").as("i"))
-    val inner = grid.join(ivals, col("j") <= col("i") && col("k") >= col("i"))
+    val inner = broadcast(grid)
+      .join(ivals, col("j") <= col("i") && col("k") >= col("i"))
       .groupBy(col("i"), col("j")).agg(min(col("a")).as("mn"))
     val iso = inner.groupBy(col("i")).agg(max(col("mn")).as("iso_rate"))
     bins.join(iso, col("bin") === col("i"))

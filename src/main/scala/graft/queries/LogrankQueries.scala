@@ -35,7 +35,9 @@ object LogrankQueries {
     // every death time
     val durs = deaths.select(col("dur")).distinct()
     val grps = deaths.select(col("wk")).distinct()
-    val dense = durs.crossJoin(grps)
+    // group domain is the 2 booleans — broadcast it so the dense grid
+    // plans a BNLJ, not a CartesianProduct
+    val dense = durs.crossJoin(broadcast(grps))
       .join(deaths, Seq("wk", "dur"), "left")
       .select(col("wk"), col("dur"), coalesce(col("dd"), lit(0L)).as("dd"))
     val tot = life.groupBy(col("wk")).agg(count(lit(1)).as("ng"))

@@ -39,7 +39,10 @@ object OrderedAltQueries {
     val cnt = base.groupBy(col("dose"), col("q")).agg(count(lit(1)).as("c"))
     val doses = cnt.select(col("dose")).distinct()
     val levels = cnt.select(col("q")).distinct()
-    val dense = doses.crossJoin(levels)
+    // dose domain is the 5 one-digit priorities — broadcast it so the
+    // dense grid plans a BNLJ, not a CartesianProduct (which would
+    // shuffle both sides into n×m partition pairs)
+    val dense = broadcast(doses).crossJoin(levels)
       .join(cnt, Seq("dose", "q"), "left")
       .select(col("dose"), col("q"), coalesce(col("c"), lit(0L)).as("c"))
     val w = Window.partitionBy(col("dose")).orderBy(col("q"))

@@ -32,7 +32,7 @@ object RankDistQueries {
           .cast("decimal(27,4)")).as("rev"))
       val a = rev.select(col("p_brand").as("b"), col("rev").as("r"))
       val b = rev.select(col("p_brand").as("b2"), col("rev").as("r2"))
-      a.join(b, col("r2") > col("r") ||
+      a.join(broadcast(b), col("r2") > col("r") ||
           (col("r2") === col("r") && col("b2") < col("b")), "left")
         .groupBy(col("b"))
         .agg((count(col("b2")) + 1).as(name))
@@ -46,7 +46,7 @@ object RankDistQueries {
       col("rank2").as("a2"))
     val p2 = both.select(col("b").as("bb"), col("rank1").as("b1"),
       col("rank2").as("b2"))
-    val kd = p1.join(p2, col("ba") < col("bb"))
+    val kd = p1.join(broadcast(p2), col("ba") < col("bb"))
       .agg(sum(when((col("a1") < col("b1")) =!= (col("a2") < col("b2")),
         lit(1L)).otherwise(lit(0L))).as("kendall_dist"))
     def f(c: String) = col(c).cast("double")

@@ -73,6 +73,28 @@ class OrderStatsSpec extends GraftSpecBase {
     assert(got == want)
   }
 
+  test("PrefixOps.exclusiveRunningMax equals the global-window exclusive max (desc order, negatives)") {
+    import spark.implicits._
+    // distinct keys (the helper's documented precondition)
+    val df = Seq((3.0, 5L), (1.0, 9L), (2.0, -4L), (7.0, 2L), (-5.0, 0L),
+        (0.0, 7L), (4.0, -1L), (6.0, 3L), (5.0, 8L), (-2.0, 6L))
+      .toDF("x", "y")
+    // descending x: max y over all strictly-larger x
+    val got = PrefixOps.exclusiveRunningMax(df, -col("x"),
+        Seq(col("x").desc), "m", col("y"), buckets = 3)
+      .select(col("x"), col("m"))
+      .collect().map(r => (r.getDouble(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val want = df.select(col("x"), max(col("y")).over(w).as("m"))
+      .collect().map(r => (r.getDouble(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got == want)
+  }
+
   test("ntileFromRowNumber matches SQL ntile for every n up to 23 and k in {2,3,4,7,10}") {
     import spark.implicits._
     for (k <- Seq(2, 3, 4, 7, 10); n <- 1 to 23) {
