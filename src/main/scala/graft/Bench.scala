@@ -111,8 +111,14 @@ object Bench {
       "q_cca", "q_source_emb_sim", "q_periodogram", "q_gof_poisson",
       "q_negbin_fit", "q_zip_fit")
       .zipWithIndex.toMap
+    // optional comma-separated subset (profiling aid: combined with
+    // SPARK_GRAFT_STREAMS=1 it yields solo warm times free of queue
+    // contention — the number to read before calling a query slow)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val entries = SparkEntry.queries.toSeq
       .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) =>
         (heavyFirst.getOrElse(name, Int.MaxValue), name) }
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
