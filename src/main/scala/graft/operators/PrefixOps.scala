@@ -100,8 +100,15 @@ object PrefixOps {
       col("__pfx_bucket") === col("__tb"), "left")
     val out = sums.foldLeft(joined) { case (acc, (n, _)) =>
       val t = acc.schema(s"__pfx_w_$n").dataType
+      // SQL sum semantics: NULL only when the whole prefix is null.
+      // A bucket whose rows SO FAR are all null has a null within-sum
+      // but must surface the earlier buckets' offset, not null
+      // (caught by the randomized equivalence trial in
+      // OrderStatsSpec — coalesce(o,0)+w poisons that case).
       acc.withColumn(n,
-        (coalesce(col(s"__o_$n"), lit(0)) + col(s"__pfx_w_$n")).cast(t))
+        when(col(s"__pfx_w_$n").isNull, col(s"__o_$n"))
+          .otherwise(coalesce(col(s"__o_$n"), lit(0)) + col(s"__pfx_w_$n"))
+          .cast(t))
     }
     out.drop("__pfx_bucket" +: "__tb" +:
       sums.flatMap { case (n, _) => Seq(s"__pfx_w_$n", s"__o_$n") }: _*)

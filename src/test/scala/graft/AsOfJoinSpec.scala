@@ -91,4 +91,37 @@ class AsOfJoinSpec extends GraftSpecBase {
     val bad = asofDf.filter(col("s_ts").isNotNull && col("s_ts") > col("p_ts"))
     assert(bad.count() === 0)
   }
+
+  test("as-of exec: randomized trials vs a driver-side reference (ties, empty right, skew)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val nL = Seq(1, 17, 60, 100, 40)(trial - 1)
+      val nR = Seq(0, 9, 60, 25, 200)(trial - 1)   // incl. EMPTY right
+      val users = Seq(1, 3, 5, 4, 2)(trial - 1)    // incl. heavy skew
+      val lRows = (1 to nL).map(i => (i.toLong,
+        rnd.nextInt(users).toLong, rnd.nextInt(30).toLong))
+      val rRows = (1 to nR).map(i => (i.toLong + 1000,
+        rnd.nextInt(users).toLong, rnd.nextInt(30).toLong)) // many ts TIES
+      val left = lRows.toDF("p_id", "p_user", "p_ts")
+      val right = rRows.toDF("s_id", "s_user", "s_ts")
+      val got = AsOfJoinPlan.asof(left, right,
+          leftKeys = Seq(col("p_user")), rightKeys = Seq(col("s_user")),
+          leftTime = col("p_ts"), rightTime = col("s_ts"),
+          rightTie = Seq(col("s_id")))
+        .select(col("p_id"), col("s_id"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      // reference computed entirely on the driver: per left row, the
+      // matching right row is argmax (s_ts, s_id) among same-user
+      // rows with s_ts <= p_ts; None when no candidate
+      val want = lRows.map { case (pid, pu, pts) =>
+        val cand = rRows.filter { case (_, su, sts) => su == pu && sts <= pts }
+        (pid, if (cand.isEmpty) None
+              else Some(cand.maxBy { case (sid, _, sts) => (sts, sid) }._1))
+      }.toSet
+      assert(got == want, s"trial $trial (nL=$nL nR=$nR users=$users)")
+    }
+  }
 }

@@ -95,6 +95,61 @@ class OrderStatsSpec extends GraftSpecBase {
     assert(got == want)
   }
 
+  test("PrefixOps.runningSums: randomized equivalence trials (sizes, ties, nulls, bucket counts)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = Seq(1, 2, 7, 33, 128, 301)(trial - 1)
+      val buckets = Seq(1, 2, 3, 7, 64, 5)(trial - 1)
+      // keys with heavy ties, values with negatives and nulls
+      val rows = (1 to n).map { i =>
+        (rnd.nextInt(math.max(2, n / 4)).toDouble,
+         if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(2001) - 1000L),
+         i.toLong)
+      }
+      val df = rows.toDF("k", "v", "id")
+      val got = PrefixOps.runningSums(df, col("k"),
+          Seq(col("k"), col("id")), Seq("rs" -> col("v")), buckets = buckets)
+        .select(col("id"), col("rs"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("k"), col("id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val want = df.select(col("id"), sum(col("v")).over(w).as("rs"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got == want, s"trial $trial (n=$n buckets=$buckets)")
+    }
+  }
+
+  test("PrefixOps.exclusiveRunningMax: randomized equivalence trials (distinct keys, negatives)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val n = Seq(1, 2, 9, 40, 150, 257)(trial - 1)
+      val buckets = Seq(1, 2, 3, 8, 64, 4)(trial - 1)
+      val keys = rnd.shuffle((1 to n).toList) // distinct (precondition)
+      val rows = keys.map(k => (k.toDouble, rnd.nextInt(2001) - 1000L))
+      val df = rows.toDF("x", "y")
+      val got = PrefixOps.exclusiveRunningMax(df, -col("x"),
+          Seq(col("x").desc), "m", col("y"), buckets = buckets)
+        .select(col("x"), col("m"))
+        .collect().map(r => (r.getDouble(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("x").desc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val want = df.select(col("x"), max(col("y")).over(w).as("m"))
+        .collect().map(r => (r.getDouble(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got == want, s"trial $trial (n=$n buckets=$buckets)")
+    }
+  }
+
   test("ntileFromRowNumber matches SQL ntile for every n up to 23 and k in {2,3,4,7,10}") {
     import spark.implicits._
     for (k <- Seq(2, 3, 4, 7, 10); n <- 1 to 23) {

@@ -116,4 +116,36 @@ class RangeJoinSpec extends GraftSpecBase {
       .filter(col("o_totalprice") > 100000.0 && col("yr") >= 1998).count()
     assert(n == baseline)
   }
+
+  test("range exec: randomized trials vs a driver-side reference (dups, empties, degenerate intervals)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val nP = Seq(1, 25, 80, 0, 50)(trial - 1)   // incl. EMPTY points
+      val nI = Seq(12, 0, 40, 10, 90)(trial - 1)  // incl. EMPTY intervals
+      val dom = Seq(10, 20, 15, 8, 40)(trial - 1)
+      val pRows = (1 to nP).map(_ => rnd.nextInt(dom).toLong)
+      val iRows = (1 to nI).map { i =>
+        val s = rnd.nextInt(dom).toLong
+        // include DEGENERATE (empty [s,s)) and inverted intervals
+        val e = s + rnd.nextInt(7) - 1
+        (i.toLong + 500, s, e)
+      }
+      val points = pRows.toDF("p")
+      val ivals = iRows.toDF("iid", "s", "e")
+      val got = RangeJoinPlan.pointInRange(points, ivals,
+          col("p"), col("s"), col("e"))
+        .select(col("p"), col("iid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // driver-side reference over the full cross space (tiny n),
+      // bag semantics: duplicate points match once EACH
+      val want = (for {
+        p0 <- pRows
+        (iid, s, e) <- iRows
+        if s <= p0 && p0 < e
+      } yield (p0, iid)).sorted
+      assert(got == want, s"trial $trial (nP=$nP nI=$nI dom=$dom)")
+    }
+  }
 }
