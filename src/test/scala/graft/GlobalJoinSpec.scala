@@ -78,6 +78,18 @@ class GlobalJoinSpec extends GraftSpecBase {
     case other => other
   }
 
+  /** Plan every graded query ONCE for the whole suite — three tests
+    * walk the same 536 executed plans; rebuilding them per test
+    * triples the suite's wall-clock for no coverage. */
+  private lazy val plans: Seq[(String, SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val df =
+        try fn(spark, sf)
+        catch { case e: Throwable =>
+          fail(s"$name failed to build at $sf: ${e.getMessage}") }
+      name -> strip(df.queryExecution.executedPlan)
+    }
+
   /** True when `p` provably emits a number of rows bounded by a small
     * constant independent of input size. Conservative: anything not
     * recognized is unbounded. */
@@ -133,40 +145,31 @@ class GlobalJoinSpec extends GraftSpecBase {
     }
 
   test("no graded plan contains a CartesianProduct") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val df =
-          try fn(spark, sf)
-          catch { case e: Throwable =>
-            fail(s"$name failed to build at $sf: ${e.getMessage}") }
-        val plan = strip(df.queryExecution.executedPlan)
-        val bad = plan.collect { case c: CartesianProductExec => c }
-        if (bad.nonEmpty) Some(name) else None
+    val offenders = plans.flatMap { case (name, plan) =>
+      val bad = plan.collect { case c: CartesianProductExec => c }
+      if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
       s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
   test("every BroadcastNestedLoopJoin builds a provably bounded side") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = strip(fn(spark, sf).queryExecution.executedPlan)
-        val bad = plan.collect {
-          case b: BroadcastNestedLoopJoinExec
-            if !boundedRows(buildSideOf(b)) => b
-        }
-        if (bad.nonEmpty && !boundedBuilds.contains(name)) Some(name)
-        else None
+    val offenders = plans.flatMap { case (name, plan) =>
+      val bad = plan.collect {
+        case b: BroadcastNestedLoopJoinExec
+          if !boundedRows(buildSideOf(b)) => b
+      }
+      if (bad.nonEmpty && !boundedBuilds.contains(name)) Some(name)
+      else None
     }
     assert(offenders.isEmpty,
       s"BroadcastNestedLoopJoin over unbounded build in: ${offenders.mkString(", ")}")
   }
 
   test("boundedBuilds allowlist stays minimal (no stale entries)") {
-    val stillNeeded = SparkEntry.queries.toSeq
+    val stillNeeded = plans
       .filter { case (name, _) => boundedBuilds.contains(name) }
-      .flatMap { case (name, fn) =>
-        val plan = strip(fn(spark, sf).queryExecution.executedPlan)
+      .flatMap { case (name, plan) =>
         val bad = plan.collect {
           case b: BroadcastNestedLoopJoinExec
             if !boundedRows(buildSideOf(b)) => b
