@@ -40,6 +40,17 @@ class GlobalWindowSpec extends GraftSpecBase {
     case other => other
   }
 
+  /** Plan every graded query ONCE for the whole suite (both tests
+    * walk the same executed plans — same pattern as GlobalJoinSpec). */
+  private lazy val plans: Seq[(String, SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val df =
+        try fn(spark, sf)
+        catch { case e: Throwable =>
+          fail(s"$name failed to build at $sf: ${e.getMessage}") }
+      name -> strip(df.queryExecution.executedPlan)
+    }
+
   /** True when rows reaching `w` are capped by a limit-like operator
     * below it (rank-limit pushdown or explicit top-k). */
   private def limitRescued(w: WindowExec): Boolean =
@@ -53,28 +64,21 @@ class GlobalWindowSpec extends GraftSpecBase {
     }
 
   test("no graded plan contains an unbounded empty-partition WindowExec") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val df =
-          try fn(spark, sf)
-          catch { case e: Throwable =>
-            fail(s"$name failed to build at $sf: ${e.getMessage}") }
-        val plan = strip(df.queryExecution.executedPlan)
-        val bad = plan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty && !limitRescued(w) => w
-        }
-        if (bad.nonEmpty && !boundedDomains.contains(name)) Some(name)
-        else None
+    val offenders = plans.flatMap { case (name, plan) =>
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !limitRescued(w) => w
+      }
+      if (bad.nonEmpty && !boundedDomains.contains(name)) Some(name)
+      else None
     }
     assert(offenders.isEmpty,
       s"unbounded single-partition windows in: ${offenders.mkString(", ")}")
   }
 
   test("boundedDomains allowlist stays minimal (no stale entries)") {
-    val stillNeeded = SparkEntry.queries.toSeq
+    val stillNeeded = plans
       .filter { case (name, _) => boundedDomains.contains(name) }
-      .flatMap { case (name, fn) =>
-        val plan = strip(fn(spark, sf).queryExecution.executedPlan)
+      .flatMap { case (name, plan) =>
         val bad = plan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty && !limitRescued(w) => w
         }
