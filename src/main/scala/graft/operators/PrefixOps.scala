@@ -41,54 +41,93 @@ import org.apache.spark.sql.functions._
 object PrefixOps {
 
   /** Adds one inclusive running-sum column per `(name, expr)` in
-    * `sums`, taken over the TOTAL order `order`.
+    * `sums`, taken over the TOTAL order `order` — globally when
+    * `partitionBy` is empty, else independently WITHIN each partition
+    * group (the distributed replacement for a window partitioned by a
+    * LOW-cardinality key: a plain `Window.partitionBy(event_type)`
+    * over raw fact rows funnels ~n/|types| rows through each window
+    * task; here every group is further split across `buckets` range
+    * buckets, so parallelism is |groups|·buckets regardless of group
+    * count).
     *
     * @param key    numeric expression monotone-ASCENDING in `order`
     *               (negate it for a descending order key); used only
     *               for bucketing, so ties are safe — equal keys land
     *               in one bucket and the in-bucket window breaks them
     *               with the full `order`.
-    * @param order  a tie-free total order (append a unique key if the
-    *               natural one has ties).
+    * @param order  a tie-free total order WITHIN each partition group
+    *               (append a unique key if the natural one has ties).
     * @param buckets target bucket count (parallelism of the prefix
-    *               pass); boundaries come from an approx-quantile
-    *               probe of `key`.
+    *               pass) per partition group.
+    * @param partitionBy group expressions; the offsets frame is
+    *               |groups|·buckets rows and is broadcast, so this is
+    *               for LOW-cardinality groups (a high-cardinality key
+    *               should use an ordinary partitioned window — it is
+    *               already parallel). NULL group keys are handled
+    *               (null-safe joins throughout).
     */
   def runningSums(df: DataFrame, key: Column, order: Seq[Column],
-      sums: Seq[(String, Column)], buckets: Int = 64): DataFrame = {
-    // 1. lazy equi-width buckets from a broadcast (min, max): exact,
-    //    deterministic, partial-aggregable — every plan branch
-    //    derives the identical bucket for a given key, and nothing
-    //    executes until the query runs.
+      sums: Seq[(String, Column)], buckets: Int = 64,
+      partitionBy: Seq[Column] = Nil): DataFrame = {
+    // 0. materialize the group keys once under internal names so every
+    //    later phase (bounds, totals, offsets) can reference them even
+    //    when callers pass computed expressions
+    val pn = partitionBy.indices.map(i => s"__pfx_p$i")
+    val withP = partitionBy.zipWithIndex.foldLeft(df) {
+      case (acc, (c, i)) => acc.withColumn(s"__pfx_p$i", c) }
+    // 1. lazy equi-width buckets from a broadcast (min, max) — per
+    //    group when partitioned: exact, deterministic,
+    //    partial-aggregable — every plan branch derives the identical
+    //    bucket for a given key, and nothing executes until the query
+    //    runs.
     val k = key.cast("double")
-    val bounds = df.agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
+    val bounded = if (pn.isEmpty) {
+      val bounds = withP.agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
+      withP.crossJoin(broadcast(bounds))
+    } else {
+      val bounds = withP.groupBy(pn.map(col): _*)
+        .agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
+      val renamed = bounds.select(
+        pn.map(n => col(n).as(s"__pfx_b_$n")) ++
+          Seq(col("__pfx_lo"), col("__pfx_hi")): _*)
+      val cond = pn.map(n => col(n) <=> col(s"__pfx_b_$n")).reduce(_ && _)
+      withP.join(broadcast(renamed), cond)
+        .drop(pn.map(n => s"__pfx_b_$n"): _*)
+    }
     val width =
       (col("__pfx_hi") - col("__pfx_lo")) / lit(buckets.toDouble)
     val b = when(col("__pfx_hi") <= col("__pfx_lo"), lit(0)) // constant key
       .otherwise(least(
         floor((k - col("__pfx_lo")) / width).cast("int"),
         lit(buckets - 1)))
-    val parted = df.crossJoin(broadcast(bounds))
+    val parted = bounded
       .withColumn("__pfx_bucket", coalesce(b, lit(0))) // NULL key → first
       .drop("__pfx_lo", "__pfx_hi")
-    // 2. within-bucket running sums (partitioned window — parallel)
-    val w = Window.partitionBy(col("__pfx_bucket")).orderBy(order: _*)
+    // 2. within-bucket running sums (window partitioned on
+    //    (groups…, bucket) — buckets proceed in parallel)
+    val w = Window.partitionBy(pn.map(col) :+ col("__pfx_bucket"): _*)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = sums.foldLeft(parted) { case (acc, (n, c)) =>
       acc.withColumn(s"__pfx_w_$n", sum(c).over(w))
     }
-    // 3. per-bucket totals → strictly-earlier offsets (|buckets| rows;
-    //    the self-join space is |buckets|² — thousands at most — and
-    //    both sides broadcast)
-    val totals = parted.groupBy(col("__pfx_bucket").as("__tb")).agg(
-      sums.head match { case (n, c) => sum(c).as(s"__t_$n") },
-      sums.tail.map { case (n, c) => sum(c).as(s"__t_$n") }: _*)
+    // 3. per-(group, bucket) totals → strictly-earlier offsets within
+    //    the group (|groups|·|buckets| rows; the self-join space is
+    //    that squared over same-group pairs — small — and both sides
+    //    broadcast)
+    val totals = parted
+      .groupBy(pn.map(col) :+ col("__pfx_bucket").as("__tb"): _*).agg(
+        sums.head match { case (n, c) => sum(c).as(s"__t_$n") },
+        sums.tail.map { case (n, c) => sum(c).as(s"__t_$n") }: _*)
     val earlier = totals.select(
-      col("__tb").as("__eb") +: sums.map { case (n, _) =>
-        col(s"__t_$n").as(s"__e_$n") }: _*)
+      pn.map(n => col(n).as(s"__pfx_e_$n")) ++
+        (col("__tb").as("__eb") +: sums.map { case (n, _) =>
+          col(s"__t_$n").as(s"__e_$n") }): _*)
+    val sameGroupEarlier = (pn.map(n => col(n) <=> col(s"__pfx_e_$n")) :+
+      (col("__eb") < col("__tb"))).reduce(_ && _)
     val offsets = totals
-      .join(broadcast(earlier), col("__eb") < col("__tb"), "left")
-      .groupBy(col("__tb"))
+      .join(broadcast(earlier), sameGroupEarlier, "left")
+      .groupBy(pn.map(col) :+ col("__tb"): _*)
       .agg(sums.head match { case (n, _) =>
             sum(col(s"__e_$n")).as(s"__o_$n") },
         sums.tail.map { case (n, _) =>
@@ -96,8 +135,12 @@ object PrefixOps {
     // 4. offset + within = global inclusive prefix; keep the window
     //    sum's exact type so callers see the same schema a global
     //    window would have produced
-    val joined = within.join(broadcast(offsets),
-      col("__pfx_bucket") === col("__tb"), "left")
+    val offsetsR = offsets.select(
+      pn.map(n => col(n).as(s"__pfx_o_$n")) ++
+        (col("__tb") +: sums.map { case (n, _) => col(s"__o_$n") }): _*)
+    val backCond = (pn.map(n => col(n) <=> col(s"__pfx_o_$n")) :+
+      (col("__pfx_bucket") === col("__tb"))).reduce(_ && _)
+    val joined = within.join(broadcast(offsetsR), backCond, "left")
     val out = sums.foldLeft(joined) { case (acc, (n, _)) =>
       val t = acc.schema(s"__pfx_w_$n").dataType
       // SQL sum semantics: NULL only when the whole prefix is null.
@@ -111,7 +154,42 @@ object PrefixOps {
           .cast(t))
     }
     out.drop("__pfx_bucket" +: "__tb" +:
-      sums.flatMap { case (n, _) => Seq(s"__pfx_w_$n", s"__o_$n") }: _*)
+      (pn.flatMap(n => Seq(n, s"__pfx_o_$n")) ++
+        sums.flatMap { case (n, _) => Seq(s"__pfx_w_$n", s"__o_$n") }): _*)
+  }
+
+  /** Contract-then-rank: the scale-safe replacement for
+    * `row_number()/rank()/cume_dist() OVER (PARTITION BY g ORDER BY v)`
+    * on a LOW-cardinality `g` over raw fact rows. Contracts the input
+    * to the `(groups…, value)` grid with exact counts, then runs the
+    * cumulative count through the partitioned distributed prefix —
+    * parallelism |groups|·buckets at every phase, never one task per
+    * group over uncontracted facts.
+    *
+    * Returns the grid: `groups… , value, c` (rows at this exact
+    * value), `cum` (rows at or below it in `value` order within the
+    * group), `n` (group total). Every order statistic follows: the
+    * value at rank r is `min(value) WHERE cum >= r`; rank of a row =
+    * `cum - c + 1`; cume_dist = `cum / n` — all independent of any
+    * tie-break key, because tied rows share a grid cell.
+    *
+    * `value` must be non-null (NULL grid cells would need an
+    * engine-specific null placement; filter or coalesce first). */
+  def groupedCumCounts(df: DataFrame, groups: Seq[String], value: String,
+      buckets: Int = 64): DataFrame = {
+    val grid = df.groupBy((groups :+ value).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    val cum = runningSums(grid, col(value), Seq(col(value)),
+      Seq("cum" -> col("c")), buckets, groups.map(col))
+    val totals = grid.groupBy(groups.map(col): _*)
+      .agg(sum(col("c")).as("n"))
+    val totalsR = totals.select(
+      groups.zipWithIndex.map { case (g, i) => col(g).as(s"__pfx_n_$i") } :+
+        col("n"): _*)
+    val cond = groups.zipWithIndex
+      .map { case (g, i) => col(g) <=> col(s"__pfx_n_$i") }.reduce(_ && _)
+    cum.join(broadcast(totalsR), cond)
+      .drop(groups.indices.map(i => s"__pfx_n_$i"): _*)
   }
 
   /** Adds one EXCLUSIVE running-max column `name`: for each row, the
@@ -133,7 +211,16 @@ object PrefixOps {
     * (order by x DESC via a negated key). Rows whose keys TIE in
     * `order` must be pre-contracted to one row per key (e.g. a
     * groupBy(key).agg(max(value))) — with ties, "strictly before" is
-    * order-dependent and this helper would be nondeterministic. */
+    * order-dependent and this helper would be nondeterministic.
+    *
+    * `key` must also be NON-NULL: the bucketing maps a NULL key to
+    * bucket 0 (globally FIRST), which is only consistent with a
+    * nulls-first order — the headline use is a DESCENDING order via a
+    * negated key, where Spark's `desc` default is nulls-LAST, so a
+    * NULL key would be bucketed first while the order places it last
+    * and the exclusive max would be wrong for it. Pre-filter or
+    * coalesce NULL keys (the ties precondition above already forces a
+    * contraction pass where that is free). */
   def exclusiveRunningMax(df: DataFrame, key: Column, order: Seq[Column],
       name: String, value: Column, buckets: Int = 64): DataFrame = {
     val k = key.cast("double")

@@ -71,11 +71,26 @@ object DerivedAnalyticsQueries {
     * total order, then each bin's span and exact population — the
     * quantile-binning companion to q_histogram's equi-width bins. */
   def histEqfreq(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    events(s, d)
+    // ntile(10) over a window partitioned by the ~5-value event_type
+    // would serialize ~n/5 rows per task at scale. The distributed
+    // form: row number = rows strictly below this value (cum − c off
+    // the contracted grid, via the partitioned prefix —
+    // [[graft.operators.PrefixOps.groupedCumCounts]]) + the rank
+    // among the value's OWN tie group (a window partitioned by the
+    // high-cardinality (type, value) pair — parallel), then the
+    // closed-form ntile reconstruction
+    // ([[graft.operators.PrefixOps.ntileFromRowNumber]], matches SQL
+    // ntile including ties split across bins by event_id).
+    val e = events(s, d)
       .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("decile", ntile(10).over(w))
+    val grid = graft.operators.PrefixOps.groupedCumCounts(
+      e.select(col("event_type"), col("value")), Seq("event_type"), "value")
+    val wv = Window.partitionBy(col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+    e.join(grid, Seq("event_type", "value"))
+      .withColumn("rn", col("cum") - col("c") + row_number().over(wv))
+      .withColumn("decile",
+        graft.operators.PrefixOps.ntileFromRowNumber(col("rn"), col("n"), 10))
       .groupBy(col("event_type"), col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("lo"),

@@ -19,16 +19,28 @@ object DistributionQueries {
     * [0,1]; emits per-type bounds and the normalized mean (which
     * equals (mean−min)/(max−min) — asserted by the oracle equality
     * itself). Sample rows keep the output bounded: the 3 smallest
-    * event_ids per type with their normalized values. */
+    * event_ids per type with their normalized values — selected with
+    * the k-bounded [[graft.functions.expressions.TopKStruct]]
+    * aggregate (map-side partials carry ≤3 rows per type; largest
+    * under the negated id = smallest ids), NOT a row_number window
+    * partitioned by the ~5-value event_type, which would sort ~n/5 of
+    * the fact table per task at scale just to pick 3 rows. */
   def minmaxNorm(s: SparkSession, d: String): DataFrame = {
     val bounds = events(s, d).groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-    events(s, d).join(broadcast(bounds), "event_type")
+    val top3 = events(s, d).groupBy(col("event_type"))
+      .agg(graft.functions.expressions.TopKStruct.topK(
+        struct((-col("event_id")).as("neg_id"),
+          col("event_id").as("event_id")), 3).as("arr"))
+      .select(col("event_type"),
+        posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("event_type"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("s.event_id").as("event_id"))
+    events(s, d).join(broadcast(top3), Seq("event_type", "event_id"))
+      .join(broadcast(bounds), "event_type")
       .withColumn("x01",
         round((col("value") - col("lo")) / (col("hi") - col("lo")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
       .select(col("event_type"), col("rk"), col("event_id"),
         round(col("value"), 2).as("value"),
         round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"),

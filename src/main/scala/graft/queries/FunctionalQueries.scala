@@ -116,15 +116,21 @@ object FunctionalQueries {
   // reject or execute quadratically.
   // ---------------------------------------------------------------
   def winDistinct(s: SparkSession, d: String): DataFrame = {
+    // first-seen flag: window partitioned by the HIGH-cardinality
+    // (type, user) pair — parallel at any scale
     val wFirst = Window.partitionBy(col("event_type"), col("user_id"))
       .orderBy(col("ts2"), col("event_id"))
-    val wRun = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts2"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
+    val marked = events(s, d)
       .withColumn("first_seen",
         when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-      .withColumn("cum_users", sum(col("first_seen")).over(wRun))
+    // the running count, though, is per the ~5-value event_type — a
+    // plain window there serializes ~n/5 rows per task, so it runs
+    // through the partitioned distributed prefix instead
+    // ([[graft.operators.PrefixOps.runningSums]])
+    graft.operators.PrefixOps.runningSums(marked,
+        unix_micros(col("ts2")), Seq(col("ts2"), col("event_id")),
+        Seq("cum_users" -> col("first_seen")),
+        partitionBy = Seq(col("event_type")))
       .select(col("event_id"), col("event_type"), col("cum_users"))
       .orderBy(col("event_type"), col("event_id"))
   }
@@ -221,6 +227,16 @@ object FunctionalQueries {
   // keyed join back. Replaces the earlier NOT-EXISTS broadcast
   // nested loop, which shipped the whole relation to every task —
   // O(n²) compute at 100 TB.
+  //
+  // NULL-dim caveat (documented divergence): under the original
+  // NOT-EXISTS phrasing a doc with NULL n_chars or NULL n_tok
+  // SURVIVES (the domination predicate never evaluates true),
+  // whereas this rewrite drops it (the n_chars equi-join and the
+  // n_tok = my filter are null-rejecting). The documents fixture has
+  // no NULL dims (n_chars is NOT NULL; n_tok = size(split(text)) is
+  // NULL only for NULL text) — hash-verified against the unchanged
+  // oracle at sf0.01 and sf0.1. On nullable input, union back the
+  // NULL-dim rows to restore the anti-join semantics.
   // ---------------------------------------------------------------
   def skyline(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)

@@ -32,13 +32,32 @@ object InfoStatsQueries {
   /** q_win_pctrank — percent_rank and cume_dist of `value` within
     * each event_type: the two distribution-position window functions
     * not yet in the graded window family. Both are deterministic
-    * under ties (rank/count based). */
+    * under ties (rank/count based) — and both depend ONLY on the
+    * per-(type, value) counts, so instead of a window partitioned by
+    * the ~5-value event_type (each task would sort ~n/5 of the fact
+    * table at scale) the plan contracts to the (type, value) grid,
+    * runs the cumulative count through the partitioned distributed
+    * prefix ([[graft.operators.PrefixOps.groupedCumCounts]] —
+    * parallelism |types|·buckets), and joins the per-cell
+    * percent_rank/cume_dist back onto the facts by (type, value).
+    * Arithmetic is the engines' own: pr = (rank−1)/(n−1) with
+    * rank = cum−c+1, cd = cum/n — identical exact-count ratios. */
   def winPctrank(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val grid = graft.operators.PrefixOps.groupedCumCounts(
+      events(s, d).select(col("event_type"), col("value")),
+      Seq("event_type"), "value")
+    val cell = grid.select(col("event_type"), col("value"),
+      round(when(col("n") > 1,
+          (col("cum") - col("c")).cast("double") /
+            (col("n") - 1).cast("double"))
+        .otherwise(lit(0.0)), 6).as("pr"),
+      round(col("cum").cast("double") / col("n").cast("double"), 6)
+        .as("cd"))
     events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("pr", round(percent_rank().over(w), 6))
-      .withColumn("cd", round(cume_dist().over(w), 6))
+      .join(cell, Seq("event_type", "value"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("pr"), col("cd"))
       .orderBy(col("event_id"))
   }
 

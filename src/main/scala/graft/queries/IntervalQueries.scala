@@ -130,13 +130,19 @@ object IntervalQueries {
     val base = events(s, d).select(
       col("event_type"), col("ts2").as("st"),
       (col("ts2") + expr(sessionLen)).as("en"))
-    val ends = base.select(col("event_type"), col("st").as("t"), lit(1).as("delta"))
+    // running sum via the partitioned distributed prefix (buckets
+    // within each type run in parallel) instead of a window
+    // partitioned by the ~5-value event_type over 2n endpoint rows.
+    // Duplicate (t, delta) endpoints are safe: identical rows are
+    // interchangeable, so the (type, t, concur) multiset — all the
+    // downstream max/min sees — is permutation-invariant.
+    val endpoints = base
+      .select(col("event_type"), col("st").as("t"), lit(1).as("delta"))
       .unionAll(base.select(col("event_type"), col("en").as("t"),
         lit(-1).as("delta")))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("t"), col("delta"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val swept = ends.withColumn("concur", sum(col("delta")).over(w))
+    val swept = graft.operators.PrefixOps.runningSums(endpoints,
+      unix_micros(col("t")), Seq(col("t"), col("delta")),
+      Seq("concur" -> col("delta")), partitionBy = Seq(col("event_type")))
     val peak = swept.groupBy(col("event_type"))
       .agg(max(col("concur")).as("peak"))
     swept.join(broadcast(peak), "event_type")

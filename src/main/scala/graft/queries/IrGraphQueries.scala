@@ -159,19 +159,24 @@ object IrGraphQueries {
     * `value` falls outside [q1 - 1.5·IQR, q3 + 1.5·IQR] of their
     * event_type, with the quartiles as exact order statistics
     * (rank ceil(q·n)). Both engines phrase the quartile identically
-    * (row_number + CASE), so no percentile-definition divergence.
-    * One shuffle on event_type for the ranking, one broadcast of the
-    * 5-row bounds table back onto the fact. */
+    * (the oracle via row_number + CASE; Spark reads the same order
+    * statistic off the contracted (type, value) grid: the value at
+    * rank r in (value, event_id) order is the smallest value whose
+    * cumulative count reaches r — tie-break-free, since tied rows
+    * share a grid cell). The grid's cumulative count runs through the
+    * partitioned distributed prefix
+    * ([[graft.operators.PrefixOps.groupedCumCounts]]) instead of a
+    * window partitioned by the ~5-value event_type, so no task ever
+    * sorts ~n/5 of the fact table; the 5-row bounds table broadcasts
+    * back onto the fact. */
   def outlierIqr(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    val ranked = e.select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val q = ranked.groupBy(col("event_type")).agg(
-      min(when(col("rn") === ceil(lit(0.25) * col("n").cast("double")).cast("long"),
+    val grid = graft.operators.PrefixOps.groupedCumCounts(
+      e.select(col("event_type"), col("value")), Seq("event_type"), "value")
+    val q = grid.groupBy(col("event_type")).agg(
+      min(when(col("cum") >= ceil(lit(0.25) * col("n").cast("double")).cast("long"),
         col("value"))).as("q1"),
-      min(when(col("rn") === ceil(lit(0.75) * col("n").cast("double")).cast("long"),
+      min(when(col("cum") >= ceil(lit(0.75) * col("n").cast("double")).cast("long"),
         col("value"))).as("q3"))
     e.join(broadcast(q), "event_type")
       .filter(col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1")) ||

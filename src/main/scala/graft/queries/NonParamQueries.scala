@@ -68,12 +68,22 @@ object NonParamQueries {
       .where(col("value") =!= col("med"))
       .select(col("event_type"), col("ts2"), col("event_id"),
         when(col("value") > col("med"), 1).otherwise(-1).as("sgn"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts2"), col("event_id"))
-    val runs = signed
-      .withColumn("prev", lag(col("sgn"), 1).over(w))
+    // lag() over a window partitioned by the ~5-value event_type
+    // would serialize ~n/5 rows per task at scale; instead: a
+    // distributed row number per type (partitioned prefix —
+    // [[graft.operators.PrefixOps.runningSums]]) and a keyed
+    // self-join on (type, rn−1) to fetch the predecessor's sign —
+    // the join key is high-cardinality, so every stage is parallel.
+    val rn = graft.operators.PrefixOps.runningSums(signed,
+      unix_micros(col("ts2")), Seq(col("ts2"), col("event_id")),
+      Seq("rn" -> lit(1L)), partitionBy = Seq(col("event_type")))
+    val prev = rn.select(col("event_type").as("p_type"),
+      (col("rn") + 1).as("p_rn"), col("sgn").as("prev_sgn"))
+    val runs = rn
+      .join(prev, col("event_type") === col("p_type") &&
+        col("rn") === col("p_rn"), "left")
       .select(col("event_type"), col("sgn"),
-        when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+        when(col("prev_sgn").isNull || col("prev_sgn") =!= col("sgn"), 1L)
           .otherwise(0L).as("new_run"))
     runs.groupBy(col("event_type"))
       .agg(sum(col("new_run")).as("r"),

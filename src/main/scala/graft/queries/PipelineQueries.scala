@@ -353,20 +353,25 @@ object PipelineQueries {
 
   /** q_percentile_disc — discrete (order-statistic) median per group:
     * the smallest actual value whose cumulative distribution reaches
-    * 0.5 — vs q_percentile's interpolated form. cume_dist + min is
-    * the ANSI-portable phrasing; both engines compute the same exact
-    * count ratio. */
-  def percentileDisc(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"))
-    orders(s, d)
-      .withColumn("cd", cume_dist().over(w))
-      .filter(col("cd") >= 0.5)
+    * 0.5 — vs q_percentile's interpolated form. The oracle keeps the
+    * ANSI cume_dist phrasing; Spark computes the identical exact
+    * count ratio cum/n per cell of the contracted (priority, price)
+    * grid, with the cumulative count from the partitioned distributed
+    * prefix ([[graft.operators.PrefixOps.groupedCumCounts]]) — a
+    * window partitioned by the 5-value priority would funnel ~n/5 of
+    * the orders through each task at scale. cume_dist is constant
+    * across tied rows (count of rows ≤ value), so the grid form is
+    * exact: per-row count at-or-above 0.5 = Σ c over qualifying
+    * cells. */
+  def percentileDisc(s: SparkSession, d: String): DataFrame =
+    graft.operators.PrefixOps.groupedCumCounts(
+        orders(s, d).select(col("o_orderpriority"), col("o_totalprice")),
+        Seq("o_orderpriority"), "o_totalprice")
+      .filter(col("cum").cast("double") / col("n").cast("double") >= 0.5)
       .groupBy(col("o_orderpriority"))
       .agg(min(col("o_totalprice")).as("p50_disc"),
-        count(lit(1)).as("n_at_or_above"))
+        sum(col("c")).as("n_at_or_above"))
       .orderBy(col("o_orderpriority"))
-  }
 
   val percentileDiscOracle: String =
     """SELECT o_orderpriority, min(o_totalprice) AS p50_disc,
@@ -415,17 +420,23 @@ object PipelineQueries {
 
   /** q_zscore — per-group feature standardization ((x-μ)/σ, the
     * feature-engineering staple before model training): group moments
-    * via window sums over the ALREADY-partitioned column, no second
-    * scan or join. D2: μ and σ come from exact decimal Σx and Σx²
-    * (population σ via E[x²]−E[x]²), converted to double only for
-    * the final arithmetic — identical operands ⇒ identical IEEE
-    * results in both engines. */
+    * via ONE keyed aggregate, broadcast back onto the facts — a
+    * whole-partition window (partition by the ~5-value event_type,
+    * no order) computes the same three sums but funnels ~n/5 of the
+    * table through each window task at scale, where the aggregate
+    * form partial-aggregates map-side and shuffles |types| rows. D2:
+    * μ and σ come from exact decimal Σx and Σx² (population σ via
+    * E[x²]−E[x]²), converted to double only for the final
+    * arithmetic — identical operands ⇒ identical IEEE results in
+    * both engines (decimal sums are reduction-order-free). */
   def zscore(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-    val n = count(col("value")).over(w)
-    val mean = sum(dec(col("value"))).over(w).cast("double") / n
-    val ex2 = sum(dec6(col("value") * col("value"))).over(w).cast("double") / n
-    events(s, d)
+    val m = events(s, d).groupBy(col("event_type")).agg(
+      sum(dec(col("value"))).as("sx"),
+      sum(dec6(col("value") * col("value"))).as("sx2"),
+      count(col("value")).as("cnt"))
+    val mean = col("sx").cast("double") / col("cnt")
+    val ex2 = col("sx2").cast("double") / col("cnt")
+    events(s, d).join(broadcast(m), "event_type")
       .select(col("event_id"), col("event_type"), col("value"),
         round((col("value") - mean) / sqrt(ex2 - mean * mean), 4).as("z"))
       .orderBy(col("event_type"), col("event_id"))
@@ -476,16 +487,20 @@ object PipelineQueries {
     * corpus per language in doc_id order, cut the token stream into
     * fixed 512-token context windows, report docs/tokens per window
     * (the packing step that turns a document table into LLM training
-    * sequences). The exclusive running sum is one window over the
-    * per-language stream — at scale the language is the shard key. */
+    * sequences). The exclusive running sum runs through the
+    * partitioned distributed prefix
+    * ([[graft.operators.PrefixOps.runningSums]] — buckets within each
+    * language proceed in parallel); a plain window partitioned by the
+    * low-cardinality lang would serialize each language's whole
+    * stream through one task at scale. */
   def contextPack(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, d)
+    val toks = documents(s, d)
       .select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).as("n_tok"))
-      .withColumn("cum_excl",
-        sum(col("n_tok")).over(w) - col("n_tok"))
+    graft.operators.PrefixOps.runningSums(toks, col("doc_id"),
+        Seq(col("doc_id")), Seq("cum_incl" -> col("n_tok")),
+        partitionBy = Seq(col("lang")))
+      .withColumn("cum_excl", col("cum_incl") - col("n_tok"))
       .withColumn("window_id", (col("cum_excl") / 512).cast("long"))
       .groupBy(col("lang"), col("window_id"))
       .agg(count(lit(1)).as("n_docs"),

@@ -25,27 +25,34 @@ import graft.Tables._
 object ProcessMiningQueries {
 
   /** q_ship_latency — order-to-ship days per order priority: count,
-    * mean, exact lower-median (unique total order), min and max —
-    * the fulfillment-SLA readout. */
+    * mean, exact lower-median, min and max — the fulfillment-SLA
+    * readout. The median is an order statistic, so it reads off the
+    * contracted (pri, lat) grid (latency in days is a small bounded
+    * int domain — ~5k cells) with the cumulative count from the
+    * partitioned distributed prefix
+    * ([[graft.operators.PrefixOps.groupedCumCounts]]): the lower
+    * median is the smallest latency whose cumulative count reaches
+    * ⌊(n+1)/2⌋ — tie-break-free, identical to the oracle's
+    * row_number formulation. No window ever partitions raw join rows
+    * by the 5-value priority. */
   def shipLatency(s: SparkSession, d: String): DataFrame = {
     val lat = lineitem(s, d)
       .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderpriority").as("pri"),
-        datediff(col("l_shipdate"), col("o_orderdate")).as("lat"),
-        col("l_orderkey"), col("l_linenumber"))
-    val w = Window.partitionBy(col("pri"))
-      .orderBy(col("lat"), col("l_orderkey"), col("l_linenumber"))
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lat"))
     val cnt = lat.groupBy(col("pri")).agg(
       count(lit(1)).as("n"),
       round(sum(col("lat").cast("decimal(18,4)")).cast("double") /
         count(lit(1)).cast("double"), 4).as("avg_days"),
       min(col("lat")).as("min_days"),
       max(col("lat")).as("max_days"))
-    lat.withColumn("rn", row_number().over(w))
-      .join(broadcast(cnt), "pri")
-      .where(col("rn") === ((col("n") + 1) / 2).cast("long"))
+    val med = graft.operators.PrefixOps.groupedCumCounts(
+        lat, Seq("pri"), "lat")
+      .filter(col("cum") >= ((col("n") + 1) / 2).cast("long"))
+      .groupBy(col("pri")).agg(min(col("lat")).as("p50_days"))
+    cnt.join(med, "pri")
       .select(col("pri"), col("n"), col("avg_days"),
-        col("lat").as("p50_days"), col("min_days"), col("max_days"))
+        col("p50_days"), col("min_days"), col("max_days"))
       .orderBy(col("pri"))
   }
 

@@ -62,17 +62,22 @@ object RobustStatsQueries {
   /** q_winsorize — clip event values at their event_type's exact 5th
     * and 95th percentile rank positions (ceil(q·n) order statistic —
     * the same engine-identical formulation as q_outlier_iqr), with
-    * per-type means before/after, showing the outlier influence. */
+    * per-type means before/after, showing the outlier influence.
+    * Like q_outlier_iqr, the order statistics come off the contracted
+    * (type, value) grid with its cumulative count from the
+    * partitioned distributed prefix
+    * ([[graft.operators.PrefixOps.groupedCumCounts]]) — the value at
+    * rank r is the smallest value whose cumulative count reaches r —
+    * never a window partitioned by the ~5-value event_type over raw
+    * fact rows. */
   def winsorize(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    val ranked = e.select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val bounds = ranked.groupBy(col("event_type")).agg(
-      min(when(col("rn") === ceil(lit(0.05) * col("n").cast("double")).cast("long"),
+    val grid = graft.operators.PrefixOps.groupedCumCounts(
+      e.select(col("event_type"), col("value")), Seq("event_type"), "value")
+    val bounds = grid.groupBy(col("event_type")).agg(
+      min(when(col("cum") >= ceil(lit(0.05) * col("n").cast("double")).cast("long"),
         col("value"))).as("lo"),
-      min(when(col("rn") === ceil(lit(0.95) * col("n").cast("double")).cast("long"),
+      min(when(col("cum") >= ceil(lit(0.95) * col("n").cast("double")).cast("long"),
         col("value"))).as("hi"))
     e.join(broadcast(bounds), "event_type")
       .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))

@@ -177,15 +177,24 @@ object WideSurfaceQueries {
     * set and the next document's (lead over doc_id within language):
     * intersect/union/except sizes plus the sorted intersection
     * re-joined to a scalar (array outputs can't cross the grading
-    * harness). The set ops are row-local (codegen'd); the only
-    * shuffle is the lead window on (lang, doc_id). */
+    * harness). The set ops are row-local (codegen'd); the successor
+    * lookup is a distributed row number per language (partitioned
+    * prefix — [[graft.operators.PrefixOps.runningSums]]) plus a keyed
+    * self-join on (lang, rn+1) — lead() over a window partitioned by
+    * the low-cardinality lang would serialize each language through
+    * one task at scale. The inner join drops each language's last doc
+    * exactly as the lead-IS-NOT-NULL filter did. */
   def arraySetops(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    documents(s, d)
+    val t = documents(s, d)
       .select(col("doc_id"), col("lang"),
         array_sort(array_distinct(split(lower(col("text")), " "))).as("toks"))
-      .withColumn("next_toks", lead(col("toks"), 1).over(w))
-      .filter(col("next_toks").isNotNull)
+    val rn = graft.operators.PrefixOps.runningSums(t, col("doc_id"),
+      Seq(col("doc_id")), Seq("rn" -> lit(1L)),
+      partitionBy = Seq(col("lang")))
+    val nxt = rn.select(col("lang").as("n_lang"),
+      (col("rn") - 1).as("n_rn"), col("toks").as("next_toks"))
+    rn.join(nxt, col("lang") === col("n_lang") &&
+        col("rn") === col("n_rn"))
       .select(col("doc_id"), col("lang"),
         size(array_intersect(col("toks"), col("next_toks"))).as("n_inter"),
         size(array_union(col("toks"), col("next_toks"))).as("n_union"),

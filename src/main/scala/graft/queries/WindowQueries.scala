@@ -74,31 +74,88 @@ object WindowQueries {
   }
 
   /** #29 q_win_range_frame — value-based RANGE frame (100 ids back)
-    * on the integer event_id axis, exact decimal sums. */
+    * on the integer event_id axis, exact decimal sums. A RANGE frame
+    * is a difference of prefix sums: frame[id−100, id] = cum(id) −
+    * cum(pred) where pred is the largest event_id ≤ id−101 present in
+    * the type. So: inclusive prefix count/sum per type via the
+    * partitioned distributed prefix
+    * ([[graft.operators.PrefixOps.runningSums]] — parallel buckets,
+    * never a window over the ~5-value event_type), then ONE backward
+    * as-of self-join ([[graft.plans.AsOfJoinPlan]], the O(n+m)
+    * merge-scan custom exec) fetches each row's predecessor prefix;
+    * unmatched rows (frame starts at the beginning) subtract 0.
+    * Decimal sums make both differences exact, so the values are
+    * bit-identical to the window form's. */
   def winRangeFrame(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("event_id"))
-      .rangeBetween(-100, 0)
-    events(s, d)
+    graft.GraftExtensions.register(s) // AsOfJoinStrategy for this session
+    val cum = graft.operators.PrefixOps.runningSums(
+      events(s, d).select(col("event_type"), col("event_id"), col("value")),
+      col("event_id"), Seq(col("event_id")),
+      Seq("cn" -> lit(1L), "cs" -> dec(col("value"))),
+      partitionBy = Seq(col("event_type")))
+    val leftDf = cum.select(col("event_type"), col("event_id"),
+      col("cn"), col("cs"))
+    val rightDf = cum.select(col("event_type").as("r_type"),
+      col("event_id").as("r_id"), col("cn").as("p_cn"),
+      col("cs").as("p_cs"))
+    graft.plans.AsOfJoinPlan.asof(leftDf, rightDf,
+        leftKeys = Seq(col("event_type")), rightKeys = Seq(col("r_type")),
+        leftTime = col("event_id") - 101, rightTime = col("r_id"),
+        rightTie = Seq(col("r_id")))
       .select(col("event_type"), col("event_id"),
-        count(lit(1)).over(w).as("n_in_range"),
-        dout(sum(dec(col("value"))).over(w)).as("sum_in_range"))
+        (col("cn") - coalesce(col("p_cn"), lit(0L))).as("n_in_range"),
+        dout(col("cs") - coalesce(col("p_cs"),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 4))))
+          .as("sum_in_range"))
       .orderBy(col("event_type"), col("event_id"))
   }
 
   /** #30 q_win_analytic — ntile/percent_rank/cume_dist/first/last
-    * with explicit full-partition frames for the value functions. */
+    * with explicit full-partition frames for the value functions —
+    * reconstructed scale-safe, since the partition key
+    * (o_orderstatus) has ~3 values and a plain window would serialize
+    * ~n/3 of orders per task:
+    *  - rank machinery off the contracted (status, price) grid via
+    *    the partitioned prefix
+    *    ([[graft.operators.PrefixOps.groupedCumCounts]]): row number
+    *    = cum − c (rows strictly below the price) + the rank within
+    *    the price's tie group (window on the high-cardinality
+    *    (status, price) pair — parallel);
+    *  - ntile(4) from the closed-form
+    *    [[graft.operators.PrefixOps.ntileFromRowNumber]];
+    *    percent_rank = (rn−1)/(n−1) and cume_dist = rn/n — the order
+    *    key (price, orderkey) is UNIQUE, so every row is its own peer
+    *    group and both rank and peer-inclusive count collapse to the
+    *    row number rn;
+    *  - first/last over the full frame in (price, orderkey) order =
+    *    the orderkey of the lexicographic min/max (price, orderkey)
+    *    struct — one tiny per-status aggregate broadcast back. */
   def winAnalytic(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    orders(s, d)
+    val o = orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    val grid = graft.operators.PrefixOps.groupedCumCounts(
+      o.select(col("o_orderstatus"), col("o_totalprice")),
+      Seq("o_orderstatus"), "o_totalprice")
+    val ext = o.groupBy(col("o_orderstatus")).agg(
+      min(struct(col("o_totalprice"), col("o_orderkey"))).as("lo"),
+      max(struct(col("o_totalprice"), col("o_orderkey"))).as("hi"))
+      .select(col("o_orderstatus"),
+        col("lo").getField("o_orderkey").as("cheapest_key"),
+        col("hi").getField("o_orderkey").as("priciest_key"))
+    val wv = Window.partitionBy(col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+    o.join(grid, Seq("o_orderstatus", "o_totalprice"))
+      .join(broadcast(ext), "o_orderstatus")
+      .withColumn("rn", col("cum") - col("c") + row_number().over(wv))
       .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
-        ntile(4).over(w).as("quartile"),
-        r4(percent_rank().over(w)).as("pct_rank"),
-        r4(cume_dist().over(w)).as("cume"),
-        first(col("o_orderkey")).over(wFull).as("cheapest_key"),
-        last(col("o_orderkey")).over(wFull).as("priciest_key"))
+        graft.operators.PrefixOps.ntileFromRowNumber(col("rn"), col("n"), 4)
+          .as("quartile"),
+        r4(when(col("n") > 1,
+            (col("rn") - 1).cast("double") /
+              (col("n") - 1).cast("double"))
+          .otherwise(lit(0.0))).as("pct_rank"),
+        r4(col("rn").cast("double") / col("n").cast("double")).as("cume"),
+        col("cheapest_key"), col("priciest_key"))
       .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
   }
 

@@ -94,12 +94,23 @@ class GlobalJoinSpec extends GraftSpecBase {
     * constant independent of input size. Conservative: anything not
     * recognized is unbounded. */
   private def boundedRows(p: SparkPlan): Boolean = p match {
-    // no grouping keys → exactly one output row; with grouping keys
-    // output ≤ input, so a bounded child keeps the bound; grouping on
-    // PrefixOps' internal bucket key is bounded by the operator's own
-    // compile-time bucket constant (64 — PrefixOps.scala:58)
+    // no grouping keys → exactly one output row, but ONLY in
+    // Final/Complete mode (a Partial-mode no-grouping aggregate emits
+    // one row per input partition — config-bounded, not constant);
+    // with grouping keys output ≤ input, so a bounded child keeps the
+    // bound; grouping on PrefixOps' internal bucket key is bounded by
+    // the operator's own compile-time bucket constant (64 —
+    // PrefixOps.scala). Known gap, acceptable for a test gate: the
+    // bucket-name rule is by attribute NAME, so a user column aliased
+    // to __pfx_bucket/__tb/__eb would spoof it — the names are
+    // double-underscore-reserved internals and every graded query is
+    // also hash-checked, so a spoof can only loosen this gate, never
+    // product results.
     case a: BaseAggregateExec =>
-      a.groupingExpressions.isEmpty || boundedRows(a.child) ||
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
+      val finalMode = a.aggregateExpressions.forall(ae =>
+        ae.mode == Final || ae.mode == Complete)
+      (a.groupingExpressions.isEmpty && finalMode) || boundedRows(a.child) ||
         (a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
           case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
             Set("__pfx_bucket", "__tb", "__eb").contains(att.name)

@@ -1,7 +1,9 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Sweep assertion locking in the round-4 de-funneling: NO graded
@@ -73,6 +75,89 @@ class GlobalWindowSpec extends GraftSpecBase {
     }
     assert(offenders.isEmpty,
       s"unbounded single-partition windows in: ${offenders.mkString(", ")}")
+  }
+
+  // ----- round-6 gate: LOW-CARDINALITY-partition windows ----------
+  // An empty partition spec funnels everything through ONE task; a
+  // partition spec made ONLY of bounded-domain columns (event_type ~5,
+  // o_orderpriority 5, lang …) is the same funnel divided by a small
+  // constant — each window task still serializes ~n/|domain| of an
+  // uncontracted fact table at 100 TB (round-5 verdict, 7 queries).
+  // The gate: such a window is accepted only when its input was
+  // contracted below (an aggregate / limit / rank-limit caps the rows
+  // reaching it) or the query is allowlisted with a documented reason.
+
+  /** Fixture columns whose domain is bounded by a small constant at
+    * ANY scale factor (TPC-H spec constants / TESTDATA generators),
+    * including the aliases graded queries give them. A partition spec
+    * containing at least one column NOT in this set is assumed
+    * scale-parallel and skipped. */
+  private val lowCardNames: Set[String] = Set(
+    "event_type", "o_orderpriority", "pri", "lang", "l_returnflag",
+    "l_linestatus", "o_orderstatus", "c_mktsegment", "source", "split",
+    "flag", "grp", "arm", "cohort", "band", "is_weekend", "label")
+
+  /** True when every row reaching this subtree's output passed
+    * through a row-contracting operator (aggregate, limit, rank
+    * limit) or comes from a constant-size source — i.e. the window
+    * above it does NOT see raw fact-scale rows. Joins/unions stay
+    * contracted only if ALL inputs are. Conservative in the right
+    * direction for a gate: an unrecognized leaf is uncontracted. */
+  private def contractedBelow(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case _: WindowGroupLimitExec => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+         _: org.apache.spark.sql.execution.CollectLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+      val path = f.relation.location.rootPaths.mkString(",")
+      path.contains("nation") || path.contains("region")
+    case r: org.apache.spark.sql.execution.RangeExec =>
+      r.numElements <= BigInt(65536)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      contractedBelow(j.left) && contractedBelow(j.right)
+    case u: org.apache.spark.sql.execution.UnionExec =>
+      u.children.forall(contractedBelow)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      contractedBelow(r.child)
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(contractedBelow)
+  }
+
+  private def lowCardFunnel(w: WindowExec): Boolean =
+    w.partitionSpec.nonEmpty &&
+      w.partitionSpec.forall {
+        case a: Attribute => lowCardNames.contains(a.name)
+        case _ => false
+      } && !contractedBelow(w.child)
+
+  /** Queries allowed to keep a low-cardinality-partition window over
+    * uncontracted rows: the reason it is safe (or contractually
+    * required) at scale. Empty today — keep it that way. */
+  private val lowCardAllowed: Map[String, String] = Map.empty
+
+  test("no graded plan ranks uncontracted fact rows in a window partitioned only by low-cardinality keys") {
+    val offenders = plans.flatMap { case (name, plan) =>
+      val bad = plan.collect { case w: WindowExec if lowCardFunnel(w) => w }
+      if (bad.nonEmpty && !lowCardAllowed.contains(name)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"low-cardinality-partition windows over uncontracted input in: ${offenders.mkString(", ")}")
+  }
+
+  test("lowCardAllowed allowlist stays minimal (no stale entries)") {
+    val stillNeeded = plans
+      .filter { case (name, _) => lowCardAllowed.contains(name) }
+      .flatMap { case (name, plan) =>
+        val bad = plan.collect { case w: WindowExec if lowCardFunnel(w) => w }
+        if (bad.nonEmpty) Some(name) else None
+      }.toSet
+    val stale = lowCardAllowed.keySet -- stillNeeded
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (remove them): ${stale.mkString(", ")}")
   }
 
   test("boundedDomains allowlist stays minimal (no stale entries)") {

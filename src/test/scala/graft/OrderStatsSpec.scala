@@ -125,6 +125,74 @@ class OrderStatsSpec extends GraftSpecBase {
     }
   }
 
+  test("PrefixOps.runningSums with partitionBy: randomized trials vs the partitioned window (groups, NULL group keys, ties, null values)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1237)
+    for (trial <- 1 to 6) {
+      val n = Seq(1, 3, 11, 47, 160, 301)(trial - 1)
+      val buckets = Seq(1, 2, 3, 7, 64, 5)(trial - 1)
+      val nGroups = Seq(1, 2, 3, 4, 5, 6)(trial - 1)
+      // group keys include NULL; keys have heavy ties; values have
+      // negatives and ~10% nulls — the same adversarial mix that
+      // caught the round-5 all-NULL-bucket combine bug
+      val rows = (1 to n).map { i =>
+        (if (rnd.nextInt(8) == 0) None
+         else Some(s"g${rnd.nextInt(nGroups)}"),
+         rnd.nextInt(math.max(2, n / 4)).toDouble,
+         if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(2001) - 1000L),
+         i.toLong)
+      }
+      val df = rows.toDF("g", "k", "v", "id")
+      val got = PrefixOps.runningSums(df, col("k"),
+          Seq(col("k"), col("id")), Seq("rs" -> col("v"), "rn" -> lit(1L)),
+          buckets = buckets, partitionBy = Seq(col("g")))
+        .select(col("id"), col("rs"), col("rn"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+        .toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("k"), col("id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val want = df.select(col("id"), sum(col("v")).over(w).as("rs"),
+          sum(lit(1L)).over(w).as("rn"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+        .toSet
+      assert(got == want, s"trial $trial (n=$n buckets=$buckets groups=$nGroups)")
+    }
+  }
+
+  test("PrefixOps.groupedCumCounts: grid counts reconstruct rank/cume_dist exactly (randomized trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 4) {
+      val n = Seq(1, 13, 88, 240)(trial - 1)
+      val buckets = Seq(1, 3, 64, 7)(trial - 1)
+      val rows = (1 to n).map { i =>
+        (s"g${rnd.nextInt(3)}",
+         rnd.nextInt(math.max(2, n / 5)).toDouble, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id")
+      val grid = PrefixOps.groupedCumCounts(df.select(col("g"), col("v")),
+        Seq("g"), "v", buckets)
+      // rank of a row = cum - c + 1; cume_dist = cum / n
+      val got = df.join(grid, Seq("g", "v"))
+        .select(col("id"), (col("cum") - col("c") + 1).as("rk"),
+          (col("cum").cast("double") / col("n").cast("double")).as("cd"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v"))
+      val want = df.select(col("id"), rank().over(wr).cast("long").as("rk"),
+          cume_dist().over(wr).as("cd"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == want, s"trial $trial (n=$n buckets=$buckets)")
+    }
+  }
+
   test("PrefixOps.exclusiveRunningMax: randomized equivalence trials (distinct keys, negatives)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
