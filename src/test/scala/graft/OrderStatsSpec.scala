@@ -193,6 +193,48 @@ class OrderStatsSpec extends GraftSpecBase {
     }
   }
 
+  test("PrefixOps with TWO partition columns and NULL group keys: randomized trials") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 4) {
+      val n = Seq(2, 17, 90, 260)(trial - 1)
+      val buckets = Seq(1, 2, 64, 6)(trial - 1)
+      // two group dimensions, both nullable — exercises the null-safe
+      // group joins on a composite key (no graded query does yet)
+      val rows = (1 to n).map { i =>
+        (if (rnd.nextInt(6) == 0) None else Some(s"a${rnd.nextInt(2)}"),
+         if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(3)),
+         rnd.nextInt(math.max(2, n / 4)).toDouble,
+         rnd.nextInt(1001) - 500L, i.toLong)
+      }
+      val df = rows.toDF("g1", "g2", "k", "v", "id")
+      val got = PrefixOps.runningSums(df, col("k"),
+          Seq(col("k"), col("id")), Seq("rs" -> col("v")),
+          buckets = buckets, partitionBy = Seq(col("g1"), col("g2")))
+        .select(col("id"), col("rs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g1"), col("g2")).orderBy(col("k"), col("id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val want = df.select(col("id"), sum(col("v")).over(w).as("rs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"trial $trial (n=$n buckets=$buckets)")
+    }
+    // groupedCumCounts with a NULL group key: the grid's totals join
+    // is null-safe, so the NULL group must carry its own n
+    val df = Seq((Some("x"), 1.0), (None, 2.0), (None, 2.0), (None, 5.0),
+        (Some("x"), 1.0), (Some("x"), 3.0))
+      .toDF("g", "v")
+    val grid = PrefixOps.groupedCumCounts(df, Seq("g"), "v", 2)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(grid == Set(
+      (Some("x"), 1.0, 2L, 2L, 3L), (Some("x"), 3.0, 1L, 3L, 3L),
+      (None, 2.0, 2L, 2L, 3L), (None, 5.0, 1L, 3L, 3L)))
+  }
+
   test("PrefixOps.exclusiveRunningMax: randomized equivalence trials (distinct keys, negatives)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
