@@ -95,7 +95,12 @@ class GlobalWindowSpec extends GraftSpecBase {
   private val lowCardNames: Set[String] = Set(
     "event_type", "o_orderpriority", "pri", "lang", "l_returnflag",
     "l_linestatus", "o_orderstatus", "c_mktsegment", "source", "split",
-    "flag", "grp", "arm", "cohort", "band", "is_weekend", "label")
+    "flag", "grp", "arm", "cohort", "band", "is_weekend", "label",
+    // TPC-H spec constants: 25 nations, 5 regions, 25 brands, 5
+    // segments — a 25-way funnel is still a funnel at 100 TB
+    "n_name", "n_nationkey", "r_name", "r_regionkey", "p_brand",
+    "brand", "p_mfgr", "nation", "region", "mktsegment", "seg",
+    "status", "p_container", "shipmode", "l_shipmode")
 
   /** True when every row reaching this subtree's output passed
     * through a row-contracting operator (aggregate, limit, rank
