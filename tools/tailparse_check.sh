@@ -25,7 +25,11 @@ try:
     obj = json.loads(last)
 except Exception as e:
     sys.exit(f"TAILPARSE FAIL: last line is not JSON ({e}):\n{last!r}")
-for key in ("metric", "value", "unit", "queries", "sf"):
+for key in ("metric", "value", "unit", "queries", "sf",
+            # round-6 self-normalization fields (BASELINE.md canary
+            # protocol): without them a slow driver window is
+            # indistinguishable from a plan regression
+            "canary_pre", "canary_post", "load0", "load1", "solo_max"):
     if key not in obj:
         sys.exit(f"TAILPARSE FAIL: parsed JSON missing key {key!r}: {last[:200]}")
 if len(last) > 1500:
