@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   * boundary choice (equal keys always share a bucket), so the bucket
   * scheme never leaks into the output — only into load balance.
   * Equi-width is skew-sensitive in the worst case (a point-mass
-  * domain collapses to one bucket); a production deployment would
-  * sample boundaries into a literal cut vector per job — the sweep
-  * math is unchanged.
+  * domain collapses to one bucket); for skewed domains pass an
+  * explicit `boundaries` cut vector to [[runningSums]] (e.g. sampled
+  * quantiles computed once per job, passed as literals) — the sweep
+  * math is unchanged, only the load balance improves.
   *
   * `row_number`/`rank`/`ntile` over a total order are prefix counts:
   * ask for `sum(lit(1))` and derive the tile from the running count
@@ -65,10 +66,21 @@ object PrefixOps {
     *               should use an ordinary partitioned window — it is
     *               already parallel). NULL group keys are handled
     *               (null-safe joins throughout).
+    * @param boundaries optional explicit ASCENDING cut vector for the
+    *               bucketing (bucket = number of cuts ≤ key, so
+    *               |boundaries|+1 buckets): the skew-resistant path —
+    *               sample quantiles once per job and pass them as
+    *               literals when the key domain is point-massed and
+    *               equi-width would collapse to one bucket. Replaces
+    *               the (min, max) probe entirely (one fewer aggregate
+    *               + broadcast in the plan); `buckets` is ignored.
+    *               Any monotone cut choice yields identical output —
+    *               only load balance changes.
     */
   def runningSums(df: DataFrame, key: Column, order: Seq[Column],
       sums: Seq[(String, Column)], buckets: Int = 64,
-      partitionBy: Seq[Column] = Nil): DataFrame = {
+      partitionBy: Seq[Column] = Nil,
+      boundaries: Seq[Double] = Nil): DataFrame = {
     // 0. materialize the group keys once under internal names so every
     //    later phase (bounds, totals, offsets) can reference them even
     //    when callers pass computed expressions
@@ -81,28 +93,38 @@ object PrefixOps {
     //    bucket for a given key, and nothing executes until the query
     //    runs.
     val k = key.cast("double")
-    val bounded = if (pn.isEmpty) {
-      val bounds = withP.agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
-      withP.crossJoin(broadcast(bounds))
+    val parted = if (boundaries.nonEmpty) {
+      // explicit cut vector: bucket = #{cuts ≤ key} — monotone in the
+      // order, ties share a bucket, NULL key → every comparison null
+      // → bucket 0 (first, consistent with nulls-first orders); no
+      // (min, max) probe needed at all
+      val b = boundaries.sorted.foldLeft(lit(0)) { (acc, cut) =>
+        acc + when(k >= lit(cut), lit(1)).otherwise(lit(0)) }
+      withP.withColumn("__pfx_bucket", b)
     } else {
-      val bounds = withP.groupBy(pn.map(col): _*)
-        .agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
-      val renamed = bounds.select(
-        pn.map(n => col(n).as(s"__pfx_b_$n")) ++
-          Seq(col("__pfx_lo"), col("__pfx_hi")): _*)
-      val cond = pn.map(n => col(n) <=> col(s"__pfx_b_$n")).reduce(_ && _)
-      withP.join(broadcast(renamed), cond)
-        .drop(pn.map(n => s"__pfx_b_$n"): _*)
+      val bounded = if (pn.isEmpty) {
+        val bounds = withP.agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
+        withP.crossJoin(broadcast(bounds))
+      } else {
+        val bounds = withP.groupBy(pn.map(col): _*)
+          .agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
+        val renamed = bounds.select(
+          pn.map(n => col(n).as(s"__pfx_b_$n")) ++
+            Seq(col("__pfx_lo"), col("__pfx_hi")): _*)
+        val cond = pn.map(n => col(n) <=> col(s"__pfx_b_$n")).reduce(_ && _)
+        withP.join(broadcast(renamed), cond)
+          .drop(pn.map(n => s"__pfx_b_$n"): _*)
+      }
+      val width =
+        (col("__pfx_hi") - col("__pfx_lo")) / lit(buckets.toDouble)
+      val b = when(col("__pfx_hi") <= col("__pfx_lo"), lit(0)) // constant key
+        .otherwise(least(
+          floor((k - col("__pfx_lo")) / width).cast("int"),
+          lit(buckets - 1)))
+      bounded
+        .withColumn("__pfx_bucket", coalesce(b, lit(0))) // NULL key → first
+        .drop("__pfx_lo", "__pfx_hi")
     }
-    val width =
-      (col("__pfx_hi") - col("__pfx_lo")) / lit(buckets.toDouble)
-    val b = when(col("__pfx_hi") <= col("__pfx_lo"), lit(0)) // constant key
-      .otherwise(least(
-        floor((k - col("__pfx_lo")) / width).cast("int"),
-        lit(buckets - 1)))
-    val parted = bounded
-      .withColumn("__pfx_bucket", coalesce(b, lit(0))) // NULL key → first
-      .drop("__pfx_lo", "__pfx_hi")
     // 2. within-bucket running sums (window partitioned on
     //    (groups…, bucket) — buckets proceed in parallel)
     val w = Window.partitionBy(pn.map(col) :+ col("__pfx_bucket"): _*)
