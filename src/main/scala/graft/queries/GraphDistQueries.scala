@@ -64,8 +64,18 @@ object GraphDistQueries {
       val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("n"))
+      // localCheckpoint per round: `e` appears ~5× in the next
+      // round's plan (twice in deg, twice via keep's two renames,
+      // once as the join left), so the unrolled 3-round DAG otherwise
+      // re-references the base ~5³ times — ReuseExchange hides most
+      // of it at plain config, but AQE materializes every replicated
+      // stage (measured 121.6 s solo at sf0.1 shuffle=64; 4.6 s with
+      // the truncation) and even plain planning walks the 125-branch
+      // tree (7.2 s → 2.7 s solo). Each checkpoint is a ≤|nations|²
+      // -row frame — the dedup-cluster iterative pattern.
       e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
     }
     val out = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
