@@ -176,6 +176,13 @@ object BizSeriesQueries {
           PrefixOps.ntileFromRowNumber(col("__rn"), col("n_cust"), 4))
         .drop("__rn")
     }
+    // localCheckpoint between quintile passes: each runningSums pass
+    // references its input ~4× (bounds, window, totals, join-back),
+    // so the 3 chained passes otherwise replicate the per-customer
+    // base ~4³× in the final tree (q_kcore_peel pattern — this is
+    // per-PASS output truncation of a |customers|-row frame, NOT the
+    // round-5 negative result, which persisted the base input and
+    // measured slower because ReuseExchange already deduped it)
     val scored = Seq[(String, Column, Seq[Column])](
       ("r_score", col("recency_days"),
         Seq(col("recency_days"), col("o_custkey"))),
@@ -183,7 +190,8 @@ object BizSeriesQueries {
         Seq(col("frequency").desc, col("o_custkey"))),
       ("m_score", -col("monetary"),
         Seq(col("monetary").desc, col("o_custkey"))))
-      .foldLeft(base) { case (df, (n, k, o)) => score(df, n, k, o) }
+      .foldLeft(base) { case (df, (n, k, o)) =>
+        score(df, n, k, o).localCheckpoint() }
     scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
         dout(col("monetary")).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

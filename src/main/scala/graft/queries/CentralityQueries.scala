@@ -62,8 +62,13 @@ object CentralityQueries {
         .agg(sum(round(col("w").cast("double") * col("xn"), 6)
           .cast("decimal(27,6)")).cast("double").as("x"))
       val mx = next.agg(max(col("x")).as("mx"))
+      // localCheckpoint per power iteration: the normalize step
+      // references `next` twice (max + join) so the chained rounds
+      // replicate the tree 2^r× (q_kcore_peel pattern); the frame is
+      // |nations| rows
       next.crossJoin(broadcast(mx))
         .select(col("node"), round(col("x") / col("mx"), 8).as("xn"))
+        .localCheckpoint()
     }
     val n3 = iterate(iterate(n1))
     graft.operators.CacheOps.finalized(
@@ -114,12 +119,19 @@ object CentralityQueries {
     val und = raw.crossJoin(broadcast(thr))
       .filter(col("w").cast("double") >= lit(1.1) * col("mw"))
       .select(col("a"), col("b")).persist()
+    // localCheckpoint per hop frontier: h1 appears 3× in h2 and h2
+    // twice in h3, so the unchecked DAG re-references h1 ~12× —
+    // ReuseExchange hides it at plain config but AQE re-materializes
+    // the replicated stages (q_kcore_peel pattern; each frame is
+    // ≤|nations|² rows)
     val h1 = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v"))).distinct()
+      .localCheckpoint()
     val h2 = h1.as("x").join(h1.as("y"), col("x.v") === col("y.u"))
       .select(col("x.u").as("u"), col("y.v").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .join(h1, Seq("u", "v"), "left_anti")
+      .localCheckpoint()
     val h3 = h2.as("x").join(h1.as("y"), col("x.v") === col("y.u"))
       .select(col("x.u").as("u"), col("y.v").as("v"))
       .filter(col("u") =!= col("v")).distinct()

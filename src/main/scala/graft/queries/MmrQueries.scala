@@ -61,7 +61,10 @@ object MmrQueries {
             .as("score"))
         .orderBy(col("score").desc, col("vec_id")).limit(1)
         .withColumn("sel_rank", lit(r))
-      sel = sel.unionByName(pick)
+      // localCheckpoint per greedy round: each round references sel
+      // twice (anti-join + max-sim join), so the unchecked DAG
+      // doubles per round (q_kcore_peel pattern); sel is ≤5 rows
+      sel = sel.unionByName(pick).localCheckpoint()
     }
     graft.operators.CacheOps.finalized(
       sel.select(col("sel_rank"), col("vec_id"), col("rel"), col("score"))

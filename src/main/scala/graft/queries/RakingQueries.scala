@@ -38,6 +38,10 @@ object RakingQueries {
         col("n").cast("double").as("w"),
         (col("nt").cast("double") / col("nl").cast("double")).as("rt"),
         (col("nt").cast("double") / col("ns").cast("double")).as("ct"))
+    // localCheckpoint per pass: each pass references its input TWICE
+    // (margin aggregate + join), so the 4 chained passes otherwise
+    // replicate the seeded tree 2⁴× — the q_kcore_peel pattern; each
+    // checkpointed frame is the tiny |lang|×|source| cell grid.
     def rowPass(df: DataFrame): DataFrame = {
       val m = df.groupBy(col("lang").as("l2"))
         .agg(sum(col("w").cast("decimal(24,6)")).cast("double").as("rm"))
@@ -45,6 +49,7 @@ object RakingQueries {
         .select(col("lang"), col("source"), col("n"),
           round(col("w") * col("rt") / col("rm"), 6).as("w"),
           col("rt"), col("ct"))
+        .localCheckpoint()
     }
     def colPass(df: DataFrame): DataFrame = {
       val m = df.groupBy(col("source").as("s2"))
@@ -53,6 +58,7 @@ object RakingQueries {
         .select(col("lang"), col("source"), col("n"),
           round(col("w") * col("ct") / col("cm"), 6).as("w"),
           col("rt"), col("ct"))
+        .localCheckpoint()
     }
     val raked = colPass(rowPass(colPass(rowPass(seeded))))
     val resid = raked.groupBy(col("lang").as("l3"))

@@ -119,9 +119,13 @@ object RobustFitQueries {
           lit(1.345) * col("sigma") / col("ar")), 6))
         .select(col("day"), col("i"), col("v"), col("w"))
     }
-    val it1 = step(dd, ols)
+    // localCheckpoint per IRLS iterate: each weighted frame is
+    // referenced by the next step's coef fit AND the residual/MAD
+    // branches, so the unrolled trees otherwise nest multiplicatively
+    // (q_kcore_peel pattern); the frame is the tiny per-day panel
+    val it1 = step(dd, ols).localCheckpoint()
     val c1 = wls(it1)
-    val it2 = step(dd, c1)
+    val it2 = step(dd, c1).localCheckpoint()
     val c2 = wls(it2)
     val nDown = it2.agg(count(when(col("w") < 1.0, lit(1)))
       .as("n_downweighted"), count(lit(1)).as("n_days"))
