@@ -51,7 +51,6 @@ class GlobalJoinSpec extends GraftSpecBase {
     "q_err" -> "query-term panel: 3 literal terms",
     "q_footrule" -> "per-brand rank panels: |brands| = 25",
     "q_gains" -> "decile frame: 10 rows",
-    "q_huber" -> "daily IRLS moment panel: calendar-bounded (x,day)",
     "q_isotonic" -> "calibration bins: 10 rows",
     "q_jelinek_mercer" -> "query-term panel: 3 literal terms",
     "q_join_theta" -> "graded theta-join demonstrator: supplier is the dim side; the scale path is q_join_range's sweep-line plan",
