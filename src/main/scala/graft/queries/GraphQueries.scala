@@ -146,8 +146,12 @@ object GraphQueries {
     for (_ <- 1 to 4) {
       val nxt = dist.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      // localCheckpoint per hop: dist appears twice per round (join +
+      // union), so the unrolled BFS otherwise replicates the frontier
+      // tree 2⁴× (q_kcore_peel pattern); the frame is ≤|nations| rows
       dist = dist.unionByName(nxt)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
     }
     graft.operators.CacheOps.finalized(
       nation(s, d).select(col("n_nationkey"))
