@@ -191,7 +191,7 @@ object BizSeriesQueries {
       ("m_score", -col("monetary"),
         Seq(col("monetary").desc, col("o_custkey"))))
       .foldLeft(base) { case (df, (n, k, o)) =>
-        score(df, n, k, o).localCheckpoint() }
+        score(df, n, k, o).localCheckpoint(eager = false) }
     scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
         dout(col("monetary")).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

@@ -68,7 +68,7 @@ object CentralityQueries {
       // |nations| rows
       next.crossJoin(broadcast(mx))
         .select(col("node"), round(col("x") / col("mx"), 8).as("xn"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val n3 = iterate(iterate(n1))
     graft.operators.CacheOps.finalized(
@@ -126,12 +126,12 @@ object CentralityQueries {
     // ≤|nations|² rows)
     val h1 = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val h2 = h1.as("x").join(h1.as("y"), col("x.v") === col("y.u"))
       .select(col("x.u").as("u"), col("y.v").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .join(h1, Seq("u", "v"), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val h3 = h2.as("x").join(h1.as("y"), col("x.v") === col("y.u"))
       .select(col("x.u").as("u"), col("y.v").as("v"))
       .filter(col("u") =!= col("v")).distinct()

@@ -75,7 +75,7 @@ object GraphDistQueries {
       // -row frame — the dedup-cluster iterative pattern.
       e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val out = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

@@ -151,7 +151,7 @@ object GraphQueries {
       // tree 2⁴× (q_kcore_peel pattern); the frame is ≤|nations| rows
       dist = dist.unionByName(nxt)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     graft.operators.CacheOps.finalized(
       nation(s, d).select(col("n_nationkey"))

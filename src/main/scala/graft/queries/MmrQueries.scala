@@ -64,7 +64,7 @@ object MmrQueries {
       // localCheckpoint per greedy round: each round references sel
       // twice (anti-join + max-sim join), so the unchecked DAG
       // doubles per round (q_kcore_peel pattern); sel is ≤5 rows
-      sel = sel.unionByName(pick).localCheckpoint()
+      sel = sel.unionByName(pick).localCheckpoint(eager = false)
     }
     graft.operators.CacheOps.finalized(
       sel.select(col("sel_rank"), col("vec_id"), col("rel"), col("score"))

@@ -49,7 +49,7 @@ object RakingQueries {
         .select(col("lang"), col("source"), col("n"),
           round(col("w") * col("rt") / col("rm"), 6).as("w"),
           col("rt"), col("ct"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     def colPass(df: DataFrame): DataFrame = {
       val m = df.groupBy(col("source").as("s2"))
@@ -58,7 +58,7 @@ object RakingQueries {
         .select(col("lang"), col("source"), col("n"),
           round(col("w") * col("ct") / col("cm"), 6).as("w"),
           col("rt"), col("ct"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val raked = colPass(rowPass(colPass(rowPass(seeded))))
     val resid = raked.groupBy(col("lang").as("l3"))

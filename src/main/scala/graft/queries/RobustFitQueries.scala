@@ -123,9 +123,9 @@ object RobustFitQueries {
     // referenced by the next step's coef fit AND the residual/MAD
     // branches, so the unrolled trees otherwise nest multiplicatively
     // (q_kcore_peel pattern); the frame is the tiny per-day panel
-    val it1 = step(dd, ols).localCheckpoint()
+    val it1 = step(dd, ols).localCheckpoint(eager = false)
     val c1 = wls(it1)
-    val it2 = step(dd, c1).localCheckpoint()
+    val it2 = step(dd, c1).localCheckpoint(eager = false)
     val c2 = wls(it2)
     val nDown = it2.agg(count(when(col("w") < 1.0, lit(1)))
       .as("n_downweighted"), count(lit(1)).as("n_days"))
