@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Dev probe (sibling of [[Explain]]): sweep every graded plan for the
+  * next candidate scale-anti-pattern classes beyond the gated ones
+  * (cartesians, unbounded BNLJ builds, single-partition and
+  * low-cardinality-partition windows):
+  *
+  *  1. shuffle joins (SMJ / shuffled-hash) whose keys are ALL
+  *     bounded-domain columns — hash partitioning on a ~5-value key
+  *     routes every fact row into |domain| reducer partitions, the
+  *     window funnel's join-shaped twin (no map-side partial
+  *     aggregation rescue exists for joins);
+  *  2. collect_list / collect_set aggregates whose grouping keys are
+  *     all bounded-domain over an uncontracted child — per-group state
+  *     grows with |input| and partials cannot contract;
+  *  3. global range-partitioned sorts ordered ONLY by bounded-domain
+  *     columns over uncontracted input — |domain| populated range
+  *     partitions.
+  *
+  * Prints offenders; the build-failing versions live in
+  * GlobalFunnelSpec (which shares the canonical lowCardNames /
+  * contraction proof via GradedPlans — this main-side copy exists so
+  * the probe runs without test classes; keep in sync). The round-6
+  * sweep found zero genuine offenders: the one flagged sort
+  * (q_ipf_rake) is the bounded cell grid behind a localCheckpoint
+  * leaf the structural proof cannot see through.
+  *
+  * Usage: graft.ScaleProbe [sfDir] [query ...]
+  */
+object ScaleProbe {
+
+  /** Keep in sync with GlobalWindowSpec.lowCardNames. */
+  val lowCardNames: Set[String] = Set(
+    "event_type", "o_orderpriority", "pri", "lang", "l_returnflag",
+    "l_linestatus", "o_orderstatus", "c_mktsegment", "source", "split",
+    "flag", "grp", "arm", "cohort", "band", "is_weekend", "label",
+    "n_name", "n_nationkey", "r_name", "r_regionkey", "p_brand",
+    "brand", "p_mfgr", "nation", "region", "mktsegment", "seg",
+    "status", "p_container", "shipmode", "l_shipmode")
+
+  def strip(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  /** Row-contraction proof, mirroring GlobalWindowSpec.contractedBelow. */
+  def contracted(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+         _: org.apache.spark.sql.execution.CollectLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+      val path = f.relation.location.rootPaths.mkString(",")
+      path.contains("nation") || path.contains("region")
+    case r: org.apache.spark.sql.execution.RangeExec =>
+      r.numElements <= BigInt(65536)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      contracted(j.left) && contracted(j.right)
+    case u: org.apache.spark.sql.execution.UnionExec =>
+      u.children.forall(contracted)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      contracted(r.child)
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(contracted)
+  }
+
+  private def allLowCard(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+    keys.nonEmpty && keys.forall {
+      case a: Attribute => lowCardNames.contains(a.name)
+      case _ => false
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = args.drop(1).toSet
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var nJoin, nCollect, nSort = 0
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
+        try {
+          val plan = strip(fn(spark, sfDir).queryExecution.executedPlan)
+          plan.foreach {
+            case j: SortMergeJoinExec
+              if allLowCard(j.leftKeys) &&
+                (!contracted(j.left) || !contracted(j.right)) =>
+              nJoin += 1
+              println(s"JOINFUNNEL $name SMJ keys=${j.leftKeys.map(_.sql).mkString(",")} " +
+                s"uncontracted=${Seq(!contracted(j.left), !contracted(j.right)).mkString("L:", ",R:", "")}")
+            case j: ShuffledHashJoinExec
+              if allLowCard(j.leftKeys) &&
+                (!contracted(j.left) || !contracted(j.right)) =>
+              nJoin += 1
+              println(s"JOINFUNNEL $name SHJ keys=${j.leftKeys.map(_.sql).mkString(",")} " +
+                s"uncontracted=${Seq(!contracted(j.left), !contracted(j.right)).mkString("L:", ",R:", "")}")
+            case a: BaseAggregateExec
+              if a.aggregateExpressions.exists(ae =>
+                ae.aggregateFunction.prettyName.startsWith("collect_")) &&
+                allLowCard(a.groupingExpressions) && !contracted(a.child) =>
+              nCollect += 1
+              println(s"COLLECTFUNNEL $name keys=${a.groupingExpressions.map(_.sql).mkString(",")}")
+            case a: BaseAggregateExec
+              if a.aggregateExpressions.exists(ae => Set("percentile",
+                "median", "percentile_cont", "percentile_disc", "mode")
+                .contains(ae.aggregateFunction.prettyName)) &&
+                (a.groupingExpressions.isEmpty ||
+                  allLowCard(a.groupingExpressions)) && !contracted(a.child) =>
+              nCollect += 1
+              println(s"PCTFUNNEL $name keys=${a.groupingExpressions.map(_.sql).mkString(",")}")
+            case so: org.apache.spark.sql.execution.SortExec
+              if so.global && allLowCard(so.sortOrder.map(_.child)) &&
+                !contracted(so.child) =>
+              nSort += 1
+              println(s"SORTFUNNEL $name keys=${so.sortOrder.map(_.child.sql).mkString(",")}")
+            case _ =>
+          }
+        } catch { case e: Throwable =>
+          println(s"PROBEFAIL $name ${e.getMessage.take(150)}")
+        }
+      }
+    println(s"PROBE DONE joins=$nJoin collects=$nCollect sorts=$nSort")
+    spark.stop()
+  }
+}

@@ -131,13 +131,19 @@ object AggQueries {
       .orderBy(col("o_custkey"))
 
   /** q_percentile — exact interpolated percentiles per group (both
-    * engines use the (n-1)·p linear-interpolation definition). */
+    * engines use the (n-1)·p linear-interpolation definition).
+    * Computed off the contracted (status, price) grid
+    * ([[graft.operators.OrderStats.interpolatedPercentiles]]) instead
+    * of the buffering `percentile` aggregate, whose per-group
+    * (value → count) map holds ~n/|statuses| entries in one task over
+    * the 3-value grouping key; same interpolation arithmetic, value
+    * unchanged. */
   def aggPercentile(s: SparkSession, d: String): DataFrame =
-    orders(s, d)
-      .groupBy(col("o_orderstatus"))
-      .agg(r4(percentile(col("o_totalprice"), lit(0.5))).as("p50"),
-        r4(percentile(col("o_totalprice"), lit(0.9))).as("p90"),
-        count(lit(1)).as("n"))
+    graft.operators.OrderStats.interpolatedPercentiles(
+      orders(s, d), Seq("o_orderstatus"), "o_totalprice",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+      .select(col("o_orderstatus"), r4(col("p50")).as("p50"),
+        r4(col("p90")).as("p90"), col("n"))
       .orderBy(col("o_orderstatus"))
 
   /** q_stats — variance/stddev computed from EXACT decimal power sums

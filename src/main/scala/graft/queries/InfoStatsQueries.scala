@@ -73,18 +73,28 @@ object InfoStatsQueries {
     * absolute deviation around it (the robust location/scale pair
     * behind outlier fences that don't break under heavy tails).
     * Deviations are 8dp-rounded before the second median, so the
-    * interpolated midpoints are bit-identical cross-engine. */
+    * interpolated midpoints are bit-identical cross-engine.
+    *
+    * Both medians run through the contracted-grid path
+    * ([[graft.operators.OrderStats.interpolatedPercentiles]]): the
+    * builtin `median` aggregate buffers a (value → count) map per
+    * group — ~n/|types| entries in one task over the ~5-value
+    * event_type — where the grid + partitioned prefix keeps every
+    * stage parallel and every per-task state bounded. Same
+    * interpolation arithmetic, so the value is unchanged. */
   def mad(s: SparkSession, d: String): DataFrame = {
-    val med = events(s, d).groupBy(col("event_type"))
-      .agg(median(col("value")).as("med"))
-    events(s, d).join(broadcast(med), "event_type")
+    val med = graft.operators.OrderStats.interpolatedPercentiles(
+      events(s, d), Seq("event_type"), "value", Seq("med" -> 0.5))
+      .select(col("event_type"), col("med"))
+    val devs = events(s, d).join(broadcast(med), "event_type")
       .select(col("event_type"), col("med"),
         round(abs(col("value") - col("med")), 8).as("dev"))
-      .groupBy(col("event_type"))
-      .agg(max(col("med")).as("med_tmp"), count(lit(1)).as("n"),
-        median(col("dev")).as("mad_raw"))
+    val madF = graft.operators.OrderStats.interpolatedPercentiles(
+      devs, Seq("event_type"), "dev", Seq("mad_raw" -> 0.5))
+      .select(col("event_type"), col("n"), col("mad_raw"))
+    med.join(broadcast(madF), "event_type")
       .select(col("event_type"), col("n"),
-        round(col("med_tmp"), 6).as("med"),
+        round(col("med"), 6).as("med"),
         round(col("mad_raw"), 6).as("mad"))
       .orderBy(col("event_type"))
   }

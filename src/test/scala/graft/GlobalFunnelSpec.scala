@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Round-6 whole-surface gates — the per-key-funnel siblings of
+  * [[GlobalWindowSpec]]'s low-cardinality-partition window gate,
+  * covering the remaining plan shapes where a ~5-value key domain
+  * funnels fact-scale rows through |domain| tasks at 100 TB:
+  *
+  *  1. **Shuffle joins keyed only on bounded-domain columns.** Hash
+  *     partitioning on `event_type` routes every row of BOTH sides
+  *     into ≤|domain| reducer partitions. Unlike groupBy (rescued by
+  *     map-side partial aggregation) a join has no contraction before
+  *     the shuffle — the funnel is unconditional. Acceptable only
+  *     when both sides were already contracted below (tiny frames
+  *     joining tiny frames — margin/grid joins).
+  *  2. **collect_list / collect_set grouped only by bounded-domain
+  *     keys over uncontracted input.** List-agg partials cannot
+  *     contract (the partial IS the list), so per-group state grows
+  *     with |input| — ~n/|domain| rows held in one task's memory.
+  *  3. **Global sorts ordered only by bounded-domain columns over
+  *     uncontracted input.** Range partitioning over a |domain|-value
+  *     key populates ≤|domain| ranges — a presentation `orderBy` on
+  *     `event_type` alone serializes ~n/|domain| per task.
+  *
+  * The round-6 sweep (graft.ScaleProbe) found ZERO genuine offenders
+  * across all graded plans — these gates lock that in. The one
+  * allowlisted sort is a proof-machinery blind spot, not a funnel:
+  * lazy `localCheckpoint` plants an RDD-scan leaf the structural
+  * contraction proof cannot see through.
+  */
+class GlobalFunnelSpec extends GraftSpecBase {
+
+  import GradedPlans.{contractedBelow, lowCardNames}
+
+  private lazy val plans: Seq[(String, SparkPlan)] = GradedPlans.atSf0001
+
+  private def allLowCard(keys: Seq[Expression]): Boolean =
+    keys.nonEmpty && keys.forall {
+      case a: Attribute => lowCardNames.contains(a.name)
+      case _ => false
+    }
+
+  // ----- gate 1: bounded-domain-keyed shuffle joins ----------------
+
+  private def joinFunnel(p: SparkPlan): Boolean = p match {
+    case j: SortMergeJoinExec =>
+      allLowCard(j.leftKeys) &&
+        (!contractedBelow(j.left) || !contractedBelow(j.right))
+    case j: ShuffledHashJoinExec =>
+      allLowCard(j.leftKeys) &&
+        (!contractedBelow(j.left) || !contractedBelow(j.right))
+    case _ => false
+  }
+
+  /** Queries allowed a bounded-domain-keyed shuffle join over
+    * uncontracted input, with the documented reason. Empty today —
+    * keep it that way (broadcast the contracted side instead). */
+  private val joinAllowed: Map[String, String] = Map.empty
+
+  test("no graded plan shuffle-joins fact-scale rows on only low-cardinality keys") {
+    val offenders = plans.flatMap { case (name, plan) =>
+      if (plan.exists(joinFunnel) && !joinAllowed.contains(name)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"bounded-domain-keyed shuffle joins over uncontracted input in: ${offenders.mkString(", ")}")
+  }
+
+  // ----- gate 2: unbounded list-agg state per bounded group --------
+
+  private def collectFunnel(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec =>
+      a.aggregateExpressions.exists(
+        _.aggregateFunction.prettyName.startsWith("collect_")) &&
+        allLowCard(a.groupingExpressions) && !contractedBelow(a.child)
+    case _ => false
+  }
+
+  private val collectAllowed: Map[String, String] = Map.empty
+
+  test("no graded plan collects unbounded lists per low-cardinality group") {
+    val offenders = plans.flatMap { case (name, plan) =>
+      if (plan.exists(collectFunnel) && !collectAllowed.contains(name)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded collect_* state per bounded group in: ${offenders.mkString(", ")}")
+  }
+
+  // ----- gate 2b: buffering percentile-family aggregates -----------
+  // Spark's exact percentile / median / mode are
+  // TypedImperativeAggregates buffering a (value → count) map per
+  // group: over a near-unique value column that is ~n/|groups|
+  // entries in one task when the grouping keys are all bounded-domain
+  // (or absent) — the same state explosion as collect_*, with the
+  // same non-contracting partial. The contracted-grid path
+  // (operators/OrderStats.interpolatedPercentiles) computes the
+  // identical value with every stage parallel.
+
+  private val bufferingAggs =
+    Set("percentile", "median", "percentile_cont", "percentile_disc", "mode")
+
+  private def percentileFunnel(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec =>
+      a.aggregateExpressions.exists(ae =>
+        bufferingAggs.contains(ae.aggregateFunction.prettyName)) &&
+        (a.groupingExpressions.isEmpty || allLowCard(a.groupingExpressions)) &&
+        !contractedBelow(a.child)
+    case _ => false
+  }
+
+  private val percentileAllowed: Map[String, String] = Map.empty
+
+  test("no graded plan runs a buffering percentile/median/mode aggregate per low-cardinality group over uncontracted input") {
+    val offenders = plans.flatMap { case (name, plan) =>
+      if (plan.exists(percentileFunnel) && !percentileAllowed.contains(name))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"buffering percentile-family aggregates over uncontracted input in: ${offenders.mkString(", ")}")
+  }
+
+  // ----- gate 3: bounded-domain-only global sorts ------------------
+
+  private def sortFunnel(p: SparkPlan): Boolean = p match {
+    case s: SortExec =>
+      s.global && allLowCard(s.sortOrder.map(_.child)) &&
+        !contractedBelow(s.child)
+    case _ => false
+  }
+
+  /** Global sorts on only bounded-domain keys whose input IS
+    * contracted but the structural proof cannot see it. */
+  private val sortAllowed: Map[String, String] = Map(
+    "q_ipf_rake" -> ("final orderBy(lang, source) sorts the raked " +
+      "|langs|x|sources| cell grid; the per-pass lazy localCheckpoint " +
+      "(RakingQueries.scala) plants an RDD-scan leaf that hides the " +
+      "groupBy contraction from contractedBelow"))
+
+  test("no graded plan globally sorts uncontracted rows by only low-cardinality keys") {
+    val offenders = plans.flatMap { case (name, plan) =>
+      if (plan.exists(sortFunnel) && !sortAllowed.contains(name)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"bounded-domain-only global sorts over uncontracted input in: ${offenders.mkString(", ")}")
+  }
+
+  // ----- allowlist minimality (the GlobalJoinSpec pattern) ---------
+
+  test("funnel allowlists stay minimal (no stale entries)") {
+    def stillNeeded(allowed: Map[String, String],
+        pred: SparkPlan => Boolean): Set[String] =
+      plans.filter { case (name, _) => allowed.contains(name) }
+        .collect { case (name, plan) if plan.exists(pred) => name }.toSet
+    val stale =
+      (joinAllowed.keySet -- stillNeeded(joinAllowed, joinFunnel)) ++
+      (collectAllowed.keySet -- stillNeeded(collectAllowed, collectFunnel)) ++
+      (percentileAllowed.keySet --
+        stillNeeded(percentileAllowed, percentileFunnel)) ++
+      (sortAllowed.keySet -- stillNeeded(sortAllowed, sortFunnel))
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (remove them): ${stale.mkString(", ")}")
+  }
+}

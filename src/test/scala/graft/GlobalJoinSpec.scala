@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
   LocalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
@@ -72,22 +71,9 @@ class GlobalJoinSpec extends GraftSpecBase {
     "q_term_dispersion" -> "per-source dispersion panel: |sources| <= 10",
     "q_tost" -> "weekend/weekday 2-row moment frame")
 
-  private def strip(p: SparkPlan): SparkPlan = p match {
-    case a: AdaptiveSparkPlanExec => a.executedPlan
-    case other => other
-  }
-
-  /** Plan every graded query ONCE for the whole suite — three tests
-    * walk the same 536 executed plans; rebuilding them per test
-    * triples the suite's wall-clock for no coverage. */
-  private lazy val plans: Seq[(String, SparkPlan)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val df =
-        try fn(spark, sf)
-        catch { case e: Throwable =>
-          fail(s"$name failed to build at $sf: ${e.getMessage}") }
-      name -> strip(df.queryExecution.executedPlan)
-    }
+  /** One shared plan-build pass for ALL whole-surface gate suites
+    * (see [[GradedPlans]]). */
+  private lazy val plans: Seq[(String, SparkPlan)] = GradedPlans.atSf0001
 
   /** True when `p` provably emits a number of rows bounded by a small
     * constant independent of input size. Conservative: anything not

@@ -2,8 +2,6 @@ package graft
 
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Sweep assertion locking in the round-4 de-funneling: NO graded
@@ -37,21 +35,9 @@ class GlobalWindowSpec extends GraftSpecBase {
     "q_dim_variance" -> "|dims| rows (64): the per-dimension contraction precedes the rank window",
     "q_rank_stability" -> "|brands| rows (25): the per-brand era contraction precedes the two rank windows")
 
-  private def strip(p: SparkPlan): SparkPlan = p match {
-    case a: AdaptiveSparkPlanExec => a.executedPlan
-    case other => other
-  }
-
-  /** Plan every graded query ONCE for the whole suite (both tests
-    * walk the same executed plans — same pattern as GlobalJoinSpec). */
-  private lazy val plans: Seq[(String, SparkPlan)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val df =
-        try fn(spark, sf)
-        catch { case e: Throwable =>
-          fail(s"$name failed to build at $sf: ${e.getMessage}") }
-      name -> strip(df.queryExecution.executedPlan)
-    }
+  /** One shared plan-build pass for ALL whole-surface gate suites
+    * (see [[GradedPlans]]). */
+  private lazy val plans: Seq[(String, SparkPlan)] = GradedPlans.atSf0001
 
   /** True when rows reaching `w` are capped by a limit-like operator
     * below it (rank-limit pushdown or explicit top-k). */
@@ -87,49 +73,9 @@ class GlobalWindowSpec extends GraftSpecBase {
   // contracted below (an aggregate / limit / rank-limit caps the rows
   // reaching it) or the query is allowlisted with a documented reason.
 
-  /** Fixture columns whose domain is bounded by a small constant at
-    * ANY scale factor (TPC-H spec constants / TESTDATA generators),
-    * including the aliases graded queries give them. A partition spec
-    * containing at least one column NOT in this set is assumed
-    * scale-parallel and skipped. */
-  private val lowCardNames: Set[String] = Set(
-    "event_type", "o_orderpriority", "pri", "lang", "l_returnflag",
-    "l_linestatus", "o_orderstatus", "c_mktsegment", "source", "split",
-    "flag", "grp", "arm", "cohort", "band", "is_weekend", "label",
-    // TPC-H spec constants: 25 nations, 5 regions, 25 brands, 5
-    // segments — a 25-way funnel is still a funnel at 100 TB
-    "n_name", "n_nationkey", "r_name", "r_regionkey", "p_brand",
-    "brand", "p_mfgr", "nation", "region", "mktsegment", "seg",
-    "status", "p_container", "shipmode", "l_shipmode")
-
-  /** True when every row reaching this subtree's output passed
-    * through a row-contracting operator (aggregate, limit, rank
-    * limit) or comes from a constant-size source — i.e. the window
-    * above it does NOT see raw fact-scale rows. Joins/unions stay
-    * contracted only if ALL inputs are. Conservative in the right
-    * direction for a gate: an unrecognized leaf is uncontracted. */
-  private def contractedBelow(p: SparkPlan): Boolean = p match {
-    case _: BaseAggregateExec => true
-    case _: WindowGroupLimitExec => true
-    case _: org.apache.spark.sql.execution.GlobalLimitExec |
-         _: org.apache.spark.sql.execution.LocalLimitExec |
-         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
-         _: org.apache.spark.sql.execution.CollectLimitExec => true
-    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
-    case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-      val path = f.relation.location.rootPaths.mkString(",")
-      path.contains("nation") || path.contains("region")
-    case r: org.apache.spark.sql.execution.RangeExec =>
-      r.numElements <= BigInt(65536)
-    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-      contractedBelow(j.left) && contractedBelow(j.right)
-    case u: org.apache.spark.sql.execution.UnionExec =>
-      u.children.forall(contractedBelow)
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-      contractedBelow(r.child)
-    case leaf if leaf.children.isEmpty => false
-    case other => other.children.forall(contractedBelow)
-  }
+  // lowCardNames + contractedBelow live in GradedPlans — shared with
+  // GlobalFunnelSpec's join/collect/sort funnel gates.
+  import GradedPlans.{contractedBelow, lowCardNames}
 
   private def lowCardFunnel(w: WindowExec): Boolean =
     w.partitionSpec.nonEmpty &&

@@ -298,6 +298,51 @@ class OrderStatsSpec extends GraftSpecBase {
     }
   }
 
+  test("OrderStats.interpolatedPercentiles equals Spark's exact percentile/median aggregates (randomized trials: ties, groups, edge p)") {
+    import spark.implicits._
+    import graft.operators.OrderStats
+    val rnd = new scala.util.Random(2024)
+    for (trial <- 1 to 6) {
+      val n = Seq(1, 2, 13, 57, 180, 301)(trial - 1)
+      val buckets = Seq(1, 2, 3, 64, 7, 16)(trial - 1)
+      val nGroups = Seq(1, 1, 2, 3, 4, 5)(trial - 1)
+      // heavy ties (small value domain) force the duplicate-key
+      // short-circuit; p hits the exact-rank, interpolated, and
+      // boundary cases
+      val ps = Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5,
+        "p90" -> 0.9, "p1" -> 1.0,
+        "pr" -> (rnd.nextInt(1000) + 1) / 1001.0)
+      val rows = (1 to n).map { i =>
+        (s"g${rnd.nextInt(nGroups)}",
+         rnd.nextInt(math.max(2, n / 6)).toDouble +
+           (if (rnd.nextBoolean()) 0.25 else 0.0))
+      }
+      val df = rows.toDF("g", "v")
+      val got = OrderStats.interpolatedPercentiles(df, Seq("g"), "v", ps,
+          buckets)
+        .collect().map(r => (r.getString(0),
+          ps.indices.map(i => r.getDouble(r.fieldIndex(ps(i)._1))))).toMap
+      val want = df.groupBy(col("g"))
+        .agg(percentile(col("v"), lit(ps.head._2)).as(ps.head._1),
+          ps.tail.map { case (nm, p) =>
+            percentile(col("v"), lit(p)).as(nm) }: _*)
+        .collect().map(r => (r.getString(0),
+          ps.indices.map(i => r.getDouble(r.fieldIndex(ps(i)._1))))).toMap
+      // bit-exact equality — the operator mirrors Spark's arithmetic,
+      // not just its value up to epsilon
+      assert(got == want, s"trial $trial (n=$n buckets=$buckets): $got vs $want")
+    }
+    // median() parity on a fixed odd/even pair
+    val dfe = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("a", 8.0),
+      ("b", 3.0), ("b", 5.0), ("b", 7.0)).toDF("g", "v")
+    val gm = OrderStats.interpolatedPercentiles(dfe, Seq("g"), "v",
+        Seq("m" -> 0.5), 2)
+      .collect().map(r => (r.getString(0), r.getDouble(r.fieldIndex("m")))).toMap
+    val wm = dfe.groupBy(col("g")).agg(median(col("v")).as("m"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(gm == wm)
+  }
+
   test("ntileFromRowNumber matches SQL ntile for every n up to 23 and k in {2,3,4,7,10}") {
     import spark.implicits._
     for (k <- Seq(2, 3, 4, 7, 10); n <- 1 to 23) {
