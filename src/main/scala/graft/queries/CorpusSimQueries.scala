@@ -38,7 +38,9 @@ object CorpusSimQueries {
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val df = tok.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val w = tok.join(broadcast(df), "token").crossJoin(broadcast(n))
+    // df is |vocab|-sized — no broadcast hint (q_text_tfidf rule):
+    // token-keyed shuffle join at scale, stats-chosen broadcast at SF
+    val w = tok.join(df, "token").crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
         (col("tf").cast(dbl) * log(col("n_docs").cast(dbl) / col("df").cast(dbl)))
           .as("w"))

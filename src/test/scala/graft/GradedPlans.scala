@@ -69,7 +69,8 @@ object GradedPlans {
     case other => other.children.forall(contractedBelow)
   }
 
-  lazy val atSf0001: Seq[(String, SparkPlan)] = {
+  private lazy val executions
+      : Seq[(String, org.apache.spark.sql.execution.QueryExecution)] = {
     val spark = GraftSpecBase.session
     val sf = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -78,7 +79,122 @@ object GradedPlans {
         catch { case e: Throwable =>
           throw new AssertionError(
             s"$name failed to build at $sf: ${e.getMessage}", e) }
-      name -> strip(df.queryExecution.executedPlan)
+      name -> df.queryExecution
+    }
+  }
+
+  lazy val atSf0001: Seq[(String, SparkPlan)] =
+    executions.map { case (n, qe) => n -> strip(qe.executedPlan) }
+
+  /** Optimized LOGICAL plans from the same build pass — join hints
+    * survive here (the physical plan no longer says which broadcasts
+    * were hint-forced vs stats-chosen). */
+  lazy val logicalAtSf0001
+      : Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    executions.map { case (n, qe) => n -> qe.optimizedPlan }
+
+  /** Column names whose cardinality GROWS with the corpus/SF (vocab
+    * tokens, document/user/part identities): a per-one-of-these map is
+    * the frame class that must never be hint-force-broadcast — at
+    * 100 TB it is GBs while a hint pins the broadcast strategy at
+    * every scale. */
+  val growingNames: Set[String] = Set(
+    "tok", "token", "term", "doc_id", "user_id", "u", "node",
+    "l_partkey", "p_partkey", "o_custkey", "c_custkey",
+    "o_orderkey", "l_orderkey", "event_id", "vec_id")
+
+  /** Constant-domain alias names accepted by [[boundedLogical]]'s
+    * Aggregate rule IN ADDITION to [[lowCardNames]] — aliases the
+    * graded queries consistently give bounded domains. Scoped to the
+    * logical bound only (NOT the window/join funnel gates, whose
+    * lowCardNames widening is a separate decision per gate):
+    *  - t / a / b: event_type and its transition-pair aliases
+    *    (Markov/entropy frames) and nation-graph endpoints — both
+    *    constant domains;
+    *  - pos: embedding dimension index (schema constant ≤ 64);
+    *  - cluster / lab / bin / decile / dose / era / band: fixed
+    *    evaluation grids (k clusters, 10 bins/deciles, 5 doses …);
+    *  - wk / dow / wd / day / week: calendar-bounded;
+    *  - mask: the 2^4 coalition bitmask domain;
+    *  - b0-b2 / p0-p2: sketch bucket indices (CMS width 1024, bloom
+    *    m = 4096 — compile-time constants). */
+  val boundedAliasNames: Set[String] = Set(
+    "t", "a", "b", "pos", "cluster", "lab", "bin", "decile", "dose",
+    "era", "wk", "dow", "wd", "day", "week", "mask",
+    "b0", "b1", "b2", "p0", "p1", "p2")
+
+  /** Logical row bound: true when the subtree provably emits rows
+    * bounded by a small constant independent of input size. Extends
+    * the physical proofs with the literal-predicate rule: an
+    * Aggregate grouping on a column that a Filter below pins to a
+    * literal set (`isin` / `===`) is bounded by that set, whatever
+    * the layers between contribute (the q_bm25 2-literal-term df
+    * frame). Conservative otherwise: unrecognized leaf = unbounded. */
+  def boundedLogical(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, In, InSet, Literal}
+    def literallyBounded(a: Attribute, below: LogicalPlan): Boolean =
+      below.collect { case f: Filter => f.condition }.exists { cond =>
+        cond.exists {
+          case In(att: Attribute, vs) =>
+            att.exprId == a.exprId && vs.forall(_.isInstanceOf[Literal])
+          case InSet(att: Attribute, _) => att.exprId == a.exprId
+          case EqualTo(att: Attribute, _: Literal) => att.exprId == a.exprId
+          case EqualTo(_: Literal, att: Attribute) => att.exprId == a.exprId
+          case _ => false
+        }
+      }
+    p match {
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty || boundedLogical(a.child) ||
+          a.groupingExpressions.forall { g =>
+            // a computed grouping key carries its user-facing name in
+            // the aggregate list's Alias, not in the grouping
+            // expression (the optimizer may even hoist the expression
+            // into the child and group on an attribute literally
+            // named `_groupingexpression`) — collect every name the
+            // key answers to and accept if ANY is a bounded domain
+            val direct = g match {
+              case att: Attribute => Seq(att.name)
+              case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+                Seq(al.name)
+              case _ => Nil
+            }
+            val aliased = a.aggregateExpressions.collect {
+              case al: org.apache.spark.sql.catalyst.expressions.Alias
+                if al.child.semanticEquals(g) => al.name
+            }
+            val names = direct ++ aliased
+            names.exists(name =>
+              lowCardNames.contains(name) ||
+                boundedAliasNames.contains(name) ||
+                // PrefixOps internals: partition-column copies are
+                // low-cardinality by the operator's documented
+                // contract; bucket keys are compile-time constants
+                name.startsWith("__pfx_p") ||
+                Set("__pfx_bucket", "__tb", "__eb").contains(name)) ||
+              (g match {
+                case att: Attribute => literallyBounded(att, a.child)
+                case _ => false
+              })
+          }
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: OneRowRelation => true
+      case l: LocalRelation => l.data.size <= 65536
+      case r: Range => r.numElements <= BigInt(65536)
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val path = rel.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+        path.contains("nation") || path.contains("region")
+      case j: Join => boundedLogical(j.left) && boundedLogical(j.right)
+      case u: Union => u.children.forall(boundedLogical)
+      case g: Generate => boundedLogical(g.child)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(boundedLogical)
     }
   }
 }
