@@ -27,10 +27,23 @@ import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoin
   * Prints offenders; the build-failing versions live in
   * GlobalFunnelSpec (which shares the canonical lowCardNames /
   * contraction proof via GradedPlans — this main-side copy exists so
-  * the probe runs without test classes; keep in sync). The round-6
-  * sweep found zero genuine offenders: the one flagged sort
-  * (q_ipf_rake) is the bounded cell grid behind a localCheckpoint
-  * leaf the structural proof cannot see through.
+  * the probe runs without test classes, and GradedPlans' proof is
+  * the STRONGER one: literal-predicate bounds, bounded-alias
+  * vocabulary, alias-resolved grouping names; expect this probe to
+  * over-flag relative to the gate). The round-6 sweep found zero
+  * genuine funnel offenders — the one flagged sort (q_ipf_rake) is
+  * the bounded cell grid behind a localCheckpoint leaf the
+  * structural proof cannot see through — and 9 genuine hint-forced
+  * broadcasts of corpus-growing maps, all de-hinted and gated.
+  *
+  * The codegen audit (CODEGENFALLBACK lines) flags graft expressions
+  * planned with interpreted eval. Expected baseline: the custom
+  * TypedImperativeAggregates (KmvDistinct, TopKStruct, HistFixed,
+  * BitsetDistinct) — object-buffer aggregates are CodegenFallback by
+  * construction (so are Spark's collect_list/percentile) and never
+  * sit inside a whole-stage span; the SCALAR expressions
+  * (FloatVecDot, NGramShingles, md5bucket …) must stay absent from
+  * this list.
   *
   * Usage: graft.ScaleProbe [sfDir] [query ...]
   */
@@ -131,7 +144,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    var nJoin, nCollect, nSort, nBcast = 0
+    var nJoin, nCollect, nSort, nBcast, nFallback = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>
@@ -161,6 +174,18 @@ object ScaleProbe {
             case _ =>
           }
           val plan = strip(qe.executedPlan)
+          // custom graft expressions must stay inside codegen: a
+          // CodegenFallback in the hot path breaks the whole-stage
+          // span it sits in
+          plan.foreach { node =>
+            node.expressions.foreach(_.foreach {
+              case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+                if e.getClass.getName.startsWith("graft") =>
+                nFallback += 1
+                println(s"CODEGENFALLBACK $name ${e.getClass.getSimpleName}")
+              case _ =>
+            })
+          }
           plan.foreach {
             case j: SortMergeJoinExec
               if allLowCard(j.leftKeys) &&
@@ -199,7 +224,7 @@ object ScaleProbe {
           println(s"PROBEFAIL $name ${e.getMessage.take(150)}")
         }
       }
-    println(s"PROBE DONE joins=$nJoin collects=$nCollect sorts=$nSort bcast=$nBcast")
+    println(s"PROBE DONE joins=$nJoin collects=$nCollect sorts=$nSort bcast=$nBcast fallback=$nFallback")
     spark.stop()
   }
 }
