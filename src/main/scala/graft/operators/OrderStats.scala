@@ -35,10 +35,13 @@ import org.apache.spark.sql.functions._
   * `median(x)`/`percentile(x, p)` for this changes the PLAN, not the
   * value (pinned by the randomized trials in OrderStatsSpec).
   *
-  * `value` must be non-null (the grid inherits
-  * [[PrefixOps.groupedCumCounts]]'s precondition; Spark's aggregate
-  * would SKIP nulls, and a group with only nulls would vanish here —
-  * filter first if the column is nullable).
+  * NULL values are dropped before the grid (matching the SQL
+  * aggregates, which skip nulls — and satisfying
+  * [[PrefixOps.groupedCumCounts]]'s non-null precondition). One edge
+  * remains: a group whose values are ALL null appears with a NULL
+  * percentile under Spark's aggregate but VANISHES here (no grid
+  * cells survive the filter) — left-join the group spine back if
+  * that group set matters.
   */
 object OrderStats {
 
@@ -61,7 +64,8 @@ object OrderStats {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       s"percentiles must be in [0,1]: $ps")
     val grid = PrefixOps.groupedCumCounts(
-      df.select((groups :+ value).map(col): _*), groups, value, buckets)
+      df.select((groups :+ value).map(col): _*)
+        .filter(col(value).isNotNull), groups, value, buckets)
     val v = col(value).cast("double")
     // per-percentile rank lookups: position p·(n−1) is 0-based, so
     // rank floor(pos)+1 / ceil(pos)+1 are 1-based; n is constant

@@ -332,6 +332,16 @@ class OrderStatsSpec extends GraftSpecBase {
       // not just its value up to epsilon
       assert(got == want, s"trial $trial (n=$n buckets=$buckets): $got vs $want")
     }
+    // NULL values are skipped exactly as the SQL aggregates skip them
+    val dfn = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", Some(2.0)), ("b", None), ("b", None)).toDF("g", "v")
+    val gn = OrderStats.interpolatedPercentiles(dfn, Seq("g"), "v",
+        Seq("m" -> 0.5), 2)
+      .collect().map(r => (r.getString(0),
+        r.getLong(r.fieldIndex("n")),
+        r.getDouble(r.fieldIndex("m")))).toSet
+    // n counts only non-null values (the aggregate's denominator)
+    assert(gn == Set(("a", 2L, 2.0), ("b", 1L, 2.0)))
     // median() parity on a fixed odd/even pair
     val dfe = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("a", 8.0),
       ("b", 3.0), ("b", 5.0), ("b", 7.0)).toDF("g", "v")
