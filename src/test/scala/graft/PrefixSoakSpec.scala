@@ -51,4 +51,41 @@ class PrefixSoakSpec extends GraftSpecBase {
         s"seed=$seed n=$n buckets=$buckets groups=$nGroups tie=$tieSpread")
     }
   }
+
+  test("OrderStats.interpolatedPercentiles: 10-seed soak across random shapes vs the percentile aggregate") {
+    import spark.implicits._
+    import graft.operators.OrderStats
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(7000 + seed)
+      val n = 1 + rnd.nextInt(350)
+      val buckets = 1 + rnd.nextInt(96)
+      val nGroups = 1 + rnd.nextInt(6)
+      val tieSpread = math.max(1, n / (1 + rnd.nextInt(10)))
+      val nullValRate = rnd.nextInt(4) // in 1/12ths — aggregate skips
+      val p = (rnd.nextInt(1000) + 1) / 1001.0
+      val rows = (1 to n).map { _ =>
+        (s"g${rnd.nextInt(nGroups)}",
+         if (rnd.nextInt(12) < nullValRate) None
+         else Some(rnd.nextInt(tieSpread).toDouble))
+      }
+      val df = rows.toDF("g", "v")
+      // keep groups that have at least one non-null value (the
+      // all-null-group divergence is documented; the aggregate
+      // reference emits NULL there, the grid path drops the group)
+      val live = df.filter(col("v").isNotNull).select(col("g")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val got = OrderStats.interpolatedPercentiles(df, Seq("g"), "v",
+          Seq("p50" -> 0.5, "pr" -> p), buckets)
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(r.fieldIndex("p50")), r.getDouble(r.fieldIndex("pr")))))
+        .toMap
+      val want = df.filter(col("v").isNotNull).groupBy(col("g"))
+        .agg(percentile(col("v"), lit(0.5)).as("p50"),
+          percentile(col("v"), lit(p)).as("pr"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+      assert(got.keySet == live && got == want,
+        s"seed=$seed n=$n buckets=$buckets groups=$nGroups p=$p")
+    }
+  }
 }
