@@ -170,6 +170,34 @@ object ScaleProbe {
                 ("L", j.hint.leftHint, j.left),
                 ("R", j.hint.rightHint, j.right))
               sides.foreach { case (tag, h, side) =>
+                val rawFactProjection =
+                  sys.env.contains("SPARK_GRAFT_PROBE_DIM") && {
+                    // raw projection/filter of an SF-proportional table
+                    // hinted into a broadcast: no Aggregate/limit
+                    // contraction anywhere in the hinted side
+                    val hasAgg = side.exists {
+                      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+                      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+                      case _ => false
+                    }
+                    val sfTables = Seq("customer", "part", "supplier",
+                      "orders", "lineitem", "events", "documents", "embeddings")
+                    val scansSf = side.exists {
+                      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                        rel.relation match {
+                          case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                            val path = hfs.location.rootPaths.mkString(",")
+                            sfTables.exists(t => path.contains(t)) && !path.contains("partsupp")
+                          case _ => false
+                        }
+                      case _ => false
+                    }
+                    !hasAgg && scansSf
+                  }
+                if (h.exists(_.strategy.exists(_.toString.toLowerCase.contains("broadcast"))) &&
+                    rawFactProjection) {
+                  println(s"DIMHINT $name top=${side.nodeName} out=${side.output.take(4).map(_.name).mkString("+")}")
+                }
                 if (h.exists(_.strategy.exists(_.toString.toLowerCase.contains("broadcast"))) &&
                     !boundedLogical(side)) {
                   nBcast += 1

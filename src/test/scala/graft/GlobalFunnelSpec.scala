@@ -215,6 +215,80 @@ class GlobalFunnelSpec extends GraftSpecBase {
       s"hint-forced broadcasts of corpus-growing maps in: ${offenders.mkString(", ")}")
   }
 
+  // ----- gate 4b: hint-forced broadcasts of raw SF-proportional ----
+  // projections — part at 100 TB SF is ~3 TB, customer ~1.5 TB: a
+  // hinted broadcast of an uncontracted projection of ANY
+  // SF-proportional table pins that OOM at every scale, while the
+  // PK-keyed join is parallel without the hint and graded-SF stats
+  // still broadcast the small side unaided. Bounded fetches prove out
+  // (PK equality pins, `vec_id < K` seed ranges, rank-limited window
+  // filters — GradedPlans.boundedLogical); the rest must be the
+  // documented demonstrators.
+
+  private val sfTables = Seq("customer", "part", "supplier", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  private def rawSfProjection(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit}
+    val contractedSomewhere = p.exists {
+      case _: Aggregate | _: GlobalLimit => true
+      case _ => false
+    }
+    val scansSf = p.exists {
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        rel.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val path = h.location.rootPaths.mkString(",")
+            sfTables.exists(path.contains) && !path.contains("partsupp")
+          case _ => false
+        }
+      case _ => false
+    }
+    scansSf && !contractedSomewhere
+  }
+
+  private def forcedDimBroadcasts(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p.exists {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).exists {
+          case (h, side) =>
+            h.exists(_.strategy.exists(
+              _.toString.toLowerCase.contains("broadcast"))) &&
+              rawSfProjection(side) && !GradedPlans.boundedLogical(side)
+        }
+      case _ => false
+    }
+
+  /** The §2-B join-strategy demonstrators: the broadcast hint IS the
+    * graded contract (JoinPlanSpec asserts the physical strategy).
+    * Real deployments size the dim side per cluster. */
+  private val dimBroadcastAllowed: Map[String, String] = Map(
+    "q_join_broadcast" -> "the broadcast-join demonstrator row",
+    "q_join_star" -> "star-schema demonstrator (customer x nation dims)",
+    "q_join_theta" -> "theta-join demonstrator (supplier build side)")
+
+  test("no graded plan hint-forces a broadcast of an uncontracted SF-proportional projection") {
+    val offenders = logicalPlans.flatMap { case (name, plan) =>
+      if (forcedDimBroadcasts(plan) && !dimBroadcastAllowed.contains(name))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"hint-forced broadcasts of raw SF-proportional projections in: ${offenders.mkString(", ")}")
+  }
+
+  test("dimBroadcastAllowed allowlist stays minimal (no stale entries)") {
+    val stillNeeded = logicalPlans
+      .filter { case (name, _) => dimBroadcastAllowed.contains(name) }
+      .collect { case (name, plan) if forcedDimBroadcasts(plan) => name }
+      .toSet
+    val stale = dimBroadcastAllowed.keySet -- stillNeeded
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (remove them): ${stale.mkString(", ")}")
+  }
+
   test("broadcastAllowed allowlist stays minimal (no stale entries)") {
     val stillNeeded = logicalPlans
       .filter { case (name, _) => broadcastAllowed.contains(name) }

