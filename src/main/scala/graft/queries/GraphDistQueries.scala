@@ -36,8 +36,13 @@ object GraphDistQueries {
         col("o_custkey") === col("c_custkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supplier(s, d).select(col("s_suppkey"),
-        col("s_nationkey").as("dst"))), col("s_suppkey") === col("l_suppkey"))
+      // supplier is SF-proportional (~1 B rows at 100 TB SF) — no
+      // broadcast hint: the suppkey join is parallel at scale and
+      // graded-SF stats still broadcast unaided. (This subtree sits
+      // under the peel rounds' localCheckpoint, so the plan gate
+      // cannot see it — the source rule has to hold here.)
+      .join(supplier(s, d).select(col("s_suppkey"),
+        col("s_nationkey").as("dst")), col("s_suppkey") === col("l_suppkey"))
       .filter(col("src") =!= col("dst"))
       .groupBy(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
