@@ -193,10 +193,6 @@ class GlobalFunnelSpec extends GraftSpecBase {
   /** Hinted sides with a corpus-growing-keyed aggregate that ARE
     * bounded, but by structure the proof cannot see. */
   private val broadcastAllowed: Map[String, String] = Map(
-    "q_lang_id" -> ("top-5 tokens PER LANGUAGE (row_number<=5 over the " +
-      "lang-partitioned profile window): <=5*|langs| rows at any corpus " +
-      "size; rank-limit filters over windows are outside boundedLogical"),
-    "q_lang_kappa" -> "same top-5-per-language profile frame as q_lang_id",
     "q_burrows_delta" -> ("per-term z-stats over the top-20-term x " +
       "<=10-source rate panel (limit 20 crossJoin srcLen, left-join " +
       "fetches <=1 count per cell): <=200 rows; the outer-join " +

@@ -121,6 +121,10 @@ object GradedPlans {
   val boundedAliasNames: Set[String] = Set(
     "t", "a", "b", "pos", "cluster", "lab", "bin", "decile", "dose",
     "era", "wk", "dow", "wd", "day", "week", "mask",
+    // lang_p: the language alias in q_lang_id/q_lang_kappa's profile
+    // frames (|langs| domain) — lets the rank-limited-window rule
+    // prove the top-5-per-language fetch bounded
+    "lang_p",
     "b0", "b1", "b2", "p0", "p1", "p2")
 
   /** Logical row bound: true when the subtree provably emits rows
