@@ -198,13 +198,25 @@ object EvalExtraQueries {
       col("event_type").as("t"),
       col("value").as("x"),
       get_json_object(col("props"), "$.k").cast("int").cast("double").as("y"))
-    val wx = Window.partitionBy(col("t")).orderBy(col("x"))
-    val wy = Window.partitionBy(col("t")).orderBy(col("y"))
+    // average (midrank) ranks off the contracted (t, value) grids —
+    // a rank() window partitioned by the ~5-value t alone serializes
+    // ~n/5 rows per task at scale (the round-6 funnel class; this
+    // query's alias dodged the original gate's name set). Tied rows
+    // share a grid cell, so the midrank is a per-cell constant:
+    // rank = cum − c + 1, midrank u = rank + (c − 1)/2 — identical
+    // arithmetic to rank() + (ties−1)/2, joined back on the
+    // high-cardinality (t, value) key.
+    val gx = graft.operators.PrefixOps
+      .groupedCumCounts(pts.select(col("t"), col("x")), Seq("t"), "x")
+      .select(col("t").as("tx"), col("x").as("xv"),
+        ((col("cum") - col("c") + 1) + (col("c") - 1) / lit(2.0)).as("u"))
+    val gy = graft.operators.PrefixOps
+      .groupedCumCounts(pts.select(col("t"), col("y")), Seq("t"), "y")
+      .select(col("t").as("ty"), col("y").as("yv"),
+        ((col("cum") - col("c") + 1) + (col("c") - 1) / lit(2.0)).as("v"))
     val ranked = pts
-      .withColumn("u", rank().over(wx) +
-        (count(lit(1)).over(Window.partitionBy(col("t"), col("x"))) - 1) / lit(2.0))
-      .withColumn("v", rank().over(wy) +
-        (count(lit(1)).over(Window.partitionBy(col("t"), col("y"))) - 1) / lit(2.0))
+      .join(gx, col("t") === col("tx") && col("x") === col("xv"))
+      .join(gy, col("t") === col("ty") && col("y") === col("yv"))
     ranked.groupBy(col("t")).agg(
         count(lit(1)).as("n"),
         sum(dec(col("u"))).as("su"),

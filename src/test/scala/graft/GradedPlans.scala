@@ -36,7 +36,17 @@ object GradedPlans {
     // segments — a 25-way funnel is still a funnel at 100 TB
     "n_name", "n_nationkey", "r_name", "r_regionkey", "p_brand",
     "brand", "p_mfgr", "nation", "region", "mktsegment", "seg",
-    "status", "p_container", "shipmode", "l_shipmode")
+    "status", "p_container", "shipmode", "l_shipmode",
+    // round-6 continuation promotion (round-7 shelf item executed):
+    // the graded queries' constant-domain aliases — event_type as
+    // t/a/b, calendar day/dow/wk, embedding dim pos, fixed grids —
+    // are funnels too when they key a window/join over uncontracted
+    // facts. The promotion sweep caught exactly one genuine offender
+    // the original name set had missed (q_rank_corr's rank() windows
+    // partitioned by `t` alone — rewritten onto the grid midranks,
+    // hash-identical); everything else was already clean
+    "t", "a", "b", "pos", "cluster", "lab", "bin", "decile", "dose",
+    "era", "wk", "dow", "wd", "day", "week", "lang_p")
 
   /** True when every row reaching this subtree's output passed
     * through a row-contracting operator (aggregate, limit, rank
