@@ -49,43 +49,20 @@ import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoin
   */
 object ScaleProbe {
 
-  /** Keep in sync with GlobalWindowSpec.lowCardNames. */
-  val lowCardNames: Set[String] = Set(
-    "event_type", "o_orderpriority", "pri", "lang", "l_returnflag",
-    "l_linestatus", "o_orderstatus", "c_mktsegment", "source", "split",
-    "flag", "grp", "arm", "cohort", "band", "is_weekend", "label",
-    "n_name", "n_nationkey", "r_name", "r_regionkey", "p_brand",
-    "brand", "p_mfgr", "nation", "region", "mktsegment", "seg",
-    "status", "p_container", "shipmode", "l_shipmode")
+  /** Canonical copy lives in [[graft.plans.ScaleRules]] (round-7:
+    * this probe previously carried a hand-synced mirror that drifted
+    * behind the round-6 alias promotion — ADVICE item). */
+  val lowCardNames: Set[String] = graft.plans.ScaleRules.lowCardNames
 
   def strip(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
     case other => other
   }
 
-  /** Row-contraction proof, mirroring GlobalWindowSpec.contractedBelow. */
-  def contracted(p: SparkPlan): Boolean = p match {
-    case _: BaseAggregateExec => true
-    case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
-    case _: org.apache.spark.sql.execution.GlobalLimitExec |
-         _: org.apache.spark.sql.execution.LocalLimitExec |
-         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
-         _: org.apache.spark.sql.execution.CollectLimitExec => true
-    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
-    case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-      val path = f.relation.location.rootPaths.mkString(",")
-      path.contains("nation") || path.contains("region")
-    case r: org.apache.spark.sql.execution.RangeExec =>
-      r.numElements <= BigInt(65536)
-    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-      contracted(j.left) && contracted(j.right)
-    case u: org.apache.spark.sql.execution.UnionExec =>
-      u.children.forall(contracted)
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-      contracted(r.child)
-    case leaf if leaf.children.isEmpty => false
-    case other => other.children.forall(contracted)
-  }
+  /** Row-contraction proof — delegates to the shared canonical rule
+    * (sees through registered localCheckpoint leaves since round 7). */
+  def contracted(p: SparkPlan): Boolean =
+    graft.plans.ScaleRules.contractedBelow(p)
 
   private def allLowCard(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
     keys.nonEmpty && keys.forall {
@@ -93,45 +70,12 @@ object ScaleProbe {
       case _ => false
     }
 
-  /** Logical-plan row bound: true when the subtree provably emits a
-    * number of rows bounded by a small constant independent of input
-    * size (the logical twin of GlobalJoinSpec.boundedRows, for
-    * auditing hint-forced broadcasts in the OPTIMIZED plan — the
-    * physical plan no longer says which broadcasts were forced). */
-  def boundedLogical(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    p match {
-      case a: Aggregate =>
-        a.groupingExpressions.isEmpty || boundedLogical(a.child) ||
-          a.groupingExpressions.forall {
-            case att: Attribute =>
-              lowCardNames.contains(att.name) ||
-                // PrefixOps internals: partition-column copies
-                // (__pfx_p*) are low-cardinality by the operator's
-                // documented contract; bucket keys are bounded by the
-                // compile-time bucket constant
-                att.name.startsWith("__pfx_p") ||
-                Set("__pfx_bucket", "__tb", "__eb").contains(att.name)
-            case _ => false
-          }
-      case _: GlobalLimit | _: LocalLimit => true
-      case _: OneRowRelation => true
-      case l: LocalRelation => l.data.size <= 65536
-      case r: Range => r.numElements <= BigInt(65536)
-      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        val path = rel.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.mkString(",")
-          case _ => ""
-        }
-        path.contains("nation") || path.contains("region")
-      case j: Join => boundedLogical(j.left) && boundedLogical(j.right)
-      case u: Union => u.children.forall(boundedLogical)
-      case g: Generate => boundedLogical(g.child)
-      case leaf if leaf.children.isEmpty => false
-      case other => other.children.forall(boundedLogical)
-    }
-  }
+  /** Logical-plan row bound — canonical rule in ScaleRules (includes
+    * the literal-predicate / PK-pin / rank-limited-window proofs the
+    * old probe-side mirror lacked, so the probe no longer over-flags
+    * relative to the gates). */
+  def boundedLogical(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    graft.plans.ScaleRules.boundedLogical(p)
 
   /** Calendar-bounded names: |domain| is fixed by the time horizon,
     * not the corpus — a window/join/sort keyed ONLY by these over
@@ -139,9 +83,7 @@ object ScaleProbe {
     * corpus grows at fixed horizon. Probed separately (SPARK_GRAFT
     * _PROBE_CAL=1) because the graded gates treat calendar domains
     * as bounded contexts, not partition keys. */
-  val calendarNames: Set[String] = Set(
-    "day", "d", "week", "wk", "dow", "wd", "month", "hour", "day0",
-    "o_orderdate", "l_shipdate", "ts_day")
+  val calendarNames: Set[String] = graft.plans.ScaleRules.calendarNames
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -164,6 +106,27 @@ object ScaleProbe {
           // scale (stats-chosen broadcasts self-correct at 100 TB), so
           // the hinted side must be provably bounded, not merely small
           // at the test SF
+          // sweep the optimized plan PLUS checkpointed interiors
+          // (CacheOps.truncated registers pre-checkpoint provenance)
+          graft.plans.CheckpointRegistry.expand(qe.optimizedPlan)
+            .flatMap(_.collect {
+              case j: org.apache.spark.sql.catalyst.plans.logical.Join => j })
+            .foreach { j =>
+              // strategy-blind join funnel (round-7): all-bounded equi
+              // keys between two sides neither provably constant-size —
+              // at scale both grow, the join must shuffle, and the
+              // bounded key caps parallelism at |domain| (graded-SF
+              // stats hide it behind a BroadcastHashJoin)
+              if (graft.plans.ScaleRules.logicalJoinFunnel(j)) {
+                nJoin += 1
+                println(s"LOGICALJOINFUNNEL $name keys=" +
+                  graft.plans.ScaleRules.equiKeyPairs(j)
+                    .map { case (a, b) =>
+                      s"${a.getOrElse("<expr>")}=${b.getOrElse("<expr>")}" }
+                    .mkString(",") +
+                  s" ltop=${j.left.nodeName} rtop=${j.right.nodeName}")
+              }
+            }
           qe.optimizedPlan.foreach {
             case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
               val sides = Seq(

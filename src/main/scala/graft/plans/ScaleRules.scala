@@ -1,0 +1,446 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe, EqualTo, Expression, In, InSet, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Single source of truth for the scale-gate vocabulary and the
+  * contraction / row-bound proofs (round-7: previously GradedPlans on
+  * the test side owned the canonical copy and graft.ScaleProbe carried
+  * a hand-synced mirror that had drifted — the dev probe silently
+  * under-flagged the alias-funnel class the round-6 promotion was
+  * built to catch). Both the build-failing gate suites
+  * (GlobalWindowSpec / GlobalJoinSpec / GlobalFunnelSpec via
+  * GradedPlans) and the main-side dev probe now consume THIS object,
+  * so a vocabulary promotion lands in every consumer at once.
+  *
+  * Scale model these proofs encode: the graded fixtures are
+  * TPC-H-shaped (spec-constant domains: 25 nations, 5 regions, 5
+  * segments, ~5 event types …) plus corpus-proportional tables
+  * (lineitem/orders/events/documents/embeddings). A plan shape is a
+  * FUNNEL when fact-scale rows are routed through |bounded-domain|
+  * tasks — a window partitioned by, a join shuffled on, or a global
+  * sort ranged on only bounded-domain keys over input that no
+  * operator contracted first.
+  */
+object ScaleRules {
+
+  /** Fixture columns whose domain is bounded by a small constant at
+    * ANY scale factor (TPC-H spec constants / TESTDATA generators),
+    * including the aliases graded queries give them. Shared by every
+    * gate that reasons about per-key funnels: a partition spec, join
+    * key set, or sort key set containing at least one column NOT in
+    * this set is assumed scale-parallel and skipped. */
+  val lowCardNames: Set[String] = Set(
+    "event_type", "o_orderpriority", "pri", "lang", "l_returnflag",
+    "l_linestatus", "o_orderstatus", "c_mktsegment", "source", "split",
+    "flag", "grp", "arm", "cohort", "band", "is_weekend", "label",
+    // TPC-H spec constants: 25 nations, 5 regions, 25 brands, 5
+    // segments — a 25-way funnel is still a funnel at 100 TB
+    "n_name", "n_nationkey", "r_name", "r_regionkey", "p_brand",
+    "brand", "p_mfgr", "nation", "region", "mktsegment", "seg",
+    "status", "p_container", "shipmode", "l_shipmode",
+    // round-6 continuation promotion: the graded queries'
+    // constant-domain aliases — event_type as t/a/b, calendar
+    // day/dow/wk, embedding dim pos, fixed grids — are funnels too
+    // when they key a window/join over uncontracted facts
+    "t", "a", "b", "pos", "cluster", "lab", "bin", "decile", "dose",
+    "era", "wk", "dow", "wd", "day", "week", "lang_p",
+    // round-7 (verdict): the nation-key aliases that let q_fs_linkage's
+    // O(n²/25) nation-blocked self-join and q_lof's label-only block
+    // escape the round-6 gates — nationkey copies on fact tables, the
+    // toDF-renamed forms the graded queries use, and the nation-graph
+    // edge endpoints (na/nb — renamed from src/dst this round so they
+    // stop colliding with the corpus-growing doc/user-graph endpoints)
+    "c_nationkey", "s_nationkey", "nk", "nk2", "labelb", "na", "nb")
+
+  /** Constant-domain alias names accepted by [[boundedLogical]]'s
+    * Aggregate rule IN ADDITION to [[lowCardNames]] — aliases the
+    * graded queries consistently give bounded domains. Scoped to the
+    * logical bound only (NOT the funnel gates' key checks, whose
+    * lowCardNames widening is a separate decision per gate):
+    *  - mask: the 2^4 coalition bitmask domain;
+    *  - b0-b2 / p0-p2: sketch bucket indices (CMS width 1024, bloom
+    *    m = 4096 — compile-time constants);
+    *  - bal / dig: q_fs_linkage's comparison-field grid axes —
+    *    floor(c_acctbal/1000) is spec-bounded to [-1, 9] (CBAL in
+    *    [-999.99, 9999.99]) and the 2-char name suffix has ≤100
+    *    values, so the (nk, seg, bal, dig) pattern grid is a
+    *    constant-size frame at every SF. */
+  val boundedAliasNames: Set[String] = Set(
+    "mask", "lang_p",
+    "b0", "b1", "b2", "p0", "p1", "p2",
+    "bal", "dig")
+
+  /** Column names whose cardinality GROWS with the corpus/SF (vocab
+    * tokens, document/user/part identities): a per-one-of-these map is
+    * the frame class that must never be hint-force-broadcast — at
+    * 100 TB it is GBs while a hint pins the broadcast strategy at
+    * every scale. */
+  val growingNames: Set[String] = Set(
+    "tok", "token", "term", "doc_id", "user_id", "u", "node",
+    "l_partkey", "p_partkey", "o_custkey", "c_custkey",
+    "o_orderkey", "l_orderkey", "event_id", "vec_id")
+
+  /** Calendar-bounded names: |domain| is fixed by the time horizon,
+    * not the corpus — a window/join/sort keyed ONLY by these over
+    * uncontracted facts still funnels ~n/|days| per task as the
+    * corpus grows at fixed horizon. Probed separately (ScaleProbe
+    * SPARK_GRAFT_PROBE_CAL=1) because the graded gates treat calendar
+    * domains as bounded contexts, not partition keys. */
+  val calendarNames: Set[String] = Set(
+    "day", "d", "week", "wk", "dow", "wd", "month", "hour", "day0",
+    "o_orderdate", "l_shipdate", "ts_day")
+
+  /** True when every row reaching this subtree's output passed
+    * through a row-contracting operator (aggregate, limit, rank
+    * limit) or comes from a constant-size source — i.e. an operator
+    * above it does NOT see raw fact-scale rows. Joins/unions stay
+    * contracted only if ALL inputs are. Conservative in the right
+    * direction for a gate — with one structural exception closed in
+    * round 7: an RDD-scan leaf planted by `localCheckpoint` consults
+    * [[CheckpointRegistry]] for the pre-checkpoint logical plan and
+    * carries ITS contraction verdict, instead of relying on a source
+    * comment + allowlist entry. */
+  def contractedBelow(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+         _: org.apache.spark.sql.execution.CollectLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+      val path = f.relation.location.rootPaths.mkString(",")
+      path.contains("nation") || path.contains("region")
+    case r: org.apache.spark.sql.execution.RangeExec =>
+      r.numElements <= BigInt(65536)
+    case r: org.apache.spark.sql.execution.RDDScanExec =>
+      CheckpointRegistry.lookup(r.rdd.id).exists(contractedLogical)
+    // persisted frames: recurse into the cached subtree's physical
+    // plan — a .persist() must not turn a contracted frame opaque
+    // (round-7: the nation-graph builders all cache their edge frames)
+    case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      contractedBelow(s.relation.cachedPlan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      contractedBelow(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      contractedBelow(q.plan)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      contractedBelow(j.left) && contractedBelow(j.right)
+    case u: org.apache.spark.sql.execution.UnionExec =>
+      u.children.forall(contractedBelow)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      contractedBelow(r.child)
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(contractedBelow)
+  }
+
+  /** Logical twin of [[contractedBelow]]: every row out of this
+    * subtree passed a row-contracting operator or a constant-size
+    * source. Used where only the optimized LOGICAL plan is available
+    * (strategy-blind join-funnel gating, checkpointed-subtree
+    * verdicts — the physical plan under a checkpoint leaf is gone). */
+  def contractedLogical(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: WindowGroupLimit => true
+      case f: Filter if rankLimitedFilter(f) => true
+      case _: OneRowRelation => true
+      case l: LocalRelation => l.data.size <= 65536
+      case r: Range => r.numElements <= BigInt(65536)
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val path = rel.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+        path.contains("nation") || path.contains("region")
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        CheckpointRegistry.lookup(l.rdd.id).exists(contractedLogical)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        contractedBelow(m.cachedPlan)
+      case j: Join => contractedLogical(j.left) && contractedLogical(j.right)
+      case u: Union => u.children.forall(contractedLogical)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(contractedLogical)
+    }
+  }
+
+  /** A filter comparing a row_number()/rank() window column to a
+    * small literal, where the window's partition keys are all bounded
+    * domains, caps rows at k·|partitions| (the top-k-per-group shape:
+    * q_lang_id's top-5 profile, q_tail_index's rn=50). */
+  private def rankLimitedFilter(
+      f: org.apache.spark.sql.catalyst.plans.logical.Filter): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val rankAttrs: Set[ExprId] = f.child.collect {
+      case w: Window if w.partitionSpec.forall {
+          case att: Attribute =>
+            lowCardNames.contains(att.name) ||
+              boundedAliasNames.contains(att.name)
+          case _ => false
+        } =>
+        w.windowExpressions.collect {
+          case al: Alias if al.child.exists {
+              case we: WindowExpression =>
+                we.windowFunction.isInstanceOf[RowNumber] ||
+                  we.windowFunction.isInstanceOf[Rank]
+              case _ => false
+            } => al.exprId
+        }
+    }.flatten.toSet
+    def small(l: Literal): Boolean = l.value match {
+      case v: Int => v <= 65536
+      case v: Long => v <= 65536L
+      case _ => false
+    }
+    rankAttrs.nonEmpty && f.condition.exists {
+      case EqualTo(att: Attribute, l: Literal) =>
+        rankAttrs(att.exprId) && small(l)
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+        att: Attribute, l: Literal) => rankAttrs(att.exprId) && small(l)
+      case org.apache.spark.sql.catalyst.expressions.LessThan(
+        att: Attribute, l: Literal) => rankAttrs(att.exprId) && small(l)
+      case _ => false
+    }
+  }
+
+  /** Logical row bound: true when the subtree provably emits rows
+    * bounded by a small constant independent of input size. Extends
+    * the physical proofs with the literal-predicate rule: an
+    * Aggregate grouping on a column that a Filter below pins to a
+    * literal set (`isin` / `===`) is bounded by that set, whatever
+    * the layers between contribute (the q_bm25 2-literal-term df
+    * frame). Conservative otherwise: unrecognized leaf = unbounded. */
+  def boundedLogical(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def literallyBounded(a: Attribute, below: LogicalPlan): Boolean =
+      below.collect { case f: Filter => f.condition }.exists { cond =>
+        cond.exists {
+          case In(att: Attribute, vs) =>
+            att.exprId == a.exprId && vs.forall(_.isInstanceOf[Literal])
+          case InSet(att: Attribute, _) => att.exprId == a.exprId
+          case EqualTo(att: Attribute, _: Literal) => att.exprId == a.exprId
+          case EqualTo(_: Literal, att: Attribute) => att.exprId == a.exprId
+          case _ => false
+        }
+      }
+    // the fixture tables' unique row keys (TESTDATA contract): an
+    // equality pin on one is a 1-row fetch; a `< k` range is ≤ k rows
+    val fixturePks = Set("vec_id", "doc_id", "event_id")
+    def pkBounded(cond: Expression): Boolean =
+      cond.exists {
+        case EqualTo(att: Attribute, _: Literal) => fixturePks(att.name)
+        case EqualTo(_: Literal, att: Attribute) => fixturePks(att.name)
+        case org.apache.spark.sql.catalyst.expressions.LessThan(
+          att: Attribute, Literal(v: Long, _)) =>
+          fixturePks(att.name) && v <= 65536L
+        case org.apache.spark.sql.catalyst.expressions.LessThan(
+          att: Attribute, Literal(v: Int, _)) =>
+          fixturePks(att.name) && v <= 65536
+        case _ => false
+      }
+    p match {
+      case f: Filter if pkBounded(f.condition) || rankLimitedFilter(f) => true
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty || boundedLogical(a.child) ||
+          a.groupingExpressions.forall { g =>
+            // a computed grouping key carries its user-facing name in
+            // the aggregate list's Alias, not in the grouping
+            // expression (the optimizer may even hoist the expression
+            // into the child and group on an attribute literally
+            // named `_groupingexpression`) — collect every name the
+            // key answers to and accept if ANY is a bounded domain
+            val direct = g match {
+              case att: Attribute => Seq(att.name)
+              case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+                Seq(al.name)
+              case _ => Nil
+            }
+            val aliased = a.aggregateExpressions.collect {
+              case al: org.apache.spark.sql.catalyst.expressions.Alias
+                if al.child.semanticEquals(g) => al.name
+            }
+            val names = direct ++ aliased
+            names.exists(name =>
+              lowCardNames.contains(name) ||
+                boundedAliasNames.contains(name) ||
+                // PrefixOps internals: partition-column copies are
+                // low-cardinality by the operator's documented
+                // contract; bucket keys are compile-time constants
+                name.startsWith("__pfx_p") ||
+                Set("__pfx_bucket", "__tb", "__eb").contains(name)) ||
+              // a DATE-typed grouping key is calendar-bounded by TYPE,
+              // whatever its alias: the daily/monthly series frames
+              // (day→lday/day1…, month m) are |horizon|-row grids —
+              // the round-6 promotion already treats calendar names as
+              // bounded; this closes the renamed-alias gap (round-7)
+              g.dataType == org.apache.spark.sql.types.DateType ||
+              (g match {
+                case att: Attribute => literallyBounded(att, a.child)
+                case _ => false
+              })
+          }
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: OneRowRelation => true
+      case l: LocalRelation => l.data.size <= 65536
+      case r: Range => r.numElements <= BigInt(65536)
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val path = rel.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+        path.contains("nation") || path.contains("region")
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        CheckpointRegistry.lookup(l.rdd.id).exists(boundedLogical)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        boundedPhysical(m.cachedPlan)
+      case j: Join => boundedLogical(j.left) && boundedLogical(j.right)
+      case u: Union => u.children.forall(boundedLogical)
+      case g: Generate => boundedLogical(g.child)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(boundedLogical)
+    }
+  }
+
+  /** Physical row bound — the SparkPlan twin of [[boundedLogical]]
+    * (GlobalJoinSpec's BNLJ-build proof, promoted to main in round 7
+    * so cached subtrees can carry it: a `.persist()` plants an
+    * InMemoryRelation leaf in the LOGICAL plan whose interior only
+    * exists physically). Grouping-key rules mirror the logical
+    * Aggregate rule: bounded-domain names, PrefixOps internals,
+    * DATE-typed keys. */
+  def boundedPhysical(p: SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
+      // no grouping keys → 1 row, but ONLY in Final/Complete mode (a
+      // Partial-mode no-grouping aggregate emits one row per input
+      // partition — config-bounded, not constant)
+      val finalMode = a.aggregateExpressions.forall(ae =>
+        ae.mode == Final || ae.mode == Complete)
+      (a.groupingExpressions.isEmpty && finalMode) ||
+        boundedPhysical(a.child) ||
+        (a.groupingExpressions.nonEmpty && a.groupingExpressions.forall { g =>
+          (g match {
+            case att: Attribute =>
+              lowCardNames.contains(att.name) ||
+                boundedAliasNames.contains(att.name) ||
+                att.name.startsWith("__pfx_p") ||
+                Set("__pfx_bucket", "__tb", "__eb").contains(att.name)
+            case _ => false
+          }) || g.dataType == org.apache.spark.sql.types.DateType
+        })
+    case _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+         _: org.apache.spark.sql.execution.CollectLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+      val path = f.relation.location.rootPaths.mkString(",")
+      path.contains("nation") || path.contains("region")
+    case r: org.apache.spark.sql.execution.RangeExec =>
+      r.numElements <= BigInt(65536)
+    case r: org.apache.spark.sql.execution.RDDScanExec =>
+      CheckpointRegistry.lookup(r.rdd.id).exists(boundedLogical)
+    case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      boundedPhysical(s.relation.cachedPlan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      boundedPhysical(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      boundedPhysical(q.plan)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      boundedPhysical(j.left) && boundedPhysical(j.right)
+    case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+      boundedPhysical(j.left) && boundedPhysical(j.right)
+    case u: org.apache.spark.sql.execution.UnionExec =>
+      u.children.forall(boundedPhysical)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      boundedPhysical(r.child)
+    // explode over a bounded frame: the fanout array is built from
+    // that bounded row (calendar sequence, subset enumeration); over
+    // an unbounded child it is a corpus fan-out and stays rejected
+    case g: org.apache.spark.sql.execution.GenerateExec =>
+      boundedPhysical(g.child)
+    case leaf if leaf.children.isEmpty => false
+    // row-preserving / row-reducing pass-throughs: Project, Filter,
+    // Sort, Window (1:1), Expand (constant ×), exchanges, codegen
+    // wrappers
+    case other => other.children.forall(boundedPhysical)
+  }
+
+  /** The underlying attribute name of a join-key expression, looking
+    * through the value-preserving wrappers the optimizer inserts
+    * (float keys arrive as KnownFloatingPointNormalized(
+    * NormalizeNaNAndZero(x)); casts keep the domain cardinality). */
+  private def keyAttrName(e: Expression): Option[String] = e match {
+    case a: Attribute => Some(a.name)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      keyAttrName(c.child)
+    case k: org.apache.spark.sql.catalyst.expressions.KnownFloatingPointNormalized =>
+      keyAttrName(k.child)
+    case n: org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero =>
+      keyAttrName(n.child)
+    case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+      keyAttrName(al.child)
+    case _ => None
+  }
+
+  /** The equi-key pairs of a logical join (conjuncts of the form
+    * `leftExpr = rightExpr` / `<=>` with one side per input): the
+    * columns a shuffle implementation hash-partitions both sides on,
+    * as (left name, right name) options — None when the key is a
+    * computed expression whose domain the name rules cannot judge.
+    * Non-equi conjuncts (c1 < c2 tiebreaks, range bounds) do not
+    * contribute partitioning and are ignored. */
+  def equiKeyPairs(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join)
+      : Seq[(Option[String], Option[String])] = {
+    val leftOut = j.left.outputSet
+    val rightOut = j.right.outputSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def sidesOf(a: Expression, b: Expression)
+        : Option[(Expression, Expression)] =
+      if (a.references.subsetOf(leftOut) && b.references.subsetOf(rightOut))
+        Some((a, b))
+      else if (b.references.subsetOf(leftOut) && a.references.subsetOf(rightOut))
+        Some((b, a))
+      else None
+    j.condition.toSeq.flatMap(conjuncts).flatMap {
+      case EqualTo(a, b) => sidesOf(a, b)
+      case EqualNullSafe(a, b) => sidesOf(a, b)
+      case _ => None
+    }.map { case (l, r) => (keyAttrName(l), keyAttrName(r)) }
+  }
+
+  /** Strategy-blind join funnel (round-7 verdict): a logical join
+    * whose equi keys are ALL bounded-domain columns, between two
+    * sides NEITHER of which is provably constant-bounded. At scale
+    * both sides grow with the corpus, so the join must shuffle — and
+    * hash partitioning on a ~5-to-25-value key routes every row of
+    * both sides into ≤|domain| reducer partitions. Evaluated on the
+    * OPTIMIZED LOGICAL plan precisely because graded-SF stats plan
+    * these as BroadcastHashJoin (one side is small at toy scale),
+    * which hid q_fs_linkage's nation-blocked O(n²/25) self-join and
+    * q_lof's label-only block from the physical shuffle-join gate.
+    * A join against a [[boundedLogical]] side is exempt: broadcasting
+    * a constant-size frame is the correct plan at every scale. A key
+    * pair that is not a plain (possibly wrapped) attribute on either
+    * side is assumed high-cardinality — the shuffle would partition
+    * on it too, so the join is scale-parallel. */
+  def logicalJoinFunnel(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join): Boolean = {
+    val pairs = equiKeyPairs(j)
+    pairs.nonEmpty && pairs.forall { case (l, r) =>
+      l.exists(lowCardNames.contains) || r.exists(lowCardNames.contains)
+    } && !boundedLogical(j.left) && !boundedLogical(j.right)
+  }
+}

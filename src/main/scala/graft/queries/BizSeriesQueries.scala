@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Determinism._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-3 widening #5: business-analytics and market-data series
   * operators — right outer join (the one outer-join direction the
@@ -191,7 +192,7 @@ object BizSeriesQueries {
       ("m_score", -col("monetary"),
         Seq(col("monetary").desc, col("o_custkey"))))
       .foldLeft(base) { case (df, (n, k, o)) =>
-        score(df, n, k, o).localCheckpoint(eager = false) }
+        score(df, n, k, o).truncatedCheckpoint() }
     scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
         dout(col("monetary")).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #71: node-centrality completions on the nation
   * trade graph — eigenvector centrality by three normalized power
@@ -26,14 +27,14 @@ import graft.Tables._
 object CentralityQueries {
 
   private def edges(s: SparkSession, d: String): DataFrame =
-    customer(s, d).select(col("c_custkey"), col("c_nationkey").as("src"))
+    customer(s, d).select(col("c_custkey"), col("c_nationkey").as("na"))
       .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
         col("o_custkey") === col("c_custkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("dst")),
+      .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("nb")),
         col("s_suppkey") === col("l_suppkey"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .groupBy(col("na"), col("nb")).agg(count(lit(1)).as("w"))
 
   private val edgesSql: String =
     """SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
@@ -50,15 +51,15 @@ object CentralityQueries {
   def eigenvector(s: SparkSession, d: String): DataFrame = {
     val e = edges(s, d).persist()
     // round 1: x1 = in-weight (exact longs), normalized at 8dp
-    val x1 = e.groupBy(col("dst").as("node")).agg(sum(col("w")).as("x"))
+    val x1 = e.groupBy(col("nb").as("node")).agg(sum(col("w")).as("x"))
     val m1 = x1.agg(max(col("x")).as("mx"))
     val n1 = x1.crossJoin(broadcast(m1))
       .select(col("node"),
         round(col("x").cast("double") / col("mx").cast("double"), 8)
           .as("xn"))
     def iterate(prev: DataFrame): DataFrame = {
-      val next = e.join(broadcast(prev), col("src") === col("node"))
-        .groupBy(col("dst").as("node"))
+      val next = e.join(broadcast(prev), col("na") === col("node"))
+        .groupBy(col("nb").as("node"))
         .agg(sum(round(col("w").cast("double") * col("xn"), 6)
           .cast("decimal(27,6)")).cast("double").as("x"))
       val mx = next.agg(max(col("x")).as("mx"))
@@ -68,7 +69,7 @@ object CentralityQueries {
       // |nations| rows
       next.crossJoin(broadcast(mx))
         .select(col("node"), round(col("x") / col("mx"), 8).as("xn"))
-        .localCheckpoint(eager = false)
+        .truncatedCheckpoint()
     }
     val n3 = iterate(iterate(n1))
     graft.operators.CacheOps.finalized(
@@ -111,9 +112,9 @@ object CentralityQueries {
     * HC = c₁ + c₂/2 + c₃/3 where c_h counts nodes first reached at
     * hop h; nodes beyond 3 hops contribute 0 (truncated variant). */
   def closeness(s: SparkSession, d: String): DataFrame = {
-    val raw = edges(s, d).filter(col("src") =!= col("dst"))
-      .groupBy(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
+    val raw = edges(s, d).filter(col("na") =!= col("nb"))
+      .groupBy(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"))
       .agg(sum(col("w")).as("w"))
     val thr = raw.agg(avg(col("w")).as("mw"))
     val und = raw.crossJoin(broadcast(thr))
@@ -126,12 +127,12 @@ object CentralityQueries {
     // ≤|nations|² rows)
     val h1 = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v"))).distinct()
-      .localCheckpoint(eager = false)
+      .truncatedCheckpoint()
     val h2 = h1.as("x").join(h1.as("y"), col("x.v") === col("y.u"))
       .select(col("x.u").as("u"), col("y.v").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .join(h1, Seq("u", "v"), "left_anti")
-      .localCheckpoint(eager = false)
+      .truncatedCheckpoint()
     val h3 = h2.as("x").join(h1.as("y"), col("x.v") === col("y.u"))
       .select(col("x.u").as("u"), col("y.v").as("v"))
       .filter(col("u") =!= col("v")).distinct()

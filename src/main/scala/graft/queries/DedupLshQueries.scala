@@ -63,20 +63,20 @@ object DedupLshQueries {
       concat_ws(",", parts: _*)
     }
     val buckets = hashed.select(col("doc_id"),
-      explode(array(bandKeys: _*)).as("band"))
+      explode(array(bandKeys: _*)).as("bkt"))
     // skew guard: a degenerate band bucket (boilerplate corpora hash
     // thousands of docs into one bucket) would make the self-join
     // quadratic in that bucket — cap membership at 64, matching the
     // oracle, so the worst bucket costs 64² regardless of corpus
-    val okBands = buckets.groupBy(col("band"))
+    val okBands = buckets.groupBy(col("bkt"))
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 64)
-      .select(col("band"))
+      .select(col("bkt"))
     // band-keyed join (NOT broadcast: the ok-band list is
     // |buckets|-sized at scale); its shuffle partitioning is reused
     // by the self-join on the same key
-    val capped = buckets.join(okBands, "band")
+    val capped = buckets.join(okBands, "bkt")
     val cand = capped.as("x").join(capped.as("y"),
-        col("x.band") === col("y.band") &&
+        col("x.bkt") === col("y.bkt") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 import graft.Determinism._
 
 /** Near-duplicate detection operators for LLM training-data pipelines
@@ -502,7 +503,7 @@ object DedupQueries {
     var labels = sym.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("lbl"))
       .toDF("id", "lbl")
-      .localCheckpoint()
+      .eagerCheckpoint()
     // only NOW is `pairs` safe to release: the eager localCheckpoint
     // above materialized `sym` (which reads `pairs` twice) — dropping
     // the cache before that point re-ran the whole bigram/Jaccard
@@ -534,7 +535,7 @@ object DedupQueries {
         .groupBy(col("s")).agg(min(col("lbl2")).as("l"))
         .toDF("id", "lbl")
         .coalesce(2)
-        .localCheckpoint()
+        .eagerCheckpoint()
       val sum = labels.agg(org.apache.spark.sql.functions.sum(col("lbl")))
         .first().getLong(0)
       converged = sum == prevSum

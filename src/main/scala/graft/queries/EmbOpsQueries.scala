@@ -84,15 +84,15 @@ object EmbOpsQueries {
     val ex = embeddings(s, d).select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("vd", col("v").cast("double"))
-      .withColumn("sp", split)
-    val cent = ex.groupBy(col("label"), col("sp"), col("pos"))
+      .withColumn("split", split)
+    val cent = ex.groupBy(col("label"), col("split"), col("pos"))
       .agg(count(lit(1)).as("n"),
         sum(col("vd").cast("decimal(20,10)")).cast("double").as("sv"))
-      .select(col("label"), col("sp"), col("pos"), col("n"),
+      .select(col("label"), col("split"), col("pos"), col("n"),
         round(col("sv") / col("n").cast("double"), 8).as("m"))
-    val a = cent.filter(col("sp") === "A")
+    val a = cent.filter(col("split") === "A")
       .select(col("label"), col("pos"), col("n").as("na"), col("m").as("ma"))
-    val b = cent.filter(col("sp") === "B")
+    val b = cent.filter(col("split") === "B")
       .select(col("label"), col("pos"), col("n").as("nb"), col("m").as("mb"))
     val dot = sum(round(col("ma") * col("mb"), 12).cast("decimal(24,12)"))
       .cast("double")

@@ -189,9 +189,19 @@ object FunctionalQueries {
       .agg(min(col("ts2")).as("t0"), max(col("ts2")).as("t1"))
     // output is aggregated per bin: the raw pair list is ~17 M rows at
     // sf0.1 (user domain scales with sf) — the graded artifact stays
-    // O(days) while the join itself still runs at full width
-    spans.as("a").join(spans.as("b"),
-        col("a.day") === col("b.day") &&
+    // O(days) while the join itself still runs at full width.
+    // Tile salt (round-7, the dedupEmbed pattern): a day-only equi key
+    // caps the pair join's parallelism at |days| while per-day span
+    // counts grow with the user domain — salting the left side into a
+    // home tile from hash(user_id) and replicating the right side ×T
+    // lifts parallelism to |days|·T with every pair still met exactly
+    // once (in the left user's home tile). T is a deployment dial.
+    val T = 8
+    val a = spans.withColumn("tile", pmod(hash(col("user_id")), lit(T)))
+    val b = spans.crossJoin(
+      s.range(T.toLong).select(col("id").cast("int").as("tile")))
+    a.as("a").join(b.as("b"),
+        col("a.day") === col("b.day") && col("a.tile") === col("b.tile") &&
         col("a.user_id") < col("b.user_id") &&
         col("a.t0") <= col("b.t1") && col("b.t0") <= col("a.t1"))
       .groupBy(col("a.day").as("day"))

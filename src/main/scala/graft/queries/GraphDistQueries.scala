@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #62: iterative graph peeling and optimal-
   * transport distance — a 3-round k-core peel over the weighted
@@ -66,9 +67,14 @@ object GraphDistQueries {
     val base = edges(s, d).persist()
     var e = base
     for (_ <- 1 to 3) {
-      val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      // node alias `na` (nation endpoint, lowCardNames) rather than a
+      // generic `n`: the survivors frame is an Aggregate on this key,
+      // and the name is what lets the round-7 strategy-blind join gate
+      // prove the per-round semi-joins bounded through the checkpoint
+      // registry chain
+      val deg = e.select(col("a").as("na")).unionAll(e.select(col("b").as("na")))
+        .groupBy(col("na")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("na"))
       // localCheckpoint per round: `e` appears ~5× in the next
       // round's plan (twice in deg, twice via keep's two renames,
       // once as the join left), so the unrolled 3-round DAG otherwise
@@ -78,9 +84,9 @@ object GraphDistQueries {
       // the truncation) and even plain planning walks the 125-branch
       // tree (7.2 s → 2.7 s solo). Each checkpoint is a ≤|nations|²
       // -row frame — the dedup-cluster iterative pattern.
-      e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(eager = false)
+      e = e.join(keep.withColumnRenamed("na", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("na", "b"), Seq("b"), "left_semi")
+        .truncatedCheckpoint()
     }
     val out = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-3 widening #4: graph analytics over the nation-level trade
   * graph (an edge customer-nation → supplier-nation per lineitem,
@@ -24,14 +25,14 @@ object GraphQueries {
   /** The directed weighted nation trade graph: src = customer nation,
     * dst = supplier nation, w = lineitem count. */
   private def edges(s: SparkSession, d: String): DataFrame =
-    customer(s, d).select(col("c_custkey"), col("c_nationkey").as("src"))
+    customer(s, d).select(col("c_custkey"), col("c_nationkey").as("na"))
       .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
         col("o_custkey") === col("c_custkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("dst")),
+      .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("nb")),
         col("s_suppkey") === col("l_suppkey"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .groupBy(col("na"), col("nb")).agg(count(lit(1)).as("w"))
 
   private val edgesSql: String =
     """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
@@ -46,19 +47,19 @@ object GraphQueries {
     * Nations with no trade keep zero rows via the left joins. */
   def degree(s: SparkSession, d: String): DataFrame = {
     val e = edges(s, d).persist()
-    val out = e.groupBy(col("src")).agg(
-      countDistinct(col("dst")).as("out_deg"), sum(col("w")).as("w_out"))
-    val in = e.groupBy(col("dst")).agg(countDistinct(col("src")).as("in_deg"))
-    val und = e.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
+    val out = e.groupBy(col("na")).agg(
+      countDistinct(col("nb")).as("out_deg"), sum(col("w")).as("w_out"))
+    val in = e.groupBy(col("nb")).agg(countDistinct(col("na")).as("in_deg"))
+    val und = e.filter(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"))
       .distinct()
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("und_deg"))
     graft.operators.CacheOps.finalized(
       nation(s, d).select(col("n_nationkey"))
-        .join(out, col("src") === col("n_nationkey"), "left")
-        .join(in, col("dst") === col("n_nationkey"), "left")
+        .join(out, col("na") === col("n_nationkey"), "left")
+        .join(in, col("nb") === col("n_nationkey"), "left")
         .join(und, col("node") === col("n_nationkey"), "left")
         .select(col("n_nationkey"),
           coalesce(col("out_deg"), lit(0L)).as("out_deg"),
@@ -95,9 +96,9 @@ object GraphQueries {
     * the three corners. The orientation makes every triangle counted
     * exactly once — the standard distributed-join formulation. */
   def triangles(s: SparkSession, d: String): DataFrame = {
-    val u = edges(s, d).filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
+    val u = edges(s, d).filter(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"))
       .distinct().persist()
     val tri = u.as("e1")
       .join(u.as("e2"), col("e2.a") === col("e1.b"))
@@ -139,19 +140,19 @@ object GraphQueries {
     * edges, min-combine with the previous frontier. NULL = beyond 4
     * hops / unreachable. */
   def shortestPath(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d).select(col("src"), col("dst")).persist()
+    val e = edges(s, d).select(col("na"), col("nb")).persist()
     var dist: DataFrame = nation(s, d)
       .select(col("n_nationkey").as("node"))
       .filter(col("node") === 0).withColumn("dist", lit(0L))
     for (_ <- 1 to 4) {
-      val nxt = dist.join(e, col("node") === col("src"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      val nxt = dist.join(e, col("node") === col("na"))
+        .select(col("nb").as("node"), (col("dist") + 1).as("dist"))
       // localCheckpoint per hop: dist appears twice per round (join +
       // union), so the unrolled BFS otherwise replicates the frontier
       // tree 2⁴× (q_kcore_peel pattern); the frame is ≤|nations| rows
       dist = dist.unionByName(nxt)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = false)
+        .truncatedCheckpoint()
     }
     graft.operators.CacheOps.finalized(
       nation(s, d).select(col("n_nationkey"))

@@ -29,14 +29,14 @@ object GraphShapeQueries {
   /** Directed weighted nation trade graph (customer nation → supplier
     * nation, weight = lineitem count). */
   private def edges(s: SparkSession, d: String): DataFrame =
-    customer(s, d).select(col("c_custkey"), col("c_nationkey").as("src"))
+    customer(s, d).select(col("c_custkey"), col("c_nationkey").as("na"))
       .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
         col("o_custkey") === col("c_custkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("dst")),
+      .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("nb")),
         col("s_suppkey") === col("l_suppkey"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .groupBy(col("na"), col("nb")).agg(count(lit(1)).as("w"))
 
   private val edgesSql: String =
     """SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
@@ -52,17 +52,17 @@ object GraphShapeQueries {
     * m/(n·(n−1)), reciprocity (share of directed edges whose reverse
     * edge also exists), and self-loop count. */
   def graphShape(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d).select(col("src"), col("dst"))
-    val simple = e.filter(col("src") =!= col("dst"))
-    val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
+    val e = edges(s, d).select(col("na"), col("nb"))
+    val simple = e.filter(col("na") =!= col("nb"))
+    val nodes = e.select(col("na").as("v"))
+      .union(e.select(col("nb").as("v"))).distinct()
       .agg(count(lit(1)).as("n_nodes"))
     val m = simple.agg(count(lit(1)).as("m_edges"))
     val recip = simple.as("a")
       .join(simple.as("b"),
-        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        col("a.na") === col("b.nb") && col("a.nb") === col("b.na"))
       .agg(count(lit(1)).as("m_recip"))
-    val loops = e.filter(col("src") === col("dst"))
+    val loops = e.filter(col("na") === col("nb"))
       .agg(count(lit(1)).as("self_loops"))
     nodes.crossJoin(broadcast(m)).crossJoin(broadcast(recip))
       .crossJoin(broadcast(loops))
@@ -104,9 +104,9 @@ object GraphShapeQueries {
     // near-complete at every SF (constant degrees ⇒ 0/0), so the
     // statistic is taken on the strong-tie subgraph, which has real
     // degree variation and is SF-proportional.
-    val raw = edges(s, d).filter(col("src") =!= col("dst"))
-      .groupBy(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
+    val raw = edges(s, d).filter(col("na") =!= col("nb"))
+      .groupBy(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"))
       .agg(sum(col("w")).as("w"))
     val thr = raw.agg(avg(col("w")).as("mw"))
     val und = raw.crossJoin(broadcast(thr))
@@ -179,10 +179,10 @@ object GraphShapeQueries {
     val nat = nation(s, d)
       .select(col("n_nationkey"), col("n_regionkey"))
     val e = edges(s, d)
-      .join(broadcast(nat.select(col("n_nationkey").as("src"),
-        col("n_regionkey").as("r_src"))), "src")
-      .join(broadcast(nat.select(col("n_nationkey").as("dst"),
-        col("n_regionkey").as("r_dst"))), "dst")
+      .join(broadcast(nat.select(col("n_nationkey").as("na"),
+        col("n_regionkey").as("r_src"))), "na")
+      .join(broadcast(nat.select(col("n_nationkey").as("nb"),
+        col("n_regionkey").as("r_dst"))), "nb")
     val tot = e.agg(sum(col("w")).as("tw"))
     val within = e.filter(col("r_src") === col("r_dst"))
       .groupBy(col("r_src").as("rk")).agg(sum(col("w")).as("w_in"))

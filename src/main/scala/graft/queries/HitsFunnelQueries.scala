@@ -21,25 +21,25 @@ object HitsFunnelQueries {
     * a₂ = Aᵀ·h₁, h₂ = A·a₂ — every score an EXACT integer (no
     * normalization drift can exist), ranked by authority. */
   def hits(s: SparkSession, d: String): DataFrame = {
-    val edges = customer(s, d).select(col("c_custkey"), col("c_nationkey").as("src"))
+    val edges = customer(s, d).select(col("c_custkey"), col("c_nationkey").as("na"))
       .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
         col("o_custkey") === col("c_custkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("dst")),
+      .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("nb")),
         col("s_suppkey") === col("l_suppkey"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .groupBy(col("na"), col("nb")).agg(count(lit(1)).as("w"))
       .persist()
-    val h1 = edges.groupBy(col("src")).agg(sum(col("w")).as("h1"))
-    val a2 = edges.join(h1, "src")
-      .groupBy(col("dst")).agg(sum(col("w") * col("h1")).as("a2"))
-    val h2 = edges.join(a2, "dst")
-      .groupBy(col("src")).agg(sum(col("w") * col("a2")).as("h2"))
+    val h1 = edges.groupBy(col("na")).agg(sum(col("w")).as("h1"))
+    val a2 = edges.join(h1, "na")
+      .groupBy(col("nb")).agg(sum(col("w") * col("h1")).as("a2"))
+    val h2 = edges.join(a2, "nb")
+      .groupBy(col("na")).agg(sum(col("w") * col("a2")).as("h2"))
     graft.operators.CacheOps.finalized(
       nation(s, d).select(col("n_nationkey"))
-        .join(h1, col("src") === col("n_nationkey"), "left").drop("src")
-        .join(a2, col("dst") === col("n_nationkey"), "left").drop("dst")
-        .join(h2, col("src") === col("n_nationkey"), "left").drop("src")
+        .join(h1, col("na") === col("n_nationkey"), "left").drop("na")
+        .join(a2, col("nb") === col("n_nationkey"), "left").drop("nb")
+        .join(h2, col("na") === col("n_nationkey"), "left").drop("na")
         .select(col("n_nationkey"),
           coalesce(col("h1"), lit(0L)).as("hub1"),
           coalesce(col("a2"), lit(0L)).as("auth2"),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #69: MMR (maximal-marginal-relevance) diversity
   * selection — the classic re-ranking operator RAG retrieval stacks
@@ -64,7 +65,7 @@ object MmrQueries {
       // localCheckpoint per greedy round: each round references sel
       // twice (anti-join + max-sim join), so the unchecked DAG
       // doubles per round (q_kcore_peel pattern); sel is ≤5 rows
-      sel = sel.unionByName(pick).localCheckpoint(eager = false)
+      sel = sel.unionByName(pick).truncatedCheckpoint()
     }
     graft.operators.CacheOps.finalized(
       sel.select(col("sel_rank"), col("vec_id"), col("rel"), col("score"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #39: iterative proportional fitting (survey
   * raking) — reweight the lang × source cell grid so both margins hit
@@ -49,7 +50,7 @@ object RakingQueries {
         .select(col("lang"), col("source"), col("n"),
           round(col("w") * col("rt") / col("rm"), 6).as("w"),
           col("rt"), col("ct"))
-        .localCheckpoint(eager = false)
+        .truncatedCheckpoint()
     }
     def colPass(df: DataFrame): DataFrame = {
       val m = df.groupBy(col("source").as("s2"))
@@ -58,7 +59,7 @@ object RakingQueries {
         .select(col("lang"), col("source"), col("n"),
           round(col("w") * col("ct") / col("cm"), 6).as("w"),
           col("rt"), col("ct"))
-        .localCheckpoint(eager = false)
+        .truncatedCheckpoint()
     }
     val raked = colPass(rowPass(colPass(rowPass(seeded))))
     val resid = raked.groupBy(col("lang").as("l3"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #113: robust and transformed fitting — Huber
   * M-estimation of the daily trend by TWO UNROLLED IRLS steps
@@ -123,9 +124,9 @@ object RobustFitQueries {
     // referenced by the next step's coef fit AND the residual/MAD
     // branches, so the unrolled trees otherwise nest multiplicatively
     // (q_kcore_peel pattern); the frame is the tiny per-day panel
-    val it1 = step(dd, ols).localCheckpoint(eager = false)
+    val it1 = step(dd, ols).truncatedCheckpoint()
     val c1 = wls(it1)
-    val it2 = step(dd, c1).localCheckpoint(eager = false)
+    val it2 = step(dd, c1).truncatedCheckpoint()
     val c2 = wls(it2)
     val nDown = it2.agg(count(when(col("w") < 1.0, lit(1)))
       .as("n_downweighted"), count(lit(1)).as("n_days"))

@@ -168,16 +168,26 @@ object RobustQueries {
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
       .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
         col("c_custkey") === col("o_custkey"))
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("spend"), col("o_custkey"))
-    spend
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_nationkey"))))
+    // Rank-sum Gini off the contracted (nation, spend) grid (round-7:
+    // the round-6 funnel class, exposed here once c_nationkey joined
+    // the gate vocabulary — a rank window partitioned by the 25-value
+    // nation alone serializes ~n_cust/25 rows per task at scale).
+    // The window form's Σ(2·rn − n − 1)·spend is tie-order invariant:
+    // rows of a (nation, spend) cell with count c ending at inclusive
+    // cumulative count cum occupy ranks cum−c+1 … cum, so the cell's
+    // rank-sum term is c·(2·cum − c + 1) − c·(n + 1), exact integer
+    // arithmetic times the exact-decimal spend — identical value, no
+    // per-nation window anywhere in the plan.
+    val grid = graft.operators.PrefixOps.groupedCumCounts(
+      spend.select(col("c_nationkey"), col("spend")),
+      Seq("c_nationkey"), "spend") // (nk, spend, c, cum, n)
+    grid
       .groupBy(col("c_nationkey"))
       .agg(
-        sum((lit(2) * col("rn") - col("n") - 1) * col("spend")).as("num"),
-        sum(col("spend")).as("tot"),
-        count(lit(1)).as("n_cust"))
+        sum((col("c") * (lit(2) * col("cum") - col("c") + 1)
+          - col("c") * (col("n") + 1)) * col("spend")).as("num"),
+        sum(col("spend") * col("c")).as("tot"),
+        sum(col("c")).as("n_cust"))
       .select(col("c_nationkey"),
         round(col("num").cast("double") /
           (col("n_cust") * col("tot")).cast("double"), 4).as("gini"),

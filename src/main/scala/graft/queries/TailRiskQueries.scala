@@ -35,10 +35,15 @@ object TailRiskQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = byVal.withColumn("cum", sum(col("cnt")).over(w))
     val n = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    // group by event_type ALONE (n is functionally dependent — max(n)
+    // carries it): grouping on the joined-in count alias hid the
+    // frame's bounded-domain proof from the round-7 join-funnel gate,
+    // leaving the fact-side tail join below unprovable
     val varQ = cum.join(broadcast(n), "event_type")
-      .groupBy(col("event_type"), col("n"))
-      .agg(min(when(col("cum").cast("double") >=
-        lit(0.05) * col("n").cast("double"), col("value"))).as("var_5"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum").cast("double") >=
+          lit(0.05) * col("n").cast("double"), col("value"))).as("var_5"))
     e.join(broadcast(varQ), "event_type")
       .filter(col("value") <= col("var_5"))
       .groupBy(col("event_type"), col("n"), col("var_5"))

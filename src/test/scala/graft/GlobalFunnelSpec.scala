@@ -70,6 +70,50 @@ class GlobalFunnelSpec extends GraftSpecBase {
       s"bounded-domain-keyed shuffle joins over uncontracted input in: ${offenders.mkString(", ")}")
   }
 
+  // ----- gate 1b: strategy-blind join funnel (round-7 verdict) ------
+  // Gate 1 matches only SMJ/ShuffledHash PHYSICAL joins — at graded SF
+  // the stats plan a fact×fact bounded-key join as BroadcastHashJoin,
+  // which escaped it even though broadcasting a corpus-growing side is
+  // exactly the 100 TB OOM (this is how q_fs_linkage's nation-blocked
+  // O(n²/25) self-join and q_lof's label-only block shipped in round
+  // 6). This gate evaluates the OPTIMIZED LOGICAL join: equi keys all
+  // bounded-domain between two sides neither of which is provably
+  // constant-bounded ⇒ at scale the join must shuffle, and the key
+  // caps parallelism at |domain|. A boundedLogical side (a grid /
+  // per-bounded-group frame) exempts the join: broadcasting a
+  // constant-size frame is the correct plan at every scale. Swept over
+  // checkpointed interiors too (CheckpointRegistry.expand).
+
+  private def logicalJoinFunnel(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p.exists {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        graft.plans.ScaleRules.logicalJoinFunnel(j)
+      case _ => false
+    }
+
+  private val logicalJoinAllowed: Map[String, String] = Map.empty
+
+  test("no graded logical plan joins two corpus-growing sides on only low-cardinality equi keys") {
+    val offenders = expanded.flatMap { case (name, ps) =>
+      if (ps.exists(logicalJoinFunnel) && !logicalJoinAllowed.contains(name))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"bounded-domain-keyed joins of two corpus-growing sides in: ${offenders.mkString(", ")}")
+  }
+
+  test("logicalJoinAllowed allowlist stays minimal (no stale entries)") {
+    val stillNeeded = expanded
+      .filter { case (name, _) => logicalJoinAllowed.contains(name) }
+      .collect { case (name, ps) if ps.exists(logicalJoinFunnel) => name }
+      .toSet
+    val stale = logicalJoinAllowed.keySet -- stillNeeded
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (remove them): ${stale.mkString(", ")}")
+  }
+
   // ----- gate 2: unbounded list-agg state per bounded group --------
 
   private def collectFunnel(p: SparkPlan): Boolean = p match {
@@ -135,12 +179,11 @@ class GlobalFunnelSpec extends GraftSpecBase {
   }
 
   /** Global sorts on only bounded-domain keys whose input IS
-    * contracted but the structural proof cannot see it. */
-  private val sortAllowed: Map[String, String] = Map(
-    "q_ipf_rake" -> ("final orderBy(lang, source) sorts the raked " +
-      "|langs|x|sources| cell grid; the per-pass lazy localCheckpoint " +
-      "(RakingQueries.scala) plants an RDD-scan leaf that hides the " +
-      "groupBy contraction from contractedBelow"))
+    * contracted but the structural proof cannot see it. Round 7
+    * emptied it: q_ipf_rake's entry (an RDD-scan leaf hiding the cell
+    * grid's groupBy contraction) is now proved through the
+    * CheckpointRegistry instead of allowlisted. */
+  private val sortAllowed: Map[String, String] = Map.empty
 
   test("no graded plan globally sorts uncontracted rows by only low-cardinality keys") {
     val offenders = plans.flatMap { case (name, plan) =>
@@ -165,6 +208,11 @@ class GlobalFunnelSpec extends GraftSpecBase {
   // out of scope.
 
   private lazy val logicalPlans = GradedPlans.logicalAtSf0001
+  // every query's optimized plan PLUS its checkpointed sub-plans
+  // (transitively): the round-6 blind spots — a funnel or hint hiding
+  // behind a lazy localCheckpoint's RDD-scan leaf — are structurally
+  // covered since round 7 (CacheOps.truncated registers provenance)
+  private lazy val expanded = GradedPlans.logicalExpanded
 
   private def growingKeyedAgg(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
@@ -196,14 +244,15 @@ class GlobalFunnelSpec extends GraftSpecBase {
     "q_burrows_delta" -> ("per-term z-stats over the top-20-term x " +
       "<=10-source rate panel (limit 20 crossJoin srcLen, left-join " +
       "fetches <=1 count per cell): <=200 rows; the outer-join " +
-      "multiplicity bound is outside boundedLogical"),
-    "q_assortativity" -> ("strong-tie degree frame keyed by nation-graph " +
-      "stubs: u/v are nation keys (<=25 nodes at every SF) — the name " +
-      "collides with the user alias in growingNames"))
+      "multiplicity bound is outside boundedLogical"))
+    // q_assortativity's round-6 entry (nation-graph stubs whose u/v
+    // names collided with growingNames) retired in round 7: the
+    // endpoint rename to na/nb plus the cache-transparent bounded
+    // proof carry it structurally now
 
   test("no graded plan hint-forces a broadcast of a corpus-growing keyed map") {
-    val offenders = logicalPlans.flatMap { case (name, plan) =>
-      if (forcedGrowingBroadcasts(plan) && !broadcastAllowed.contains(name))
+    val offenders = expanded.flatMap { case (name, ps) =>
+      if (ps.exists(forcedGrowingBroadcasts) && !broadcastAllowed.contains(name))
         Some(name)
       else None
     }
@@ -266,8 +315,8 @@ class GlobalFunnelSpec extends GraftSpecBase {
     "q_join_theta" -> "theta-join demonstrator (supplier build side)")
 
   test("no graded plan hint-forces a broadcast of an uncontracted SF-proportional projection") {
-    val offenders = logicalPlans.flatMap { case (name, plan) =>
-      if (forcedDimBroadcasts(plan) && !dimBroadcastAllowed.contains(name))
+    val offenders = expanded.flatMap { case (name, ps) =>
+      if (ps.exists(forcedDimBroadcasts) && !dimBroadcastAllowed.contains(name))
         Some(name)
       else None
     }
@@ -276,9 +325,9 @@ class GlobalFunnelSpec extends GraftSpecBase {
   }
 
   test("dimBroadcastAllowed allowlist stays minimal (no stale entries)") {
-    val stillNeeded = logicalPlans
+    val stillNeeded = expanded
       .filter { case (name, _) => dimBroadcastAllowed.contains(name) }
-      .collect { case (name, plan) if forcedDimBroadcasts(plan) => name }
+      .collect { case (name, ps) if ps.exists(forcedDimBroadcasts) => name }
       .toSet
     val stale = dimBroadcastAllowed.keySet -- stillNeeded
     assert(stale.isEmpty,
@@ -286,9 +335,9 @@ class GlobalFunnelSpec extends GraftSpecBase {
   }
 
   test("broadcastAllowed allowlist stays minimal (no stale entries)") {
-    val stillNeeded = logicalPlans
+    val stillNeeded = expanded
       .filter { case (name, _) => broadcastAllowed.contains(name) }
-      .collect { case (name, plan) if forcedGrowingBroadcasts(plan) => name }
+      .collect { case (name, ps) if ps.exists(forcedGrowingBroadcasts) => name }
       .toSet
     val stale = broadcastAllowed.keySet -- stillNeeded
     assert(stale.isEmpty,

@@ -59,7 +59,7 @@ class GlobalJoinSpec extends GraftSpecBase {
     "q_knn_classify" -> "1-row PK fetch (vec_id = 0)",
     "q_logrank" -> "2 boolean groups x death-time grid (calendar-bounded)",
     "q_lorenz" -> "decile frame: 10 rows",
-    "q_mmd" -> "label-blocked kernel pairs: bounded by the two block sizes (EmbAggQueries.scala:175-177), never corpus-wide",
+    "q_mmd" -> "exact MMD^2 is inherently pairwise (the two label blocks GROW with the corpus, so this build is SF-proportional, not constant): the graded artifact is the exact statistic; deployment posture at 100 TB = the linear-time MMD estimator or subsampling, per the EmbAggQueries scaladoc",
     "q_ordinal_gamma" -> "ordinal (x,y) grid: |priorities|x|statuses| <= 15",
     "q_page_trend" -> "per-type daily panel: |event_type| x calendar",
     "q_shapley" -> "coalition panels: 2^4 subset masks x 4 channels",
