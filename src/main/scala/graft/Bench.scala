@@ -223,6 +223,11 @@ object Bench {
     // surfaced into the artifact itself instead of repo prose
     val soloK = sys.env.getOrElse("SPARK_GRAFT_SOLO", "15").toInt
     val soloNames = allTimes.sortBy(-_._2).take(math.max(soloK, 0)).map(_._1)
+    // a solo run that dies records -1.0, not its elapsed-at-crash
+    // wall-clock (round-6 ADVICE: the truncated time read as a
+    // misleadingly FAST solo and could understate solo_max), and the
+    // name lands in solo_failed so the artifact self-flags
+    val soloFailed = scala.collection.mutable.ArrayBuffer[String]()
     val soloTimes: Seq[(String, Double)] =
       if (soloNames.isEmpty) Nil
       else {
@@ -230,19 +235,30 @@ object Bench {
         val sess = spark.newSession()
         soloNames.map { name =>
           val s0 = System.nanoTime()
-          try byName(name)(sess, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          catch { case NonFatal(_) => }
-          name -> (System.nanoTime() - s0) / 1e9
+          try {
+            byName(name)(sess, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            name -> (System.nanoTime() - s0) / 1e9
+          } catch { case NonFatal(_) =>
+            soloFailed += name
+            name -> -1.0
+          }
         }
       }
     val soloJson = soloTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
+    val soloFailedJson = soloFailed.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val soloMax = if (soloTimes.isEmpty) 0.0 else soloTimes.map(_._2).max
+    // bracket the SOLO pass with its own canary (round-6 verdict: the
+    // post-timed-pass canary ran BEFORE the solo re-profile, so a
+    // window that went contended during solo — BENCH_r06's 68 s
+    // q_runs_test — could not self-flag the way the timed pass does)
+    val canaryEnd = canarySec()
 
     val fullQs = allTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","qn":${allTimes.size},"failed":$failedJson,"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"load0":${fmt(load0)},"load1":${fmt(load1)},"solo_max":${fmt(soloMax)},"sf":"$sfDir""""
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","qn":${allTimes.size},"failed":$failedJson,"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"canary_end":${fmt(canaryEnd)},"load0":${fmt(load0)},"load1":${fmt(load1)},"solo_max":${fmt(soloMax)},"solo_failed":$soloFailedJson,"sf":"$sfDir""""
     // Full per-query detail, written to a file (and printed on its own
     // earlier line for humans).
     val fullJson = s"""{$head,"solo":$soloJson,"queries":$fullQs}"""

@@ -192,12 +192,24 @@ object EvalExtraQueries {
   /** q_rank_corr — Spearman's ρ between value and the props k per
     * event_type: average ranks (rank() + (ties−1)/2 — exact
     * half-integers) then the Pearson formula on exact decimal rank
-    * sums. */
+    * sums.
+    *
+    * NULL contract (explicit on BOTH sides since round 7 — ADVICE):
+    * rows with NULL x or y are EXCLUDED before ranking — complete-case
+    * Spearman, the standard treatment for missing pairs. y comes from
+    * `get_json_object(props, "$.k")` and is NULL when the key is
+    * absent; the grid path (PrefixOps.groupedCumCounts) documents a
+    * non-null value contract and the join-back uses null-rejecting
+    * `===`, so without this filter the Spark side would silently drop
+    * what a rank() window would have ranked — the filter makes the
+    * semantics visible and identical in both engines on ANY input,
+    * not just the all-present fixture. */
   def rankCorr(s: SparkSession, d: String): DataFrame = {
     val pts = events(s, d).select(
       col("event_type").as("t"),
       col("value").as("x"),
       get_json_object(col("props"), "$.k").cast("int").cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
     // average (midrank) ranks off the contracted (t, value) grids —
     // a rank() window partitioned by the ~5-value t alone serializes
     // ~n/5 rows per task at scale (the round-6 funnel class; this
@@ -233,9 +245,11 @@ object EvalExtraQueries {
   }
 
   val rankCorrOracle: String =
-    """WITH pts AS (SELECT event_type AS t, value AS x,
+    """WITH pts0 AS (SELECT event_type AS t, value AS x,
       |    CAST(CAST(json_extract(props, '$.k') AS INT) AS DOUBLE) AS y
       |  FROM events),
+      |pts AS (SELECT * FROM pts0
+      |  WHERE x IS NOT NULL AND y IS NOT NULL),
       |ranked AS (SELECT t,
       |    rank() OVER (PARTITION BY t ORDER BY x) +
       |      (count(*) OVER (PARTITION BY t, x) - 1)/2.0 AS u,

@@ -107,27 +107,43 @@ object LofQueries {
     * (LofAnnSpec) — LOF is a neighborhood-density ratio, so recall
     * of the kNN edge set is the right approximation metric. */
   def lofAnn(s: SparkSession, d: String, bits: Int = 2,
-      dim: Int = 64): DataFrame = {
-    lofFromPairs(annPairs(s, d, bits, dim))
+      tables: Int = 3, dim: Int = 64): DataFrame = {
+    lofFromPairs(annPairs(s, d, bits, tables, dim))
   }
 
-  /** ANN-blocked candidate pairs (shared with the recall test). */
+  /** ANN-blocked candidate pairs (shared with the recall test):
+    * OR-amplified sign-LSH — `tables` independent hash tables of
+    * `bits` hyperplanes each; a pair is a candidate when it collides
+    * in ANY table (the classic recall dial: per-table miss p^tables).
+    * The (label, table, bucket) join key is the standard banded
+    * shape; duplicates from multi-table collisions are removed by the
+    * distinct (dd is a pure function of the pair, so the row is
+    * identical from every table). */
   def annPairs(s: SparkSession, d: String, bits: Int = 2,
-      dim: Int = 64): DataFrame = {
+      tables: Int = 3, dim: Int = 64): DataFrame = {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.expressions.FloatVecDot.dot(a, b)
-    val planes = graft.functions.Ann.hyperplanes(bits, dim)
-    val e = embeddings(s, d).select(col("vec_id"), col("label"),
-      col("embedding"),
-      graft.functions.Ann.bucketCol(col("embedding"), planes).as("bk"))
-    val a = e.toDF("src", "label", "ea", "bka")
-    val b = e.toDF("dst", "labelb", "eb", "bkb")
+    val e0 = embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"))
+    val bks = (0 until tables).map { t =>
+      graft.functions.Ann.bucketCol(col("embedding"),
+        graft.functions.Ann.hyperplanes(bits, dim, 42L + t)).as(s"bk$t")
+    }
+    val ex = e0.select(col("vec_id") +: col("label") +: col("embedding") +:
+        bks: _*)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        posexplode(array((0 until tables).map(t => col(s"bk$t")): _*))
+          .as(Seq("tbl", "bk")))
+    val a = ex.toDF("src", "label", "ea", "tbl", "bka")
+    val b = ex.toDF("dst", "labelb", "eb", "tblb", "bkb")
     a.join(b, col("label") === col("labelb")
+        && col("tbl") === col("tblb")
         && col("bka") === col("bkb") && col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         round(sqrt(greatest(lit(0.0),
           dot(col("ea"), col("ea")) + dot(col("eb"), col("eb"))
             - lit(2.0) * dot(col("ea"), col("eb")))), 3).as("dd"))
+      .distinct()
   }
 
   /** Exact candidate pairs (the graded generator, un-tiled — for the

@@ -28,8 +28,10 @@ except Exception as e:
 for key in ("metric", "value", "unit", "queries", "sf",
             # round-6 self-normalization fields (BASELINE.md canary
             # protocol): without them a slow driver window is
-            # indistinguishable from a plan regression
-            "canary_pre", "canary_post", "load0", "load1", "solo_max"):
+            # indistinguishable from a plan regression; canary_end +
+            # solo_failed (round 7) bracket the solo re-profile too
+            "canary_pre", "canary_post", "canary_end",
+            "load0", "load1", "solo_max", "solo_failed"):
     if key not in obj:
         sys.exit(f"TAILPARSE FAIL: parsed JSON missing key {key!r}: {last[:200]}")
 if len(last) > 1500:
