@@ -117,12 +117,23 @@ object FsLinkageQueries {
     * cell pairs (cnt₁·cnt₂ across cells, C(cnt,2) within), so the
     * weight tier containing the 10th pair is known BEFORE touching
     * any real pair. Real pairs are enumerated only for tiers at or
-    * above that threshold — tiers strictly above hold < 10 pairs by
-    * construction, so enumeration is output-bounded except for ties
-    * at the threshold tier itself (TakeOrderedAndProject absorbs
-    * those in parallel). Every stage is a join of a fact scan against
-    * a constant-size broadcastable frame or grid×grid within nation —
-    * no blocked quadratic pair join anywhere.
+    * above that threshold, and only among each cell's 11 SMALLEST
+    * custkeys ([[graft.functions.expressions.TopKStruct]] — k-bounded
+    * heap with map-side partial merge, so the contraction is itself
+    * funnel-free): within one weight tier pairs rank by (c1, c2), and
+    * a pair with an endpoint beyond its cell's 11th-smallest member
+    * is preceded by ≥ 10 same-tier pairs using that cell's smaller
+    * members in its place, so it can never reach the global top-10;
+    * when fewer than 10 pairs exist at all, every cell holds ≤ 4
+    * members (≥ 5 in one cell already makes 10 same-cell pairs) and
+    * the cap keeps everyone. Enumeration is therefore
+    * CONSTANT-bounded at every SF (≤ 11²·|selected cell pairs|) —
+    * without the cap the threshold tier at scale is the all-agree
+    * tier, whose ~n²/|cells| member pairs would re-introduce the
+    * quadratic this rewrite exists to kill. Every stage is a join of
+    * a fact scan against a constant-size broadcastable frame or
+    * grid×grid within nation — no blocked quadratic pair join
+    * anywhere.
     *
     * Identical arithmetic to the pairwise form: per-pair w_total /
     * n_agree are the same rounded expressions evaluated on the cell
@@ -149,6 +160,17 @@ object FsLinkageQueries {
       wa(0.95, "u_seg").as("wa_seg"), wd(0.95, "u_seg").as("wd_seg"),
       wa(0.85, "u_bal").as("wa_bal"), wd(0.85, "u_bal").as("wd_bal"),
       wa(0.7, "u_dig").as("wa_dig"), wd(0.7, "u_dig").as("wd_dig"))
+    fsTop10(cust, weights)
+  }
+
+  /** Grid + tier-threshold + capped-enumeration pipeline over a
+    * prepared `cust(ck, nk, seg, bal, dig)` frame and a 1-row
+    * `weights(wa_seg, wd_seg, wa_bal, wd_bal, wa_dig, wd_dig)` frame.
+    * Factored out of [[fsLinkage]] so the member-cap exactness proof
+    * can be property-tested on synthetic fixtures with LARGE cells
+    * (FsLinkageSpec) — the graded SF's cells are too small to
+    * exercise the cap. */
+  private[graft] def fsTop10(cust: DataFrame, weights: DataFrame): DataFrame = {
     // 1. contract to the pattern grid (constant-size at every SF)
     val cells = cust.groupBy(col("nk"), col("seg"), col("bal"), col("dig"))
       .agg(count(lit(1)).as("cnt"))
@@ -203,13 +225,24 @@ object FsLinkageQueries {
       min(col("w_total"))).as("wmin"))
     val sel = cp.crossJoin(broadcast(thr))
       .filter(col("w_total") >= col("wmin"))
-    // 5. enumerate real pairs ONLY from the selected tiers: two
-    //    fact-side joins against the constant-size selected cell-pair
-    //    frame (cell-keyed, broadcast at any scale), then the global
-    //    top-10
-    val ca = cust.select(col("ck").as("ka"), col("nk").as("nka"),
+    // 5. enumerate real pairs ONLY from the selected tiers and ONLY
+    //    among each cell's 11 smallest custkeys (exactness proof in
+    //    the scaladoc): the member contraction is a TopKStruct
+    //    aggregate (k-bounded heap, map-side combined — the shuffle
+    //    carries ≤ 11·mappers rows per cell, never the cell), so both
+    //    join sides are constant-size at every SF and the pair join
+    //    is bounded × bounded, then the global top-10
+    val capped = cust
+      .groupBy(col("nk"), col("seg"), col("bal"), col("dig"))
+      .agg(graft.functions.expressions.TopKStruct.topK(
+        struct((-col("ck")).as("neg")), 11).as("tk"))
+      .select(col("nk"), col("seg"), col("bal"), col("dig"),
+        explode(col("tk")).as("m"))
+      .select(col("nk"), col("seg"), col("bal"), col("dig"),
+        (-col("m").getField("neg")).as("ck"))
+    val ca = capped.select(col("ck").as("ka"), col("nk").as("nka"),
       col("seg").as("sega"), col("bal").as("bala"), col("dig").as("diga"))
-    val cb = cust.select(col("ck").as("kb"), col("nk").as("nkb"),
+    val cb = capped.select(col("ck").as("kb"), col("nk").as("nkb"),
       col("seg").as("segb"), col("bal").as("balb"), col("dig").as("digb"))
     sel
       .join(ca, col("nka") === col("nk") && col("sega") === col("seg1") &&

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.CacheOps.CheckpointSyntax
+import graft.plans.{CheckpointRegistry, ScaleRules}
+
+/** Detector-level proof for the round-7 strategy-blind join-funnel
+  * gate (GlobalFunnelSpec gate 1b). The whole-surface gate passing on
+  * the CURRENT plans only shows the graded queries are clean; the
+  * verdict's done-criterion was stronger — "the gate fails the build
+  * on pre-fix q_fs_linkage and q_lof". These tests reconstruct the
+  * two pre-fix offender shapes verbatim (nation-only customer
+  * self-join; label-only embedding self-join) and assert
+  * [[ScaleRules.logicalJoinFunnel]] FLAGS them, plus the
+  * non-over-flagging negatives (tile-salted key, bounded-grid side,
+  * corpus-growing key) and the [[CheckpointRegistry]] transparency
+  * the gates' interior sweeps rely on. Plans only — nothing executes.
+  */
+class ScaleRulesSpec extends GraftSpecBase {
+
+  private def joinsOf(p: LogicalPlan): Seq[Join] =
+    p.collect { case j: Join => j }
+
+  private def anyFunnel(df: DataFrame): Boolean =
+    joinsOf(df.queryExecution.optimizedPlan)
+      .exists(ScaleRules.logicalJoinFunnel)
+
+  test("pre-fix q_fs_linkage shape IS flagged: nation-only customer self-join") {
+    // the round-6 shipped shape (FsLinkageQueries pre-319cbe9):
+    // customer × customer on nk === nk2 alone — O(n²/25) at scale,
+    // planned as BroadcastHashJoin at graded SF (which is why the
+    // physical shuffle-join gate missed it)
+    val c = Tables.customer(spark, sf)
+    val a = c.select(col("c_custkey").as("id"),
+      col("c_nationkey").as("nk"), col("c_acctbal").as("bal_a"))
+    val b = c.select(col("c_custkey").as("id2"),
+      col("c_nationkey").as("nk2"), col("c_acctbal").as("bal_b"))
+    val prefix = a.join(b, col("nk") === col("nk2") && col("id") < col("id2"))
+    assert(anyFunnel(prefix),
+      "the nation-blocked self-join must be flagged as a logical join funnel")
+  }
+
+  test("pre-fix q_lof shape IS flagged: label-only embedding self-join") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.toDF("src", "label", "ea")
+    val b = e.toDF("dst", "labelb", "eb")
+    val pairs = a.join(b,
+      col("label") === col("labelb") && col("src") =!= col("dst"))
+    assert(anyFunnel(pairs),
+      "the label-only block must be flagged as a logical join funnel")
+  }
+
+  test("tile-salted block is NOT flagged: the salt key restores parallelism") {
+    // the shipped fix (LofQueries.lof): left side takes a home tile,
+    // right side replicates to every tile — the (label, tile) key's
+    // cardinality is |labels|·T, a deployment dial, and the tile
+    // attribute is not a bounded-domain name
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.toDF("src", "label", "ea")
+      .withColumn("tile", pmod(hash(col("src")), lit(8)))
+    val b = e.toDF("dst", "labelb", "eb").crossJoin(
+      spark.range(8L).select(col("id").cast("int").as("tileb")))
+    val pairs = a.join(b, col("label") === col("labelb")
+      && col("tile") === col("tileb") && col("src") =!= col("dst"))
+    assert(!anyFunnel(pairs),
+      "a salted block key must not be flagged — parallelism is |labels|·T")
+  }
+
+  test("bounded-grid side exempts the join: broadcasting a constant frame is correct at every scale") {
+    val docs = Tables.documents(spark, sf)
+    val grid = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val joined = Tables.documents(spark, sf).join(grid, "lang")
+    assert(!anyFunnel(joined),
+      "fact × bounded-grid on a bounded key is the correct plan, not a funnel")
+  }
+
+  test("corpus-growing equi key is NOT flagged even alongside a bounded key") {
+    // partitioning includes o_custkey → scale-parallel: hash
+    // partitioning on (nk, custkey) distributes by the growing key
+    val c = Tables.customer(spark, sf)
+    val a = c.select(col("c_custkey").as("ck"),
+      col("c_nationkey").as("nk"), col("c_acctbal").as("bal_a"))
+    val b = c.select(col("c_custkey").as("ck2"),
+      col("c_nationkey").as("nk2"), col("c_acctbal").as("bal_b"))
+    val j = a.join(b, col("nk") === col("nk2") && col("ck") === col("ck2"))
+    assert(!anyFunnel(j),
+      "an equi-key set containing a corpus-growing column is scale-parallel")
+  }
+
+  test("checkpoint leaves stay transparent to the funnel sweep (expand) and to contractedLogical") {
+    // a funnel hidden behind a lazy localCheckpoint: the truncated
+    // plan itself shows only a LogicalRDD leaf, but the gates sweep
+    // CheckpointRegistry.expand — this pins the mechanism the round-7
+    // blind-spot fix rests on (q_ipf_rake / GraphDist interiors)
+    val c = Tables.customer(spark, sf)
+    val a = c.select(col("c_custkey").as("id"),
+      col("c_nationkey").as("nk"))
+    val b = c.select(col("c_custkey").as("id2"),
+      col("c_nationkey").as("nk2"))
+    val funnel = a.join(b, col("nk") === col("nk2"))
+    val hidden = funnel.truncatedCheckpoint()
+      .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+    val visible = joinsOf(hidden.queryExecution.optimizedPlan)
+    assert(!visible.exists(ScaleRules.logicalJoinFunnel),
+      "sanity: the truncated plan alone must NOT show the interior join")
+    val expanded = CheckpointRegistry
+      .expand(hidden.queryExecution.optimizedPlan)
+      .flatMap(joinsOf)
+    assert(expanded.exists(ScaleRules.logicalJoinFunnel),
+      "expand must surface the funnel behind the checkpoint leaf")
+
+    // and the positive direction: a CONTRACTED frame keeps its
+    // verdict through the leaf (the q_ipf_rake sort-input case)
+    val grid = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .truncatedCheckpoint()
+    assert(ScaleRules.contractedLogical(grid.queryExecution.optimizedPlan),
+      "a checkpointed aggregate must still prove contracted via the registry")
+    assert(ScaleRules.boundedLogical(grid.queryExecution.optimizedPlan),
+      "a checkpointed bounded-key aggregate must still prove bounded")
+  }
+}
