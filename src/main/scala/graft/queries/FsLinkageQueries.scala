@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -113,27 +113,32 @@ object FsLinkageQueries {
     * alone, and the pattern is determined by the two customers' grid
     * cells: contracting customers to the cell grid (≤ 25 nations ×
     * 5 segments × 11 thousand-bands × ≤100 digit suffixes — a spec
-    * constant at every SF) makes pair counting exact arithmetic on
-    * cell pairs (cnt₁·cnt₂ across cells, C(cnt,2) within), so the
-    * weight tier containing the 10th pair is known BEFORE touching
-    * any real pair. Real pairs are enumerated only for tiers at or
-    * above that threshold, and only among each cell's 11 SMALLEST
-    * custkeys ([[graft.functions.expressions.TopKStruct]] — k-bounded
-    * heap with map-side partial merge, so the contraction is itself
+    * constant at every SF) makes pair counting exact ARITHMETIC with
+    * no pair join at all — for each field subset S, pairs agreeing on
+    * at least S number Σ C(n,2) over the (nation ∪ S) marginal grid,
+    * and inclusion–exclusion (Möbius over the 2³ subset lattice)
+    * yields the exact count per agreement pattern — so the weight
+    * tier containing the 10th pair is known BEFORE touching any real
+    * pair. Real pairs are enumerated only for patterns at or above
+    * that threshold (each branch runtime-gated by a 1-row broadcast,
+    * joined on nation ∪ agreeing-fields with explicit ≠ on the rest),
+    * and only among each cell's 11 SMALLEST custkeys
+    * ([[graft.functions.expressions.TopKStruct]] — k-bounded heap
+    * with map-side partial merge, so the contraction is itself
     * funnel-free): within one weight tier pairs rank by (c1, c2), and
     * a pair with an endpoint beyond its cell's 11th-smallest member
     * is preceded by ≥ 10 same-tier pairs using that cell's smaller
-    * members in its place, so it can never reach the global top-10;
+    * members in its place (the replacement shares the cell, hence the
+    * pattern and the tier), so it can never reach the global top-10;
     * when fewer than 10 pairs exist at all, every cell holds ≤ 4
     * members (≥ 5 in one cell already makes 10 same-cell pairs) and
-    * the cap keeps everyone. Enumeration is therefore
-    * CONSTANT-bounded at every SF (≤ 11²·|selected cell pairs|) —
-    * without the cap the threshold tier at scale is the all-agree
-    * tier, whose ~n²/|cells| member pairs would re-introduce the
-    * quadratic this rewrite exists to kill. Every stage is a join of
-    * a fact scan against a constant-size broadcastable frame or
-    * grid×grid within nation — no blocked quadratic pair join
-    * anywhere.
+    * the cap keeps everyone. Without the cap the threshold tier at
+    * scale is the all-agree tier, whose ~n²/|cells| member pairs
+    * would re-introduce the quadratic this rewrite exists to kill.
+    * Every stage is a constant-size frame or a bounded×bounded join —
+    * no blocked quadratic pair join, and no |cells|²-within-nation
+    * cell-pair join either (~3.9 M cell pairs at sf0.1, ~378 M at
+    * grid saturation — the previous form's residual constant).
     *
     * Identical arithmetic to the pairwise form: per-pair w_total /
     * n_agree are the same rounded expressions evaluated on the cell
@@ -171,67 +176,68 @@ object FsLinkageQueries {
     * (FsLinkageSpec) — the graded SF's cells are too small to
     * exercise the cap. */
   private[graft] def fsTop10(cust: DataFrame, weights: DataFrame): DataFrame = {
-    // 1. contract to the pattern grid (constant-size at every SF)
+    import graft.operators.CacheOps.CheckpointSyntax
+    val F = Seq("seg", "bal", "dig")
+    def inPat(m: Int, i: Int): Boolean = (m & (1 << i)) != 0
+    // 1. contract to the pattern grid (constant-size at every SF);
+    //    lazily checkpointed — the 8 marginal aggregations below each
+    //    reference it
     val cells = cust.groupBy(col("nk"), col("seg"), col("bal"), col("dig"))
-      .agg(count(lit(1)).as("cnt"))
-    // 2. within-nation cell pairs: distinct cells once each (strict
-    //    struct order), same-cell "pairs" as C(cnt, 2)
-    val lhs = cells.select(col("nk"), col("seg").as("seg1"),
-      col("bal").as("bal1"), col("dig").as("dig1"), col("cnt").as("cnt1"))
-    val rhs = cells.select(col("nk").as("nk2"), col("seg").as("seg2"),
-      col("bal").as("bal2"), col("dig").as("dig2"), col("cnt").as("cnt2"))
-    val across = lhs.join(rhs, col("nk") === col("nk2") &&
-        struct(col("seg1"), col("bal1"), col("dig1")) <
-          struct(col("seg2"), col("bal2"), col("dig2")))
-      .select(col("nk"), col("seg1"), col("bal1"), col("dig1"),
-        col("seg2"), col("bal2"), col("dig2"),
-        (col("cnt1") * col("cnt2")).cast("long").as("npairs"),
-        lit(false).as("same_cell"))
-    val within = cells.filter(col("cnt") >= 2)
-      .select(col("nk"), col("seg").as("seg1"), col("bal").as("bal1"),
-        col("dig").as("dig1"), col("seg").as("seg2"),
-        col("bal").as("bal2"), col("dig").as("dig2"),
-        (col("cnt") * (col("cnt") - 1) / 2).cast("long").as("npairs"),
-        lit(true).as("same_cell"))
-    // 3. score each cell pair — the SAME rounded expressions the
-    //    pairwise form evaluated per customer pair
-    val cp = across.unionByName(within)
-      .crossJoin(broadcast(weights))
-      .select(col("nk"), col("seg1"), col("bal1"), col("dig1"),
-        col("seg2"), col("bal2"), col("dig2"), col("npairs"),
-        col("same_cell"),
-        (when(col("seg1") === col("seg2"), 1).otherwise(0)
-          + when(col("bal1") === col("bal2"), 1).otherwise(0)
-          + when(col("dig1") === col("dig2"), 1).otherwise(0))
-          .as("n_agree"),
-        round(when(col("seg1") === col("seg2"), col("wa_seg"))
-            .otherwise(col("wd_seg"))
-          + when(col("bal1") === col("bal2"), col("wa_bal"))
-            .otherwise(col("wd_bal"))
-          + when(col("dig1") === col("dig2"), col("wa_dig"))
-            .otherwise(col("wd_dig")), 6)
-          .as("w_total"))
-    // 4. the 10th pair's weight tier from exact per-tier pair counts
-    //    (≤ 8 distinct w_total values — one per agreement pattern);
-    //    if fewer than 10 pairs exist anywhere, keep every tier
-    val byW = cp.groupBy(col("w_total")).agg(sum(col("npairs")).as("nw"))
+      .agg(count(lit(1)).as("cnt")).truncatedCheckpoint()
+    // 2. exact per-pattern pair counts WITHOUT any cell×cell join
+    //    (inclusion–exclusion): for each field subset S, the number of
+    //    same-nation pairs agreeing on AT LEAST S is Σ C(n,2) over the
+    //    (nation ∪ S) marginal grid (n = member count per group — a
+    //    further contraction of `cells`, ≤ |cells| rows each); the
+    //    exact-pattern count is the Möbius sum
+    //    N=(P) = Σ_{S ⊇ P} (−1)^{|S\P|} N≥(S). Eight 1-row frames
+    //    replace the previous within-nation grid×grid join, whose
+    //    ≤ |cells/nation|² cell pairs were a large constant
+    //    (~3.9 M at sf0.1, ~378 M at grid saturation).
+    def atLeast(m: Int): DataFrame = {
+      val keys = col("nk") +: F.zipWithIndex.collect {
+        case (f, i) if inPat(m, i) => col(f) }
+      cells.groupBy(keys: _*).agg(sum(col("cnt")).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))
+          .as(s"np$m"))
+    }
+    val atL = (0 until 8).map(atLeast)
+      .reduce((a, b) => a.crossJoin(broadcast(b)))
+    def nExact(m: Int): Column = (0 until 8)
+      .filter(s => (s & m) == m)
+      .map(s => if (Integer.bitCount(s ^ m) % 2 == 0) col(s"np$s")
+                else -col(s"np$s"))
+      .reduce(_ + _)
+    // pattern weight — the SAME operand order and rounding the
+    // pairwise scorer used per pair: ((seg + bal) + dig) round 6
+    def wPat(m: Int): Column = round(
+      (if (inPat(m, 0)) col("wa_seg") else col("wd_seg"))
+        + (if (inPat(m, 1)) col("wa_bal") else col("wd_bal"))
+        + (if (inPat(m, 2)) col("wa_dig") else col("wd_dig")), 6)
+    val tiers = atL.crossJoin(broadcast(weights))
+      .select(explode(array((0 until 8).map(m =>
+        struct(wPat(m).as("w"), nExact(m).as("np"))): _*)).as("t"))
+      .select(col("t.w").as("w"), col("t.np").as("np"))
+    // 3. the 10th pair's weight tier from the exact counts (≤ 8 rows;
+    //    distinct patterns with equal w merge, exactly as the pairwise
+    //    form's group-by-w_total did); if fewer than 10 pairs exist
+    //    anywhere, keep every tier
+    val byW = tiers.groupBy(col("w")).agg(sum(col("np")).as("nw"))
     val cumW = byW.withColumn("cum",
       sum(col("nw")).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("w_total").desc)
+        .orderBy(col("w").desc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)))
     val thr = cumW.agg(coalesce(
-      max(when(col("cum") >= 10, col("w_total"))),
-      min(col("w_total"))).as("wmin"))
-    val sel = cp.crossJoin(broadcast(thr))
-      .filter(col("w_total") >= col("wmin"))
-    // 5. enumerate real pairs ONLY from the selected tiers and ONLY
-    //    among each cell's 11 smallest custkeys (exactness proof in
-    //    the scaladoc): the member contraction is a TopKStruct
-    //    aggregate (k-bounded heap, map-side combined — the shuffle
-    //    carries ≤ 11·mappers rows per cell, never the cell), so both
-    //    join sides are constant-size at every SF and the pair join
-    //    is bounded × bounded, then the global top-10
+      max(when(col("cum") >= 10, col("w"))),
+      min(col("w"))).as("wmin"))
+    // one broadcastable gate row carrying the six weights + wmin —
+    // referenced by all 8 enumeration branches, hence checkpointed
+    val gate = weights.crossJoin(broadcast(thr)).truncatedCheckpoint()
+    // 4. capped members: each cell's 11 smallest custkeys via the
+    //    TopKStruct aggregate (k-bounded heap, map-side combined — the
+    //    shuffle carries ≤ 11·mappers rows per cell, never the cell);
+    //    referenced by all 8 branches, hence checkpointed
     val capped = cust
       .groupBy(col("nk"), col("seg"), col("bal"), col("dig"))
       .agg(graft.functions.expressions.TopKStruct.topK(
@@ -240,19 +246,34 @@ object FsLinkageQueries {
         explode(col("tk")).as("m"))
       .select(col("nk"), col("seg"), col("bal"), col("dig"),
         (-col("m").getField("neg")).as("ck"))
+      .truncatedCheckpoint()
+    // 5. one RUNTIME-GATED enumeration branch per pattern: the join is
+    //    keyed on (nation ∪ agreeing fields) with explicit ≠ on the
+    //    rest, so ONLY pairs of that exact pattern materialize, and the
+    //    1-row gate (w_pattern ≥ wmin, filtered BEFORE the join) makes
+    //    unselected branches produce an empty build side — their cost
+    //    is a scan of the bounded `capped` frame, nothing more. Both
+    //    sides of every branch are provably bounded frames.
     val ca = capped.select(col("ck").as("ka"), col("nk").as("nka"),
       col("seg").as("sega"), col("bal").as("bala"), col("dig").as("diga"))
     val cb = capped.select(col("ck").as("kb"), col("nk").as("nkb"),
       col("seg").as("segb"), col("bal").as("balb"), col("dig").as("digb"))
-    sel
-      .join(ca, col("nka") === col("nk") && col("sega") === col("seg1") &&
-        col("bala") === col("bal1") && col("diga") === col("dig1"))
-      .join(cb, col("nkb") === col("nk") && col("segb") === col("seg2") &&
-        col("balb") === col("bal2") && col("digb") === col("dig2"))
-      .filter(!col("same_cell") || col("ka") < col("kb"))
-      .select(least(col("ka"), col("kb")).as("c1"),
-        greatest(col("ka"), col("kb")).as("c2"),
-        col("n_agree"), col("w_total"))
+    val branches = (0 until 8).map { m =>
+      val gateM = gate
+        .select(wPat(m).as("wm"), col("wmin"))
+        .filter(col("wm") >= col("wmin"))
+      val eqs = F.zipWithIndex.map { case (f, i) =>
+        if (inPat(m, i)) col(s"${f}a") === col(s"${f}b")
+        else col(s"${f}a") =!= col(s"${f}b") }
+      val cond = ((col("nka") === col("nkb")) +: eqs)
+        .reduce(_ && _) && col("ka") < col("kb")
+      ca.crossJoin(broadcast(gateM))
+        .join(cb, cond)
+        .select(col("ka").as("c1"), col("kb").as("c2"),
+          lit(Integer.bitCount(m)).as("n_agree"),
+          col("wm").as("w_total"))
+    }
+    branches.reduce(_ unionByName _)
       .orderBy(col("w_total").desc, col("c1"), col("c2"))
       .limit(10)
   }

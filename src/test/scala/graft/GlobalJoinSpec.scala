@@ -1,10 +1,6 @@
 package graft
 
-import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
-  LocalLimitExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   CartesianProductExec}
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
@@ -39,37 +35,19 @@ class GlobalJoinSpec extends GraftSpecBase {
     * groupBy contraction of a bounded-cardinality column): the bound
     * and why it holds at any scale. */
   private val boundedBuilds: Map[String, String] = Map(
-    "q_ab_srm" -> "arm panel: 2 rows (md5-split A/B)",
     "q_ann_recall" -> "1-row PK fetch (vec_id = 0) + no-group aggregates over the two top-k legs",
-    "q_bh_dunn" -> "|event_type| rank panels (<=25 by TESTDATA) and their C(k,2)<=300 pair frame",
-    "q_burrows_delta" -> "per-source stylometry panel: |sources| <= 10",
-    "q_cohens_d" -> "2-cohort moment frame (md5-split)",
-    "q_cohens_h" -> "weekend/weekday 2-row share frame",
-    "q_dau_wau" -> "daily activity grid: calendar-bounded",
-    "q_dunn" -> "|event_type| rank panel (<=25)",
     "q_err" -> "query-term panel: 3 literal terms",
-    "q_footrule" -> "per-brand rank panels: |brands| = 25",
-    "q_gains" -> "decile frame: 10 rows",
-    "q_isotonic" -> "calibration bins: 10 rows",
     "q_jelinek_mercer" -> "query-term panel: 3 literal terms",
     "q_join_theta" -> "graded theta-join demonstrator: supplier is the dim side; the scale path is q_join_range's sweep-line plan",
-    "q_jonckheere" -> "dose domain: 5 one-digit order priorities",
     "q_kappa_weighted" -> "rating-grid panels: |a|x|p| <= 25",
     "q_kendall_tau" -> "daily pair panel: calendar-bounded",
     "q_knn_classify" -> "1-row PK fetch (vec_id = 0)",
-    "q_logrank" -> "2 boolean groups x death-time grid (calendar-bounded)",
-    "q_lorenz" -> "decile frame: 10 rows",
     "q_mmd" -> "exact MMD^2 is inherently pairwise (the two label blocks GROW with the corpus, so this build is SF-proportional, not constant): the graded artifact is the exact statistic; deployment posture at 100 TB = the linear-time MMD estimator or subsampling, per the EmbAggQueries scaladoc",
     "q_ordinal_gamma" -> "ordinal (x,y) grid: |priorities|x|statuses| <= 15",
-    "q_page_trend" -> "per-type daily panel: |event_type| x calendar",
-    "q_shapley" -> "coalition panels: 2^4 subset masks x 4 channels",
     "q_query_likelihood" -> "query-term panel: 3 literal terms",
     "q_rrf_fusion" -> "1-row PK fetch (vec_id = 0); both rank legs are TakeOrdered-bounded",
     "q_sim_cosine" -> "1-row PK fetch (vec_id = 0)",
-    "q_somers_d" -> "ordinal (x,y) grid: <= 15 rows",
-    "q_t_closeness" -> "nationkey value bins (25) + qid panel",
-    "q_term_dispersion" -> "per-source dispersion panel: |sources| <= 10",
-    "q_tost" -> "weekend/weekday 2-row moment frame")
+    "q_somers_d" -> "ordinal (x,y) grid: <= 15 rows")
 
   /** One shared plan-build pass for ALL whole-surface gate suites
     * (see [[GradedPlans]]). */
@@ -77,62 +55,18 @@ class GlobalJoinSpec extends GraftSpecBase {
 
   /** True when `p` provably emits a number of rows bounded by a small
     * constant independent of input size. Conservative: anything not
-    * recognized is unbounded. */
-  private def boundedRows(p: SparkPlan): Boolean = p match {
-    // no grouping keys → exactly one output row, but ONLY in
-    // Final/Complete mode (a Partial-mode no-grouping aggregate emits
-    // one row per input partition — config-bounded, not constant);
-    // with grouping keys output ≤ input, so a bounded child keeps the
-    // bound; grouping on PrefixOps' internal bucket key is bounded by
-    // the operator's own compile-time bucket constant (64 —
-    // PrefixOps.scala). Known gap, acceptable for a test gate: the
-    // bucket-name rule is by attribute NAME, so a user column aliased
-    // to __pfx_bucket/__tb/__eb would spoof it — the names are
-    // double-underscore-reserved internals and every graded query is
-    // also hash-checked, so a spoof can only loosen this gate, never
-    // product results.
-    case a: BaseAggregateExec =>
-      import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
-      val finalMode = a.aggregateExpressions.forall(ae =>
-        ae.mode == Final || ae.mode == Complete)
-      (a.groupingExpressions.isEmpty && finalMode) || boundedRows(a.child) ||
-        (a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
-          case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
-            Set("__pfx_bucket", "__tb", "__eb").contains(att.name)
-          case _ => false
-        })
-    case _: GlobalLimitExec | _: LocalLimitExec |
-         _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
-    case _: LocalTableScanExec => true // literal in-memory fixture
-    // nation (25 rows) / region (5 rows) are fixed-cardinality catalog
-    // tables at every TPC-H scale factor
-    case f: FileSourceScanExec =>
-      val path = f.relation.location.rootPaths.mkString(",")
-      path.contains("nation") || path.contains("region")
-    case j: CartesianProductExec => boundedRows(j.left) && boundedRows(j.right)
-    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-      // inner/outer joins emit ≤ |left|·|right| (+ outer paddings);
-      // bounded × bounded stays bounded
-      boundedRows(j.left) && boundedRows(j.right)
-    case u: org.apache.spark.sql.execution.UnionExec =>
-      u.children.forall(boundedRows)
-    case r: ReusedExchangeExec => boundedRows(r.child)
-    // a literal Range is its own bound (subset masks, frequency/
-    // evaluation grids); cap it so a huge Range can't sneak through
-    case r: org.apache.spark.sql.execution.RangeExec =>
-      r.numElements <= BigInt(65536)
-    // explode over a bounded frame: the fanout array is built from
-    // that bounded row (calendar sequence, subset enumeration) — the
-    // product stays small; explode over an unbounded child is a
-    // corpus fan-out and stays rejected
-    case g: org.apache.spark.sql.execution.GenerateExec =>
-      boundedRows(g.child)
-    case leaf if leaf.children.isEmpty => false // unrecognized source
-    // row-preserving / row-reducing pass-throughs: Project, Filter,
-    // Sort, Window (1:1), Expand (constant ×), exchanges, codegen
-    // wrappers
-    case other => other.children.forall(boundedRows)
-  }
+    * recognized is unbounded. Delegates to the shared main-side proof
+    * ([[graft.plans.ScaleRules.boundedPhysical]] — the round-7
+    * promotion of this suite's original local version): the shared
+    * form additionally resolves localCheckpoint leaves through
+    * [[graft.plans.CheckpointRegistry]], recurses into persisted
+    * subtrees, and accepts grouping keys with bounded-domain NAMES
+    * (lowCardNames / boundedAliasNames / DATE type) — so legitimately
+    * bounded builds prove out structurally instead of accreting
+    * allowlist entries (the minimality test below keeps the remaining
+    * allowlist honest). */
+  private def boundedRows(p: SparkPlan): Boolean =
+    graft.plans.ScaleRules.boundedPhysical(p)
 
   private def buildSideOf(b: BroadcastNestedLoopJoinExec): SparkPlan =
     b.buildSide match {

@@ -33,8 +33,7 @@ class GlobalWindowSpec extends GraftSpecBase {
     "q_funnel_window" -> "funnel steps: exactly 3 rows by construction (union of three 1-row aggregates)",
     "q_rolling_corr" -> "daily grid: <= horizon-days rows (the per-day contraction precedes the window)",
     "q_dim_variance" -> "|dims| rows (64): the per-dimension contraction precedes the rank window",
-    "q_rank_stability" -> "|brands| rows (25): the per-brand era contraction precedes the two rank windows",
-    "q_fs_linkage" -> "weight tiers: <=8 rows (one per 2^3 agreement pattern of the 3 comparison fields) — the cumulative-count window that locates the 10th pair's tier")
+    "q_rank_stability" -> "|brands| rows (25): the per-brand era contraction precedes the two rank windows")
 
   /** One shared plan-build pass for ALL whole-surface gate suites
     * (see [[GradedPlans]]). */
