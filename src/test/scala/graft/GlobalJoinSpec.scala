@@ -42,7 +42,7 @@ class GlobalJoinSpec extends GraftSpecBase {
     "q_kappa_weighted" -> "rating-grid panels: |a|x|p| <= 25",
     "q_kendall_tau" -> "daily pair panel: calendar-bounded",
     "q_knn_classify" -> "1-row PK fetch (vec_id = 0)",
-    "q_mmd" -> "exact MMD^2 is inherently pairwise (the two label blocks GROW with the corpus, so this build is SF-proportional, not constant): the graded artifact is the exact statistic; deployment posture at 100 TB = the linear-time MMD estimator or subsampling, per the EmbAggQueries scaladoc",
+    "q_mmd" -> "exact MMD^2 is inherently pairwise (the two label blocks GROW with the corpus, so this build is SF-proportional, not constant): the graded artifact is the exact statistic; deployment posture at 100 TB = the linear-time estimator, IMPLEMENTED as EmbAggQueries.mmdLinear (O(n), no pair join, MmdLinearSpec-pinned), or subsampling",
     "q_ordinal_gamma" -> "ordinal (x,y) grid: |priorities|x|statuses| <= 15",
     "q_query_likelihood" -> "query-term panel: 3 literal terms",
     "q_rrf_fusion" -> "1-row PK fetch (vec_id = 0); both rank legs are TakeOrdered-bounded",
