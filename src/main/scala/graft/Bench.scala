@@ -12,7 +12,12 @@ import scala.util.control.NonFatal
   *    every engine in this comparison scans the same ~100 MB, so the
   *    bench measures operator compute, not repeated cold reads (the
   *    memoized Tables plans make one persist serve all queries);
-  *  - AQE stays on (default) — it is part of the engine under test.
+  *  - AQE off / shuffle=4 by DEFAULT at this data size (measured:
+  *    single-digit-MB shuffles make AQE's per-stage re-planning and
+  *    wide task scheduling pure overhead, 72 s → 54 s total) — both
+  *    env-overridable; the cluster-realism configuration (AQE on,
+  *    shuffle=64) is re-measured per round in BASELINE.md because at
+  *    100 TB both dials go back up.
   */
 object Bench {
 
@@ -144,7 +149,14 @@ object Bench {
       "q_cross_corr", "q_walk_forward", "q_adstock", "q_mi_ranking",
       "q_keyness", "q_burrows_delta", "q_segmented", "q_anova2",
       "q_cca", "q_source_emb_sim", "q_periodogram", "q_gof_poisson",
-      "q_negbin_fit", "q_zip_fit")
+      "q_negbin_fit", "q_zip_fit",
+      // round-7 refresh: the round-6 OrderStats/prefix rewrites moved
+      // these into the solo top tier (scale-safe shapes pay a fixed
+      // multi-stage cost at toy scale), but they still sat in
+      // alphabetical-tail order
+      "q_mad", "q_rank_corr", "q_win_analytic", "q_mood_median",
+      "q_percentile", "q_percentile_disc", "q_levene", "q_winsorize",
+      "q_hist_eqfreq", "q_outlier_iqr", "q_gini")
       .zipWithIndex.toMap
     // optional comma-separated subset (profiling aid: combined with
     // SPARK_GRAFT_STREAMS=1 it yields solo warm times free of queue
