@@ -86,6 +86,22 @@ class FsLinkageSpec extends GraftSpecBase {
     assert(out.size == 4, "3 nation-0 pairs + 1 nation-1 pair")
   }
 
+  test("patterns tying on w_total merge into one tier (the byW group-by path)") {
+    // wa_seg = wa_bal and wd_seg = wd_bal make the {seg} and {bal}
+    // agreement patterns produce the IDENTICAL w_total, so the
+    // threshold tier spans two patterns — the default fixture weights
+    // keep all 8 pattern sums distinct and never exercise this merge
+    val s = spark
+    import s.implicits._
+    val w = Seq((1.0, -0.5, 1.0, -0.5, 0.25, -0.125))
+      .toDF("wa_seg", "wd_seg", "wa_bal", "wd_bal", "wa_dig", "wd_dig")
+    val t = (1L to 30L).map(k =>
+      (k, (k % 2).toInt, if (k % 3 == 0) "A" else "B",
+        (k % 4).toInt, if (k % 5 == 0) "x" else "y"))
+    assert(rows(FsLinkageQueries.fsTop10(custDF(t), w))
+      == rows(brute(custDF(t), w)))
+  }
+
   test("seeded random shapes match the pairwise reference") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 5) {
