@@ -18,6 +18,10 @@ object Explain {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match the bench's default configuration unless overridden, so
+      // the exchange census reflects what the bench actually executes
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -31,8 +35,16 @@ object Explain {
           val df = fn(spark, sfDir)
           df.collect()
           val p = df.queryExecution.executedPlan.toString
-          val nEx = p.linesIterator.count(_.trim.startsWith("Exchange"))
-          println(s"===== $name  (exchanges: $nEx)")
+          // shuffle census: count Exchange OPERATORS (the old
+          // trim-startsWith form matched nothing — plan lines carry
+          // "+- " prefixes), split into real shuffles vs reused
+          val lines = p.linesIterator.toSeq
+          val nEx = lines.count(l => (l.contains("Exchange hashpartitioning")
+            || l.contains("Exchange rangepartitioning")
+            || l.contains("Exchange SinglePartition"))
+            && !l.contains("ReusedExchange"))
+          val nRe = lines.count(_.contains("ReusedExchange"))
+          println(s"===== $name  (exchanges: $nEx, reused: $nRe)")
           p.linesIterator
             .filter(l => interesting.exists(l.contains))
             .foreach(l => println("  " + l.trim.take(150)))
