@@ -86,6 +86,18 @@ class FsLinkageSpec extends GraftSpecBase {
     assert(out.size == 4, "3 nation-0 pairs + 1 nation-1 pair")
   }
 
+  test("one-nation deep cells: the 100 TB shape, where the threshold tier is all-agree") {
+    // every customer in ONE nation, 4 coarse cells of ~100 members —
+    // the all-agree tier alone holds thousands of pairs, so only the
+    // m=7 branch enumerates (the other 7 gate to empty), and the
+    // 11-member cap drops ~90% of each cell
+    val t = (1L to 400L).map(k =>
+      (k * 7 % 1000 * 1000 + k, 0, if (k % 2 == 0) "A" else "B",
+        (k % 2).toInt, "x"))
+    val uniq = t.groupBy(_._1).map(_._2.head).toSeq
+    check(custDF(uniq))
+  }
+
   test("patterns tying on w_total merge into one tier (the byW group-by path)") {
     // wa_seg = wa_bal and wd_seg = wd_bal make the {seg} and {bal}
     // agreement patterns produce the IDENTICAL w_total, so the

@@ -93,6 +93,25 @@ class ScaleRulesSpec extends GraftSpecBase {
       "an equi-key set containing a corpus-growing column is scale-parallel")
   }
 
+  test("boundedPhysical sees through a persisted subtree (the rule behind the round-7 allowlist deletions)") {
+    // a .persist() plants an InMemoryRelation leaf whose interior only
+    // exists physically; GlobalJoinSpec's BNLJ gate now delegates to
+    // boundedPhysical, which must recurse into the cached plan — and
+    // must still REJECT a persisted raw fact scan
+    val grid = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).persist()
+    try {
+      val plan = grid.queryExecution.executedPlan
+      assert(ScaleRules.boundedPhysical(plan),
+        "a persisted bounded-key aggregate must prove bounded through the cache")
+      val raw = Tables.documents(spark, sf).persist()
+      try {
+        assert(!ScaleRules.boundedPhysical(raw.queryExecution.executedPlan),
+          "a persisted raw fact scan must stay unbounded")
+      } finally raw.unpersist()
+    } finally grid.unpersist()
+  }
+
   test("checkpoint leaves stay transparent to the funnel sweep (expand) and to contractedLogical") {
     // a funnel hidden behind a lazy localCheckpoint: the truncated
     // plan itself shows only a LogicalRDD leaf, but the gates sweep
