@@ -24,8 +24,17 @@ import graft.Tables._
 object FeatureSelectQueries {
 
   /** q_mi_ranking — I(feature; purchase) for weekday, hour-of-day
-    * band, value decile band, and user-id parity. */
+    * band, value decile band, and user-id parity.
+    *
+    * Scale shape (round-7): ONE fact scan, not four — the events
+    * table contracts once to the joint (weekday × hourband × valband
+    * × usermod × label) grid (≤ 7·4·10·4·2 = 2240 cells at any SF,
+    * lazily checkpointed), and each feature's (value, label) cell
+    * counts are exact long sums over that grid. The previous form
+    * re-scanned events per feature — 4× the I/O at 100 TB for the
+    * identical counts. */
   def miRanking(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
     val base = events(s, d).select(
       (col("event_type") === "purchase").cast("int").as("lab"),
       dayofweek(to_date(col("ts2"))).as("f_weekday"),
@@ -33,10 +42,14 @@ object FeatureSelectQueries {
       least(lit(9), floor(col("value") / 10.0).cast("int"))
         .as("f_valband"),
       (col("user_id") % 4).cast("int").as("f_usermod"))
+    val grid = base.groupBy(col("f_weekday"), col("f_hourband"),
+        col("f_valband"), col("f_usermod"), col("lab"))
+      .agg(count(lit(1)).as("c0"))
+      .truncatedCheckpoint()
     def f(c: Column) = c.cast("double")
     def miOf(fc: String): DataFrame = {
-      val cells = base.groupBy(col(fc).as("v"), col("lab"))
-        .agg(count(lit(1)).as("c"))
+      val cells = grid.groupBy(col(fc).as("v"), col("lab"))
+        .agg(sum(col("c0")).as("c"))
       val mv = cells.groupBy(col("v")).agg(sum(col("c")).as("cv"))
       val ml = cells.groupBy(col("lab")).agg(sum(col("c")).as("cl"))
       val n = cells.agg(sum(col("c")).as("n"))

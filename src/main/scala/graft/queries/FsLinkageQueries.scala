@@ -37,22 +37,33 @@ object FsLinkageQueries {
 
   private val M = Seq("seg" -> 0.95, "bal" -> 0.85, "dig" -> 0.7)
 
-  /** Broadcastable 1-row u-probability frame (u_seg, u_bal, u_dig). */
+  /** Broadcastable 1-row u-probability frame (u_seg, u_bal, u_dig).
+    *
+    * ONE customer scan (round-7): the three field marginals and the
+    * row count all derive from a single (seg, bal, dig) grid
+    * contraction (≤ 5·11·100 cells at any SF, lazily checkpointed) —
+    * the previous per-field form re-scanned customer ~7× for the
+    * identical exact counts. */
   private def uStats(s: SparkSession, d: String): DataFrame = {
-    def u(field: String, c: org.apache.spark.sql.Column): DataFrame = {
-      val n = customer(s, d).agg(count(lit(1)).as("n"))
-      customer(s, d).select(c.as("v")).groupBy(col("v"))
-        .agg(count(lit(1)).as("cnt"))
+    import graft.operators.CacheOps.CheckpointSyntax
+    val grid3 = customer(s, d).select(
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000.0).cast("int").as("bal"),
+        substring(col("c_name"), -2, 2).as("dig"))
+      .groupBy(col("seg"), col("bal"), col("dig"))
+      .agg(count(lit(1)).as("cnt"))
+      .truncatedCheckpoint()
+    val n = grid3.agg(sum(col("cnt")).as("n"))
+    def u(field: String): DataFrame =
+      grid3.groupBy(col(field)).agg(sum(col("cnt")).as("cntv"))
         .crossJoin(broadcast(n))
-        .select(round(col("cnt").cast("double")
+        .select(round(col("cntv").cast("double")
           / col("n").cast("double"), 10).as("p"))
         .agg(round(sum(round(col("p") * col("p"), 12)
           .cast("decimal(18,12)")).cast("double"), 10).as(s"u_$field"))
-    }
-    u("seg", col("c_mktsegment"))
-      .crossJoin(broadcast(u("bal",
-        floor(col("c_acctbal") / 1000.0).cast("int"))))
-      .crossJoin(broadcast(u("dig", substring(col("c_name"), -2, 2))))
+    u("seg")
+      .crossJoin(broadcast(u("bal")))
+      .crossJoin(broadcast(u("dig")))
   }
 
   private val uStatsSql: String =
@@ -179,11 +190,22 @@ object FsLinkageQueries {
     import graft.operators.CacheOps.CheckpointSyntax
     val F = Seq("seg", "bal", "dig")
     def inPat(m: Int, i: Int): Boolean = (m & (1 << i)) != 0
-    // 1. contract to the pattern grid (constant-size at every SF);
-    //    lazily checkpointed — the 8 marginal aggregations below each
-    //    reference it
-    val cells = cust.groupBy(col("nk"), col("seg"), col("bal"), col("dig"))
-      .agg(count(lit(1)).as("cnt")).truncatedCheckpoint()
+    // 1. contract to the pattern grid (constant-size at every SF) in
+    //    ONE aggregate carrying BOTH per-cell facts every later stage
+    //    needs — the member count (tier arithmetic) and the 11
+    //    smallest custkeys (capped enumeration; TopKStruct k-bounded
+    //    heap, map-side combined). One customer scan and one shuffle
+    //    instead of two of each (identical grouping keys do NOT make
+    //    two aggregates share an exchange — the partial buffers
+    //    differ). Lazily checkpointed: the 8 marginal aggregations
+    //    and the 16 branch sides below all reference it.
+    val cellsTk = cust.groupBy(col("nk"), col("seg"), col("bal"), col("dig"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.expressions.TopKStruct.topK(
+          struct((-col("ck")).as("neg")), 11).as("tk"))
+      .truncatedCheckpoint()
+    val cells = cellsTk.select(col("nk"), col("seg"), col("bal"),
+      col("dig"), col("cnt"))
     // 2. exact per-pattern pair counts WITHOUT any cell×cell join
     //    (inclusion–exclusion): for each field subset S, the number of
     //    same-nation pairs agreeing on AT LEAST S is Σ C(n,2) over the
@@ -234,19 +256,13 @@ object FsLinkageQueries {
     // one broadcastable gate row carrying the six weights + wmin —
     // referenced by all 8 enumeration branches, hence checkpointed
     val gate = weights.crossJoin(broadcast(thr)).truncatedCheckpoint()
-    // 4. capped members: each cell's 11 smallest custkeys via the
-    //    TopKStruct aggregate (k-bounded heap, map-side combined — the
-    //    shuffle carries ≤ 11·mappers rows per cell, never the cell);
-    //    referenced by all 8 branches, hence checkpointed
-    val capped = cust
-      .groupBy(col("nk"), col("seg"), col("bal"), col("dig"))
-      .agg(graft.functions.expressions.TopKStruct.topK(
-        struct((-col("ck")).as("neg")), 11).as("tk"))
+    // 4. capped members: each cell's 11 smallest custkeys, read off
+    //    the shared grid aggregate
+    val capped = cellsTk
       .select(col("nk"), col("seg"), col("bal"), col("dig"),
         explode(col("tk")).as("m"))
       .select(col("nk"), col("seg"), col("bal"), col("dig"),
         (-col("m").getField("neg")).as("ck"))
-      .truncatedCheckpoint()
     // 5. one RUNTIME-GATED enumeration branch per pattern: the join is
     //    keyed on (nation ∪ agreeing fields) with explicit ≠ on the
     //    rest, so ONLY pairs of that exact pattern materialize, and the
