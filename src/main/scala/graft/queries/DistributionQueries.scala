@@ -26,25 +26,27 @@ object DistributionQueries {
     * partitioned by the ~5-value event_type, which would sort ~n/5 of
     * the fact table per task at scale just to pick 3 rows. */
   def minmaxNorm(s: SparkSession, d: String): DataFrame = {
-    val bounds = events(s, d).groupBy(col("event_type"))
-      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val top3 = events(s, d).groupBy(col("event_type"))
-      .agg(graft.functions.expressions.TopKStruct.topK(
-        struct((-col("event_id")).as("neg_id"),
-          col("event_id").as("event_id")), 3).as("arr"))
-      .select(col("event_type"),
+    // ONE events scan (round-7): the per-type bounds and the 3
+    // smallest event_ids fold into a single aggregate — the TopKStruct
+    // member carries `value` along (a trailing struct field after the
+    // unique neg_id never changes the selection), so the previous
+    // third scan (join-back to fetch value) disappears with its
+    // broadcast join
+    val g = events(s, d).groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        graft.functions.expressions.TopKStruct.topK(
+          struct((-col("event_id")).as("neg_id"),
+            col("event_id").as("event_id"),
+            col("value").as("value")), 3).as("arr"))
+    g.select(col("event_type"), col("lo"), col("hi"),
         posexplode(col("arr")).as(Seq("pos", "s")))
       .select(col("event_type"),
         (col("pos") + 1).cast("int").as("rk"),
-        col("s.event_id").as("event_id"))
-    events(s, d).join(broadcast(top3), Seq("event_type", "event_id"))
-      .join(broadcast(bounds), "event_type")
-      .withColumn("x01",
-        round((col("value") - col("lo")) / (col("hi") - col("lo")), 6))
-      .select(col("event_type"), col("rk"), col("event_id"),
-        round(col("value"), 2).as("value"),
+        col("s.event_id").as("event_id"),
+        round(col("s.value"), 2).as("value"),
         round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"),
-        col("x01"))
+        round((col("s.value") - col("lo")) / (col("hi") - col("lo")), 6)
+          .as("x01"))
       .orderBy(col("event_type"), col("rk"))
   }
 

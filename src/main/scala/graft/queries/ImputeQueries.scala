@@ -98,28 +98,50 @@ object ImputeQueries {
   /** q_dq_scorecard — five rule families over lineitem/orders as a
     * fixed pass-rate scorecard. */
   def dqScorecard(s: SparkSession, d: String): DataFrame = {
+    // TWO lineitem passes instead of four (round-7): the two
+    // column-range rules share one aggregate over the bare scan, and
+    // the two referential rules share one LEFT join — r4's n_rows is
+    // the left-join row count, r5's n_rows is the matched subset
+    // (count of non-null o_orderkey; an inner join's count(*)), and
+    // r5's pass predicate is null-rejecting so the unmatched padding
+    // rows never count. Counts are identical longs, so every
+    // pass_rate is bit-identical to the per-rule form.
     val li = lineitem(s, d)
-    def rule(name: String, df: DataFrame, ok: org.apache.spark.sql.Column)
+    def rows(name: String, n: org.apache.spark.sql.Column,
+        p: org.apache.spark.sql.Column) =
+      struct(lit(name).as("rule"), n.as("n_rows"), p.as("n_pass"))
+    def emit(agg: DataFrame, pairs: org.apache.spark.sql.Column*)
         : DataFrame =
-      df.agg(count(lit(1)).as("n_rows"),
-          count(when(ok, lit(1))).as("n_pass"))
-        .select(lit(name).as("rule"), col("n_rows"), col("n_pass"),
-          round(col("n_pass").cast("double")
-            / col("n_rows").cast("double"), 6).as("pass_rate"))
-    val r1 = rule("li_qty_range", li,
-      col("l_quantity") >= 1 && col("l_quantity") <= 50)
-    val r2 = rule("li_discount_range", li,
-      col("l_discount") >= 0.0 && col("l_discount") <= 0.1)
-    val r3 = rule("ord_status_enum", orders(s, d),
-      col("o_orderstatus").isin("F", "O", "P"))
-    val refOk = li.join(orders(s, d).select(col("o_orderkey")),
+      agg.select(explode(array(pairs: _*)).as("t"))
+        .select(col("t.rule").as("rule"), col("t.n_rows").as("n_rows"),
+          col("t.n_pass").as("n_pass"),
+          round(col("t.n_pass").cast("double")
+            / col("t.n_rows").cast("double"), 6).as("pass_rate"))
+    val bare = li.agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_quantity") >= 1 && col("l_quantity") <= 50,
+        lit(1))).as("p_qty"),
+      count(when(col("l_discount") >= 0.0 && col("l_discount") <= 0.1,
+        lit(1))).as("p_disc"))
+    val r12 = emit(bare,
+      rows("li_qty_range", col("n"), col("p_qty")),
+      rows("li_discount_range", col("n"), col("p_disc")))
+    val r3 = emit(
+      orders(s, d).agg(count(lit(1)).as("n"),
+        count(when(col("o_orderstatus").isin("F", "O", "P"), lit(1)))
+          .as("p_status")),
+      rows("ord_status_enum", col("n"), col("p_status")))
+    val joined = li
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"), "left")
-    val r4 = rule("li_order_ref", refOk, col("o_orderkey").isNotNull)
-    val r5 = rule("li_ship_after_order",
-      li.join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey")),
-      col("l_shipdate") >= col("o_orderdate"))
-    Seq(r1, r2, r3, r4, r5).reduce(_ unionByName _)
+      .agg(count(lit(1)).as("n_all"),
+        count(col("o_orderkey")).as("n_matched"),
+        count(when(col("l_shipdate") >= col("o_orderdate"), lit(1)))
+          .as("p_ship"))
+    val r45 = emit(joined,
+      rows("li_order_ref", col("n_all"), col("n_matched")),
+      rows("li_ship_after_order", col("n_matched"), col("p_ship")))
+    Seq(r12, r3, r45).reduce(_ unionByName _)
       .orderBy(col("rule"))
   }
 
