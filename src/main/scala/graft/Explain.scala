@@ -44,7 +44,17 @@ object Explain {
             || l.contains("Exchange SinglePartition"))
             && !l.contains("ReusedExchange"))
           val nRe = lines.count(_.contains("ReusedExchange"))
-          println(s"===== $name  (exchanges: $nEx, reused: $nRe)")
+          // scan census: how many times each base table is read in
+          // this plan (repeated fact scans are a 100 TB I/O
+          // multiplier — the round-7 q_mi_ranking/uStats/
+          // q_dq_scorecard class). Checkpoint interiors are not
+          // visible here; the gate suites sweep those.
+          val scans = lines.filter(_.contains("FileScan parquet"))
+            .flatMap(l => Tables.names.find(t => l.contains(s"$t.parquet")))
+            .groupBy(identity).view.mapValues(_.size)
+            .toSeq.sortBy(-_._2)
+          val scanStr = scans.map { case (t, c) => s"$t=$c" }.mkString(",")
+          println(s"===== $name  (exchanges: $nEx, reused: $nRe, scans: $scanStr)")
           p.linesIterator
             .filter(l => interesting.exists(l.contains))
             .foreach(l => println("  " + l.trim.take(150)))

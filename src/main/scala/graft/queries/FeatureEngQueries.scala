@@ -32,11 +32,19 @@ object FeatureEngQueries {
     def s1(c: String) = sum(col(c).cast("decimal(18,6)")).cast("double").as(s"s_$c")
     def s2(a: String, b: String) =
       sum((col(a) * col(b)).cast("decimal(27,6)")).cast("double").as(s"s_$a$b")
+    // ONE moment pass, materialized (round-7): without the lazy
+    // checkpoint the optimizer column-prunes each of the six union
+    // branches into its OWN 2-column lineitem scan + pruned aggregate
+    // (6 passes over the largest fact table, no exchange reuse — the
+    // branch aggregates differ); the checkpointed 1-row frame makes
+    // it one 4-column pass shared by all branches
+    import graft.operators.CacheOps.CheckpointSyntax
     val m = li.agg(count(lit(1)).as("n"),
       s1("q"), s1("d"), s1("e"), s1("x"),
       s2("q", "q"), s2("d", "d"), s2("e", "e"), s2("x", "x"),
       s2("q", "d"), s2("q", "e"), s2("q", "x"),
       s2("d", "e"), s2("d", "x"), s2("e", "x"))
+      .truncatedCheckpoint()
     val nD = col("n").cast("double")
     def corrOf(a: String, b: String): Column = {
       val sab = col(s"s_$a$b")

@@ -29,31 +29,39 @@ object GrowthAcctQueries {
     * retained / resurrected, plus churned (active day−1, absent
     * day), verifying the accounting identity. */
   def growthAcct(s: SparkSession, d: String): DataFrame = {
+    // ONE events scan (round-7): the previous form derived first-day,
+    // yesterday-membership and tomorrow-membership as three
+    // self-joins of the distinct (u, day) frame — and Catalyst's
+    // per-branch filter pushdown made the five resulting scan
+    // subtrees non-identical, defeating ReuseExchange (5 fact scans
+    // + 2 dedup shuffles executed). All three memberships are
+    // adjacency in the SAME per-user day sequence: first/lag/lead
+    // over one window partitioned by the high-cardinality user key
+    // (per-user rows are calendar-bounded). Identical class/churn
+    // counts, so every output row is unchanged.
     val act = events(s, d)
       .select(col("user_id").as("u"), to_date(col("ts2")).as("day"))
       .distinct()
-    val first = act.groupBy(col("u")).agg(min(col("day")).as("fday"))
-    // yesterday-active membership via the day−1 equi-join
-    val yday = act.select(col("u"), date_add(col("day"), 1).as("day"),
-      lit(1L).as("was_active"))
-    // first is a per-USER frame (grows with the user base): no
-    // broadcast hint — the u-keyed join is parallel at scale and
-    // graded-SF stats still pick broadcast on their own
-    val classed = act.join(first, "u")
-      .join(yday, Seq("u", "day"), "left")
-      .select(col("u"), col("day"),
-        when(col("day") === col("fday"), "new")
-          .when(col("was_active").isNotNull, "retained")
-          .otherwise("resurrected").as("cls"))
-    val dau = classed.groupBy(col("day")).agg(
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("day"))
+    val per = act.select(col("u"), col("day"),
+      min(col("day")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u"))).as("fday"),
+      lag(col("day"), 1).over(w).as("prev"),
+      lead(col("day"), 1).over(w).as("next"))
+    val classed = per.select(col("day"),
+      when(col("day") === col("fday"), "new")
+        .when(col("prev") === date_sub(col("day"), 1), "retained")
+        .otherwise("resurrected").as("cls"),
+      col("next").isNull || col("next") =!= date_add(col("day"), 1))
+    val perClassed = classed.toDF("day", "cls", "churns_tomorrow")
+    val dau = perClassed.groupBy(col("day")).agg(
       count(lit(1)).as("dau"),
       count(when(col("cls") === "new", lit(1))).as("new_u"),
       count(when(col("cls") === "retained", lit(1))).as("retained_u"),
       count(when(col("cls") === "resurrected", lit(1))).as("resurrected_u"))
-    val churned = act.select(col("u"), date_add(col("day"), 1).as("day"))
-      .join(act.select(col("u"), col("day"), lit(1L).as("still")),
-        Seq("u", "day"), "left")
-      .filter(col("still").isNull)
+    val churned = perClassed.filter(col("churns_tomorrow"))
+      .select(date_add(col("day"), 1).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("churned_u"))
     dau.join(churned, Seq("day"), "left")
       .select(col("day"), col("dau"), col("new_u"), col("retained_u"),

@@ -98,8 +98,19 @@ object SketchExactQueries {
     val members = customer(s, d)
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").cast("string").as("k"))
-    def bits(i: Int): DataFrame = members
-      .select(sparkBucket(col("k"), s"bf$i", 4096).as(s"p$i")).distinct()
+    // ONE members scan for all three hash functions (round-7: the
+    // per-hash form re-scanned customer six times — three bit-set
+    // builds plus their repeats under setBits); the (hash, position)
+    // pairs frame is ≤ 3·4096 rows, lazily checkpointed, and every
+    // downstream reference reads it instead of the fact table
+    import graft.operators.CacheOps.CheckpointSyntax
+    val bitsAll = members.select(explode(array((0 to 2).map(i =>
+        struct(lit(i).as("h"),
+          sparkBucket(col("k"), s"bf$i", 4096).as("p"))): _*)).as("s"))
+      .select(col("s.h").as("h"), col("s.p").as("p")).distinct()
+      .truncatedCheckpoint()
+    def bits(i: Int): DataFrame =
+      bitsAll.filter(col("h") === i).select(col("p").as(s"p$i"))
     val truth = customer(s, d).select(col("c_custkey"),
       (col("c_mktsegment") === "BUILDING").as("is_member"))
     val probes = orders(s, d).select(col("o_custkey")).distinct()
@@ -116,9 +127,7 @@ object SketchExactQueries {
       .select(col("is_member"),
         (col("h0").isNotNull && col("h1").isNotNull && col("h2").isNotNull)
           .as("pos"))
-    val setBits = bits(0).select(col("p0").as("p"))
-      .union(bits(1).select(col("p1")))
-      .union(bits(2).select(col("p2")))
+    val setBits = bitsAll.select(col("p"))
       .distinct().agg(count(lit(1)).as("bits_set"))
     hit.agg(
         count(lit(1)).as("n_probes"),
