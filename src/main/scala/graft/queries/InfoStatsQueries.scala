@@ -171,16 +171,24 @@ object InfoStatsQueries {
     * next-order sibling of the unigram q_perplexity quality score.
     * Token-keyed joins only; per-term 8dp DECIMAL rounding. */
   def bigramLm(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
-    val big = toks.as("a").join(toks.as("b"),
-        col("a.doc_id") === col("b.doc_id") &&
-          col("b.pos") === col("a.pos") + 1)
-      .select(col("a.doc_id").as("doc_id"), col("a.tok").as("w1"),
-        col("b.tok").as("w2"))
+    // Bigrams by ARRAY SHIFT, not a positional self-join (round-7):
+    // adjacent pairs come straight off the split array in one
+    // projection — the previous toks⋈toks on (doc_id, pos+1) re-read
+    // the text column per side and shuffled the whole token stream;
+    // and c1(w1) = Σ_w2 c12(w1, w2) exactly, so the unigram counts
+    // are a further contraction of the bigram counts instead of a
+    // third pass over the corpus. Two text scans total (c12 build +
+    // the per-document scoring join), down from five.
+    val withArr = documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("arr"))
+    val big = withArr
+      .filter(size(col("arr")) >= 2) // <2 tokens ⇒ no bigram (as the join form)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(arr) - 2)," +
+          " i -> struct(arr[i] AS w1, arr[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val nll = round(-log2(col("c12").cast("double") / col("c1").cast("double")), 8)
       .cast("decimal(18,8)")
     big

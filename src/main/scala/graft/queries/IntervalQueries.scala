@@ -143,13 +143,19 @@ object IntervalQueries {
     val swept = graft.operators.PrefixOps.runningSums(endpoints,
       unix_micros(col("t")), Seq(col("t"), col("delta")),
       Seq("concur" -> col("delta")), partitionBy = Seq(col("event_type")))
-    val peak = swept.groupBy(col("event_type"))
-      .agg(max(col("concur")).as("peak"))
-    swept.join(broadcast(peak), "event_type")
-      .where(col("concur") === col("peak"))
-      .groupBy(col("event_type"))
-      .agg(max(col("concur")).as("max_concurrent"),
-        min(col("t")).as("first_peak_at"))
+    // argmax in ONE grouped pass (round-7): max(struct(concur, −t))
+    // picks the peak concurrency and, among its ties, the earliest
+    // endpoint — the previous peak-frame + join-back re-executed the
+    // whole sweep a second time (the prefix machinery's scan subtrees
+    // differ per branch after pushdown, so ReuseExchange could not
+    // collapse them all). unix_micros/timestamp_micros round-trip ts2
+    // exactly (micro precision by construction).
+    swept.groupBy(col("event_type"))
+      .agg(max(struct(col("concur").as("c"),
+        (-unix_micros(col("t"))).as("negt"))).as("m"))
+      .select(col("event_type"),
+        col("m.c").as("max_concurrent"),
+        timestamp_micros(-col("m.negt")).as("first_peak_at"))
       .orderBy(col("event_type"))
   }
 
