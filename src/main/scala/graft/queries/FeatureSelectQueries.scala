@@ -34,7 +34,6 @@ object FeatureSelectQueries {
     * re-scanned events per feature — 4× the I/O at 100 TB for the
     * identical counts. */
   def miRanking(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.CacheOps.CheckpointSyntax
     val base = events(s, d).select(
       (col("event_type") === "purchase").cast("int").as("lab"),
       dayofweek(to_date(col("ts2"))).as("f_weekday"),
@@ -42,10 +41,16 @@ object FeatureSelectQueries {
       least(lit(9), floor(col("value") / 10.0).cast("int"))
         .as("f_valband"),
       (col("user_id") % 4).cast("int").as("f_usermod"))
+    // the checkpoint IS load-bearing: without it the four feature
+    // branches re-optimize separately and ReuseExchange does NOT
+    // collapse the grid copies (census-measured: events=8 scans
+    // checkpoint-free vs 1 with it), and solo timings are equal
+    // either way (17-18 s cold at sf0.1) — the barrier costs nothing
+    // measurable while the single scan is the 100 TB I/O story
+    import graft.operators.CacheOps.CheckpointSyntax
     val grid = base.groupBy(col("f_weekday"), col("f_hourband"),
         col("f_valband"), col("f_usermod"), col("lab"))
-      .agg(count(lit(1)).as("c0"))
-      .truncatedCheckpoint()
+      .agg(count(lit(1)).as("c0")).truncatedCheckpoint()
     def f(c: Column) = c.cast("double")
     def miOf(fc: String): DataFrame = {
       val cells = grid.groupBy(col(fc).as("v"), col("lab"))

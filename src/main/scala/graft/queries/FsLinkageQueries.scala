@@ -190,22 +190,19 @@ object FsLinkageQueries {
     import graft.operators.CacheOps.CheckpointSyntax
     val F = Seq("seg", "bal", "dig")
     def inPat(m: Int, i: Int): Boolean = (m & (1 << i)) != 0
-    // 1. contract to the pattern grid (constant-size at every SF) in
-    //    ONE aggregate carrying BOTH per-cell facts every later stage
-    //    needs — the member count (tier arithmetic) and the 11
-    //    smallest custkeys (capped enumeration; TopKStruct k-bounded
-    //    heap, map-side combined). One customer scan and one shuffle
-    //    instead of two of each (identical grouping keys do NOT make
-    //    two aggregates share an exchange — the partial buffers
-    //    differ). Lazily checkpointed: the 8 marginal aggregations
-    //    and the 16 branch sides below all reference it.
-    val cellsTk = cust.groupBy(col("nk"), col("seg"), col("bal"), col("dig"))
-      .agg(count(lit(1)).as("cnt"),
-        graft.functions.expressions.TopKStruct.topK(
-          struct((-col("ck")).as("neg")), 11).as("tk"))
-      .truncatedCheckpoint()
-    val cells = cellsTk.select(col("nk"), col("seg"), col("bal"),
-      col("dig"), col("cnt"))
+    // 1. contract to the pattern grid (constant-size at every SF);
+    //    lazily checkpointed — the 8 marginal aggregations below all
+    //    reference it. Kept SEPARATE from the TopKStruct member
+    //    aggregate below, deliberately: folding the count into the
+    //    same aggregate was A/B-measured 3.8× slower in-concurrency —
+    //    one custom TypedImperativeAggregate in the list forces the
+    //    WHOLE grid aggregation onto the interpreted
+    //    ObjectHashAggregate path (sort-based fallback past 128 keys)
+    //    where the count-only form is whole-stage-codegen'd; the
+    //    second scan it saves is the cheaper side of that trade at
+    //    every scale (both aggregates partial-combine map-side).
+    val cells = cust.groupBy(col("nk"), col("seg"), col("bal"), col("dig"))
+      .agg(count(lit(1)).as("cnt")).truncatedCheckpoint()
     // 2. exact per-pattern pair counts WITHOUT any cell×cell join
     //    (inclusion–exclusion): for each field subset S, the number of
     //    same-nation pairs agreeing on AT LEAST S is Σ C(n,2) over the
@@ -256,13 +253,19 @@ object FsLinkageQueries {
     // one broadcastable gate row carrying the six weights + wmin —
     // referenced by all 8 enumeration branches, hence checkpointed
     val gate = weights.crossJoin(broadcast(thr)).truncatedCheckpoint()
-    // 4. capped members: each cell's 11 smallest custkeys, read off
-    //    the shared grid aggregate
-    val capped = cellsTk
+    // 4. capped members: each cell's 11 smallest custkeys via the
+    //    TopKStruct aggregate (k-bounded heap, map-side combined — the
+    //    shuffle carries ≤ 11·mappers rows per cell, never the cell);
+    //    referenced by all 8 branches, hence checkpointed
+    val capped = cust
+      .groupBy(col("nk"), col("seg"), col("bal"), col("dig"))
+      .agg(graft.functions.expressions.TopKStruct.topK(
+        struct((-col("ck")).as("neg")), 11).as("tk"))
       .select(col("nk"), col("seg"), col("bal"), col("dig"),
         explode(col("tk")).as("m"))
       .select(col("nk"), col("seg"), col("bal"), col("dig"),
         (-col("m").getField("neg")).as("ck"))
+      .truncatedCheckpoint()
     // 5. one RUNTIME-GATED enumeration branch per pattern: the join is
     //    keyed on (nation ∪ agreeing fields) with explicit ≠ on the
     //    rest, so ONLY pairs of that exact pattern materialize, and the
