@@ -37,12 +37,25 @@ class PlanSpec extends GraftSpecBase {
   }
 
   test("q_feature_corr: single scan feeds all fifteen moments") {
-    val p = plan(FeatureEngQueries.featureCorr(spark, sf))
-    // one aggregate computes every moment; pairs unfold from its 1-row
-    // result, so lineitem appears in exactly one scan subtree (AQE may
-    // print it once per union leg as ReusedExchange references)
-    assert(p.contains("partial_count") || p.contains("HashAggregate"),
-      p.take(2000))
+    val df = FeatureEngQueries.featureCorr(spark, sf)
+    // the 1-row moment frame is LAZILY CHECKPOINTED (round-7: without
+    // the barrier each union branch column-prunes its OWN 2-column
+    // lineitem scan + pruned aggregate — six fact passes, no exchange
+    // reuse), so the visible plan reads the checkpoint leaf and the
+    // registered interior holds the ONE full-width moment aggregate
+    val p = plan(df)
+    assert(p.contains("ExistingRDD"), p.take(2000))
+    assert(!p.contains("FileScan parquet"),
+      "all branches must read the checkpointed moment row, not re-scan")
+    val interiors = graft.plans.CheckpointRegistry
+      .expand(df.queryExecution.optimizedPlan)
+    val oneGlobalAgg = interiors.exists(_.exists {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.isEmpty
+      case _ => false
+    })
+    assert(oneGlobalAgg,
+      "the checkpointed interior must hold the single moment aggregate")
   }
 
   test("q_scan_pushdown pushes the filter to parquet") {
