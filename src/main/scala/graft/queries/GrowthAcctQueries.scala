@@ -39,9 +39,16 @@ object GrowthAcctQueries {
     // over one window partitioned by the high-cardinality user key
     // (per-user rows are calendar-bounded). Identical class/churn
     // counts, so every output row is unchanged.
-    val act = events(s, d)
+    growthFrom(events(s, d)
       .select(col("user_id").as("u"), to_date(col("ts2")).as("day"))
-      .distinct()
+      .distinct())
+  }
+
+  /** The window-form growth accounting over a distinct `act(u, day)`
+    * frame — factored so GrowthAcctSpec can drive synthetic activity
+    * shapes (gaps, resurrections, single-day users, last-day churn)
+    * against the self-join reference form. */
+  private[graft] def growthFrom(act: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("day"))
     val per = act.select(col("u"), col("day"),

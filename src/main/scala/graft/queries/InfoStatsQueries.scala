@@ -170,6 +170,19 @@ object InfoStatsQueries {
     * −log₂ P over its bigram sequence and the 2^avg perplexity — the
     * next-order sibling of the unigram q_perplexity quality score.
     * Token-keyed joins only; per-term 8dp DECIMAL rounding. */
+  /** Adjacent-token bigrams of `docs(doc_id, text)` by ARRAY SHIFT —
+    * one projection, no positional self-join. Factored out so
+    * BigramShiftSpec can drive nasty token shapes (empty text,
+    * single tokens, repeated separators, repeated bigrams) against
+    * the join-form reference. */
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("arr"))
+      .filter(size(col("arr")) >= 2) // <2 tokens ⇒ no bigram (as the join form)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(arr) - 2)," +
+          " i -> struct(arr[i] AS w1, arr[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
   def bigramLm(s: SparkSession, d: String): DataFrame = {
     // Bigrams by ARRAY SHIFT, not a positional self-join (round-7):
     // adjacent pairs come straight off the split array in one
@@ -179,14 +192,7 @@ object InfoStatsQueries {
     // are a further contraction of the bigram counts instead of a
     // third pass over the corpus. Two text scans total (c12 build +
     // the per-document scoring join), down from five.
-    val withArr = documents(s, d)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("arr"))
-    val big = withArr
-      .filter(size(col("arr")) >= 2) // <2 tokens ⇒ no bigram (as the join form)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(arr) - 2)," +
-          " i -> struct(arr[i] AS w1, arr[i + 1] AS w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = bigramsOf(documents(s, d))
     val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val nll = round(-log2(col("c12").cast("double") / col("c1").cast("double")), 8)
