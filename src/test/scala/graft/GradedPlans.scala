@@ -8,7 +8,7 @@ import graft.plans.ScaleRules
 /** The executed physical plan of every graded query, built ONCE per
   * test JVM and shared by all whole-surface plan gates
   * ([[GlobalJoinSpec]], [[GlobalWindowSpec]], [[GlobalFunnelSpec]]).
-  * Each suite previously built its own copy of all 536 plans (~2 min
+  * Each suite previously built its own copy of all 538 plans (~2 min
   * per pass); `Test / fork := true` runs every suite in one JVM, so a
   * single shared pass serves them all.
   *
