@@ -47,13 +47,21 @@ object Explain {
           // scan census: how many times each base table is read in
           // this plan (repeated fact scans are a 100 TB I/O
           // multiplier — the round-7 q_mi_ranking/uStats/
-          // q_dq_scorecard class). Checkpoint interiors are not
-          // visible here; the gate suites sweep those.
-          val scans = lines.filter(_.contains("FileScan parquet"))
-            .flatMap(l => Tables.names.find(t => l.contains(s"$t.parquet")))
-            .groupBy(identity).view.mapValues(_.size)
-            .toSeq.sortBy(-_._2)
-          val scanStr = scans.map { case (t, c) => s"$t=$c" }.mkString(",")
+          // q_dq_scorecard class). Round 8: counted on the OPTIMIZED
+          // LOGICAL plans expanded through the CheckpointRegistry, so
+          // the census sees checkpointed interiors (the round-7 blind
+          // spot), and matched by the relation's actual rootPaths
+          // instead of plan-string substrings (which Spark truncates
+          // for long Locations — the silent-undercount failure mode).
+          // Leaves matching no table print as unknown=N. The same
+          // census logic gates the build in GlobalScanSpec.
+          val scans = graft.plans.ScanCensus
+            .tableScanCounts(graft.plans.CheckpointRegistry
+              .expand(df.queryExecution.optimizedPlan))
+          val scanStr = (scans - "unknown").toSeq.sortBy(-_._2)
+            .map { case (t, c) => s"$t=$c" }
+            .++(scans.get("unknown").filter(_ > 0).map(n => s"unknown=$n"))
+            .mkString(",")
           println(s"===== $name  (exchanges: $nEx, reused: $nRe, scans: $scanStr)")
           p.linesIterator
             .filter(l => interesting.exists(l.contains))

@@ -82,17 +82,36 @@ object PrefixOps {
     *               + broadcast in the plan); `buckets` is ignored.
     *               Any monotone cut choice yields identical output —
     *               only load balance changes.
+    * @param materialize when true (default), the input is
+    *               materialized ONCE behind a lazy `localCheckpoint`
+    *               before fanning out to the bounds / within-window /
+    *               totals branches. Without it the sweep's plan tree
+    *               embeds a separate copy of the input subtree in
+    *               each branch (~6 references), and Spark re-executes
+    *               each copy from its scans — the round-8 scan census
+    *               measured up to 96 base-table scans in one query
+    *               this way (q_runs_test: chained prefix passes
+    *               multiply). At 100 TB a 6× re-read of a fact-scale
+    *               input dwarfs the cost of caching one narrow
+    *               projection that is provably reused. Callers whose
+    *               input is ALREADY a checkpoint leaf (e.g.
+    *               [[groupedCumCounts]]'s contracted grid) pass
+    *               false — re-deriving a bucket column from a cached
+    *               leaf is cheaper than a second cached copy.
     */
   def runningSums(df: DataFrame, key: Column, order: Seq[Column],
       sums: Seq[(String, Column)], buckets: Int = 64,
       partitionBy: Seq[Column] = Nil,
-      boundaries: Seq[Double] = Nil): DataFrame = {
+      boundaries: Seq[Double] = Nil,
+      materialize: Boolean = true): DataFrame = {
+    import CacheOps.CheckpointSyntax
     // 0. materialize the group keys once under internal names so every
     //    later phase (bounds, totals, offsets) can reference them even
     //    when callers pass computed expressions
     val pn = partitionBy.indices.map(i => s"__pfx_p$i")
-    val withP = partitionBy.zipWithIndex.foldLeft(df) {
+    val withP0 = partitionBy.zipWithIndex.foldLeft(df) {
       case (acc, (c, i)) => acc.withColumn(s"__pfx_p$i", c) }
+    val withP = if (materialize) withP0.truncatedCheckpoint() else withP0
     // 1. lazy equi-width buckets from a broadcast (min, max) — per
     //    group when partitioned: exact, deterministic,
     //    partial-aggregable — every plan branch derives the identical
@@ -209,10 +228,20 @@ object PrefixOps {
     * engine-specific null placement; filter or coalesce first). */
   def groupedCumCounts(df: DataFrame, groups: Seq[String], value: String,
       buckets: Int = 64): DataFrame = {
+    import CacheOps.CheckpointSyntax
+    // the contracted grid feeds the prefix sweep AND the group totals
+    // below (and, pre-round-8, was re-embedded per branch — ~7 input
+    // subtree copies per call, each re-executing the fact scan +
+    // groupBy). One lazy checkpoint of the grid (small: one row per
+    // distinct (groups…, value)) makes every consumer read the same
+    // materialization; runningSums then skips its own input
+    // materialization (the grid is already a leaf).
     val grid = df.groupBy((groups :+ value).map(col): _*)
       .agg(count(lit(1)).as("c"))
+      .truncatedCheckpoint()
     val cum = runningSums(grid, col(value), Seq(col(value)),
-      Seq("cum" -> col("c")), buckets, groups.map(col))
+      Seq("cum" -> col("c")), buckets, groups.map(col),
+      materialize = false)
     val totals = grid.groupBy(groups.map(col): _*)
       .agg(sum(col("c")).as("n"))
     val totalsR = totals.select(
@@ -255,15 +284,19 @@ object PrefixOps {
     * contraction pass where that is free). */
   def exclusiveRunningMax(df: DataFrame, key: Column, order: Seq[Column],
       name: String, value: Column, buckets: Int = 64): DataFrame = {
+    import CacheOps.CheckpointSyntax
+    // same fan-out as runningSums (bounds / within / totals all
+    // reference the input) — materialize it once (round-8 scan gate)
+    val dfM = df.truncatedCheckpoint()
     val k = key.cast("double")
-    val bounds = df.agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
+    val bounds = dfM.agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
     val width =
       (col("__pfx_hi") - col("__pfx_lo")) / lit(buckets.toDouble)
     val b = when(col("__pfx_hi") <= col("__pfx_lo"), lit(0))
       .otherwise(least(
         floor((k - col("__pfx_lo")) / width).cast("int"),
         lit(buckets - 1)))
-    val parted = df.crossJoin(broadcast(bounds))
+    val parted = dfM.crossJoin(broadcast(bounds))
       .withColumn("__pfx_bucket", coalesce(b, lit(0)))
       .drop("__pfx_lo", "__pfx_hi")
     val w = Window.partitionBy(col("__pfx_bucket")).orderBy(order: _*)

@@ -308,13 +308,103 @@ object ScaleRules {
     }
   }
 
+  /** Round-8 (verdict item 7): filter conditions visible below a
+    * physical node — FilterExec conditions in the subtree, plus (so
+    * the round-8 lazy-checkpoint materializations don't hide proofs)
+    * Filter conditions inside any checkpointed interior reachable
+    * through an RDD-scan leaf. */
+  private def filterCondsBelow(p: SparkPlan)
+      : Seq[Expression] = {
+    val direct = p.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => Seq(f.condition)
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        CheckpointRegistry.lookup(r.rdd.id).toSeq.flatMap(_.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        })
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        filterCondsBelow(s.relation.cachedPlan)
+    }
+    direct.flatten
+  }
+
+  /** The PHYSICAL twin of [[boundedLogical]]'s literal-predicate
+    * rule: the grouping attribute is pinned to a literal domain by an
+    * In / InSet / = literal filter below the aggregate (e.g. the
+    * retrieval queries' 3-literal query-term panels). Matches by
+    * exprId, with a NAME fallback for attributes re-created across a
+    * localCheckpoint boundary — name trust carries the same
+    * documented spoof caveat as the bounded-name vocabulary (a user
+    * column aliased onto a filtered name would pass; gates only, can
+    * never loosen product results). */
+  private def literallyBoundedPhys(a: Attribute, below: SparkPlan)
+      : Boolean =
+    filterCondsBelow(below).exists { cond =>
+      cond.exists {
+        case In(att: Attribute, vs) =>
+          (att.exprId == a.exprId || att.name == a.name) &&
+            vs.forall(_.isInstanceOf[Literal])
+        case InSet(att: Attribute, _) =>
+          att.exprId == a.exprId || att.name == a.name
+        case EqualTo(att: Attribute, _: Literal) =>
+          att.exprId == a.exprId || att.name == a.name
+        case EqualTo(_: Literal, att: Attribute) =>
+          att.exprId == a.exprId || att.name == a.name
+        case _ => false
+      }
+    }
+
+  /** Round-8 alias resolution for computed grouping keys: resolve the
+    * attribute through Project aliases below (physical, and logical
+    * inside checkpoint interiors) and accept expressions that are
+    * provably finite-valued — literal-valued CASE WHEN chains
+    * (≤ branches+1 values), or any deterministic expression whose
+    * every attribute input is itself a bounded domain (a function of
+    * a finite domain has a finite image: substring(o_orderpriority),
+    * bucketed casts of a 25-value key, …). */
+  private def aliasBoundedPhys(a: Attribute, below: SparkPlan): Boolean = {
+    def boundedExpr(e: Expression): Boolean = e match {
+      case _: Literal => true
+      case c: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
+        c.branches.forall { case (_, v) => boundedExpr(v) } &&
+          c.elseValue.forall(boundedExpr)
+      case att: Attribute =>
+        lowCardNames.contains(att.name) || boundedAliasNames.contains(att.name) ||
+          att.dataType == org.apache.spark.sql.types.DateType
+      case other =>
+        other.deterministic && other.references.nonEmpty &&
+          other.references.forall(r =>
+            lowCardNames.contains(r.name) || boundedAliasNames.contains(r.name) ||
+              r.dataType == org.apache.spark.sql.types.DateType)
+    }
+    val aliases: Seq[org.apache.spark.sql.catalyst.expressions.Alias] = {
+      val phys = below.collect {
+        case pr: org.apache.spark.sql.execution.ProjectExec =>
+          pr.projectList.collect {
+            case al: org.apache.spark.sql.catalyst.expressions.Alias => al }
+        case r: org.apache.spark.sql.execution.RDDScanExec =>
+          CheckpointRegistry.lookup(r.rdd.id).toSeq.flatMap(_.collect {
+            case pj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+              pj.projectList.collect {
+                case al: org.apache.spark.sql.catalyst.expressions.Alias => al }
+          }.flatten)
+      }
+      phys.flatten
+    }
+    aliases.exists(al =>
+      (al.exprId == a.exprId || al.name == a.name) && boundedExpr(al.child))
+  }
+
   /** Physical row bound — the SparkPlan twin of [[boundedLogical]]
     * (GlobalJoinSpec's BNLJ-build proof, promoted to main in round 7
     * so cached subtrees can carry it: a `.persist()` plants an
     * InMemoryRelation leaf in the LOGICAL plan whose interior only
     * exists physically). Grouping-key rules mirror the logical
     * Aggregate rule: bounded-domain names, PrefixOps internals,
-    * DATE-typed keys. */
+    * DATE-typed keys, plus (round 8) the literal-predicate and
+    * bounded-alias-expression proofs ([[literallyBoundedPhys]] /
+    * [[aliasBoundedPhys]]) that let the former query-term-panel and
+    * rating-grid allowlist entries prove out structurally. */
   def boundedPhysical(p: SparkPlan): Boolean = p match {
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
       import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
@@ -331,7 +421,9 @@ object ScaleRules {
               lowCardNames.contains(att.name) ||
                 boundedAliasNames.contains(att.name) ||
                 att.name.startsWith("__pfx_p") ||
-                Set("__pfx_bucket", "__tb", "__eb").contains(att.name)
+                Set("__pfx_bucket", "__tb", "__eb").contains(att.name) ||
+                literallyBoundedPhys(att, a.child) ||
+                aliasBoundedPhys(att, a.child)
             case _ => false
           }) || g.dataType == org.apache.spark.sql.types.DateType
         })
@@ -339,6 +431,17 @@ object ScaleRules {
          _: org.apache.spark.sql.execution.LocalLimitExec |
          _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
          _: org.apache.spark.sql.execution.CollectLimitExec => true
+    // round-8 port of boundedLogical's fixture-PK rule: an equality
+    // pin on a unique row key is a 1-row fetch (the q_sim_cosine /
+    // q_knn_classify "query vector by vec_id = 0" probes)
+    case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.exists {
+          case EqualTo(att: Attribute, _: Literal) =>
+            Set("vec_id", "doc_id", "event_id").contains(att.name)
+          case EqualTo(_: Literal, att: Attribute) =>
+            Set("vec_id", "doc_id", "event_id").contains(att.name)
+          case _ => false
+        } => true
     case _: org.apache.spark.sql.execution.LocalTableScanExec => true
     case f: org.apache.spark.sql.execution.FileSourceScanExec =>
       val path = f.relation.location.rootPaths.mkString(",")

@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Per-table base-scan census over optimized LOGICAL plans — the
+  * round-8 promotion of Explain's dev census (which found 9 queries
+  * silently re-reading fact tables up to 7× in round 7) to shared,
+  * gate-grade logic: [[graft.Explain]] prints it, GlobalScanSpec
+  * fails the build on it.
+  *
+  * Counting basis and why:
+  *  - LOGICAL occurrences of each parquet relation, over plans
+  *    expanded through [[CheckpointRegistry]] — so checkpointed
+  *    interiors (where round 7's offenders hid) are visible, unlike
+  *    the executed-plan string census this replaces.
+  *  - Matched by the relation's actual `rootPaths` file names, not
+  *    plan-string substrings: Spark truncates long Location strings
+  *    in plan output, which silently undercounted (round-7 ADVICE).
+  *    Leaves matching no graded table are reported as `unknown` so
+  *    any future mismatch is visible instead of silent.
+  *  - Logical counts are an UPPER bound on physical I/O (ReuseExchange
+  *    can dedupe identical subtrees at execution) — conservative in
+  *    the direction the 100 TB grade cares about: a plan that passes
+  *    the gate logically cannot scan more at runtime.
+  */
+object ScanCensus {
+
+  /** Tables whose size grows with the corpus — a repeated scan of one
+    * of these is an N× I/O multiplier at 100 TB. Dimension tables
+    * (region, nation) and bounded frames are excluded: re-reading a
+    * 25-row table is free at any scale. Derived from the same
+    * growth vocabulary as [[ScaleRules]] (fact tables of TESTDATA.md). */
+  val factTables: Set[String] = Set(
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings")
+
+  /** Count of base-table scans per table name across `plans`
+    * (typically one query's CheckpointRegistry-expanded plan list).
+    * Key "unknown" counts file relations matching no graded table. */
+  def tableScanCounts(plans: Seq[LogicalPlan]): Map[String, Int] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    plans.foreach(_.foreach {
+      case lr: LogicalRelation =>
+        val name = lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.iterator.flatMap(p =>
+              graft.Tables.names.find(t => p.getName == s"$t.parquet"))
+              .toSeq.headOption
+          case _ => None
+        }
+        val key = name.getOrElse("unknown")
+        counts(key) = counts.getOrElse(key, 0) + 1
+      case _ => ()
+    })
+    counts.toMap
+  }
+
+  /** The gate predicate: fact tables scanned more than `maxScans`
+    * times in one query's expanded plan. */
+  def factOffenders(plans: Seq[LogicalPlan], maxScans: Int)
+      : Map[String, Int] =
+    tableScanCounts(plans).filter { case (t, c) =>
+      factTables.contains(t) && c > maxScans
+    }
+}

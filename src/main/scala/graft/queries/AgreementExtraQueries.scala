@@ -37,11 +37,15 @@ object AgreementExtraQueries {
     * day-subjects × event-type categories. */
   def fleissKappa(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("day")).orderBy(col("event_id"))
+    // ≤NR-per-day panel feeds the complete-day filter and the cell
+    // grid — materialize once (round-8 scan gate: was 6 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val rated = events(s, d)
       .select(to_date(col("ts2")).as("day"), col("event_id"),
         col("event_type").as("cat"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= NR)
+      .truncatedCheckpoint()
     val fullDays = rated.groupBy(col("day"))
       .agg(count(lit(1)).as("nr")).filter(col("nr") === NR)
       .select(col("day"))

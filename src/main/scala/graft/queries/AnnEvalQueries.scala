@@ -31,8 +31,13 @@ object AnnEvalQueries {
   def annRecall(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Ann
     val planes = Ann.hyperplanes(BITS, 64)
+    // bucketed vectors feed the query probe + the exact and ANN legs
+    // of the recall comparison — materialize once (round-8 scan gate:
+    // was 6 embeddings scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val e = embeddings(s, d)
       .withColumn("bucket", Ann.bucketCol(col("embedding"), planes))
+      .truncatedCheckpoint()
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"), col("bucket").as("qb"))
     def scored(df: DataFrame) = df

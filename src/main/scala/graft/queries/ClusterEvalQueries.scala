@@ -38,10 +38,16 @@ object ClusterEvalQueries {
     val cent = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cluster"), col("pos"),
         col("x").as("c"))
+    // n×K narrow rows, referenced by the own/other/assignment
+    // branches of every consumer — materialize once (round-8 scan
+    // gate: was 12 embeddings scans in q_ch_db; recomputing the
+    // explode+centroid join per branch is the expensive part)
+    import graft.operators.CacheOps.CheckpointSyntax
     e.join(broadcast(cent), "pos")
       .groupBy(col("vec_id"), col("cluster"))
       .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 10)
         .cast("decimal(24,10)")).as("d2"))
+      .truncatedCheckpoint()
   }
 
   private val distsSql: String =
@@ -113,8 +119,12 @@ object ClusterEvalQueries {
       .agg(min(struct(col("d2"), col("cluster"))).as("m"))
       .select(col("vec_id"), col("m.cluster").as("cluster"))
     val truth = embeddings(s, d).select(col("vec_id"), col("label"))
+    // k×k contingency grid feeds the pair fold + both margin folds —
+    // materialize once (round-8 scan gate: was 5 embeddings scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val cont = assigned.join(truth, "vec_id")
       .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("nij"))
+      .truncatedCheckpoint()
     // n·(n−1) is even, so the double division by 2 is exact and the
     // long cast restores the integer type (matches the oracle's `//`)
     def c2(c: org.apache.spark.sql.Column) =
@@ -205,10 +215,16 @@ object ClusterEvalQueries {
     * them; everything after runs on the bounded label grid (≤k²
     * centroid pairs). */
   def chDb(s: SparkSession, d: String): DataFrame = {
-    val e = ex(s, d)
+    // the exploded components feed 4 branches (label/grand centroids,
+    // within-scatter, per-vector distances) and the k×dim centroid
+    // grid feeds 5 — materialize each once (round-8 scan gate: was
+    // 12 embeddings scans)
+    import graft.operators.CacheOps.CheckpointSyntax
+    val e = ex(s, d).truncatedCheckpoint()
     val labCent = e.groupBy(col("label"), col("pos"))
       .agg(round(sum(col("x").cast("decimal(18,8)")).cast("double")
         / count(lit(1)).cast("double"), 8).as("mu"))
+      .truncatedCheckpoint()
     val grand = e.groupBy(col("pos"))
       .agg(round(sum(col("x").cast("decimal(18,8)")).cast("double")
         / count(lit(1)).cast("double"), 8).as("g"))

@@ -29,9 +29,14 @@ object ConformalQueries {
   /** q_conformal — per type: the conformal half-width q̂ at 90% and
     * its empirical test coverage. */
   def conformal(s: SparkSession, d: String): DataFrame = {
+    // (type, day) grid feeds the horizon probe + every split/score
+    // branch — materialize once (round-8 scan gate: was 12 events
+    // scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val daily = events(s, d)
       .groupBy(col("event_type").as("t"), to_date(col("ts2")).as("day"))
       .agg(round(graft.Determinism.dsum(col("value")), 4).as("v"))
+      .truncatedCheckpoint()
     val horizon = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val idx = daily.crossJoin(broadcast(horizon))
       .select(col("t"), col("v"),

@@ -40,10 +40,16 @@ object CorpusSimQueries {
       .agg(countDistinct(col("doc_id")).as("df"))
     // df is |vocab|-sized — no broadcast hint (q_text_tfidf rule):
     // token-keyed shuffle join at scale, stats-chosen broadcast at SF
+    // the weighted postings frame is referenced by the norms pass AND
+    // both sides of the dot-product self-join — materialize once
+    // (round-8 scan gate: was 24 documents scans; re-running the
+    // explode+groupBy+df join three times is pure waste at any SF)
+    import graft.operators.CacheOps.CheckpointSyntax
     val w = tok.join(df, "token").crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
         (col("tf").cast(dbl) * log(col("n_docs").cast(dbl) / col("df").cast(dbl)))
           .as("w"))
+      .truncatedCheckpoint()
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(dec30(col("w") * col("w"))).cast(dbl).as("nrm"))
     val dots = w.as("a").join(w.as("b"),
@@ -56,6 +62,9 @@ object CorpusSimQueries {
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4).as("cos_sim"))
+      // both union branches reference the pair frame — materialize so
+      // the postings self-join (the plan's expensive stage) runs once
+      .truncatedCheckpoint()
     // symmetrize (pairs were generated once with doc_a < doc_b), then
     // keep each doc's single most-similar neighbour
     val sym = cos.unionAll(cos.select(col("doc_b").as("doc_a"),

@@ -236,11 +236,17 @@ object CountDispersionQueries {
     * 8dp-rounded λ. The binned-count contraction makes both the
     * observed table and the χ² fold constant-size. */
   def gofPoisson(s: SparkSession, d: String): DataFrame = {
+    // the 1-row (n, λ̂) frame is re-embedded by all 8 expected-mass
+    // branches + the tail fold — materialize it (and the shared
+    // hourly slice) once (round-8 scan gate: was 51 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val h = hourly(s, d).filter(col("t") === "purchase")
+      .truncatedCheckpoint()
     val m = h.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
       .select(col("n"),
         round(col("sc").cast("double") / col("n").cast("double"), 8)
           .as("lam"))
+      .truncatedCheckpoint()
     val obs = h.select(least(lit(8L), col("c")).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("o"))
     val fact = Seq(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L)

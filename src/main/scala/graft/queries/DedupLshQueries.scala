@@ -51,7 +51,13 @@ object DedupLshQueries {
     * MinHash index: every candidate pair sharing a band bucket,
     * verified by exact shingle Jaccard ≥ 0.5. */
   def lshExact(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    // the distinct shingle postings feed the signature pass, the size
+    // frame, and both legs of the exact-Jaccard verify; the banded
+    // buckets feed the skew census + the capped self-join —
+    // materialize each once (round-8 scan gate: was 8 documents
+    // scans re-running the shingle explode)
+    import graft.operators.CacheOps.CheckpointSyntax
+    val sh = shingles(s, d).truncatedCheckpoint()
     val hashed = sh.groupBy(col("doc_id")).agg(
       min(md5Bucket(concat(lit("lsh0:"), col("sh")), lit(Space))).as("h0"),
       (1 until Hashes).map(i =>
@@ -64,6 +70,7 @@ object DedupLshQueries {
     }
     val buckets = hashed.select(col("doc_id"),
       explode(array(bandKeys: _*)).as("bkt"))
+      .truncatedCheckpoint()
     // skew guard: a degenerate band bucket (boilerplate corpora hash
     // thousands of docs into one bucket) would make the self-join
     // quadratic in that bucket — cap membership at 64, matching the

@@ -62,10 +62,16 @@ object DedupQueries {
   private val BandRows = 4
 
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    // the distinct postings feed the signature pass, the size frame,
+    // and both legs of the exact-intersection verify — materialize
+    // once (round-8 scan gate: was 6 documents scans re-running the
+    // explode+distinct)
+    import graft.operators.CacheOps.CheckpointSyntax
     val tok = documents(s, d).filter(col("lang") === "fr")
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("token"))
       .distinct()
+      .truncatedCheckpoint()
     // one md5 per token, 16 signature mins as WIDE aggregate columns:
     // a single hash-shuffle on doc_id replaces the round-1
     // tok×hash_ids cross join (16× rows through a 2-key groupBy).
@@ -345,10 +351,15 @@ object DedupQueries {
     * row-number ([[graft.operators.PrefixOps.runningSums]]) joined
     * rank-to-rank+1 — no partition-less window anywhere in the plan. */
   def minhashEst(s: SparkSession, d: String): DataFrame = {
+    // distinct postings feed the signature pass, the size frame, and
+    // both exact-intersection legs — materialize once (round-8 scan
+    // gate: was 5 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val tok = documents(s, d).filter(col("lang") === "fr")
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("token"))
       .distinct()
+      .truncatedCheckpoint()
     val th = tok.select(col("doc_id"), md5(col("token")).as("m"))
       .select(col("doc_id"), expr(hexval("m")).as("h"))
     val sig = th.groupBy(col("doc_id"))

@@ -27,11 +27,18 @@ import graft.Tables._
   * terms round at 6dp into DECIMAL sums. */
 object EconometricsQueries {
 
-  /** Daily purchase (y) / non-purchase (x) counts. */
-  private def daily(s: SparkSession, d: String): DataFrame =
+  /** Daily purchase (y) / non-purchase (x) counts — materialized once
+    * per query (round-8 scan gate): every estimator in this family
+    * fans the grid into lag joins + moment frames + residual passes,
+    * which re-embedded the events scan up to 28× per plan before. The
+    * grid is one row per day — trivially cacheable at any corpus SF. */
+  private def daily(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
     events(s, d).groupBy(to_date(col("ts2")).as("day"))
       .agg(count(when(col("event_type") === "purchase", lit(1))).as("y"),
         count(when(col("event_type") =!= "purchase", lit(1))).as("x"))
+      .truncatedCheckpoint()
+  }
 
   private val dailySql: String =
     """SELECT CAST(ts AS DATE) AS day,

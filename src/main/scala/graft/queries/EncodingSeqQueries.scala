@@ -26,11 +26,17 @@ object EncodingSeqQueries {
     * partial-aggregable max/min(struct) shape. */
   def joinNearest(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
+    // the probe side feeds both direction legs + the final join; the
+    // build side feeds both legs — materialize each once (round-8
+    // scan gate: was 5 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts2").as("p_ts"))
+      .truncatedCheckpoint()
     val sg = e.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts2").as("s_ts"),
         col("event_id").as("s_id"))
+      .truncatedCheckpoint()
     val bwd = p.join(sg, col("user_id") === col("s_user") &&
         col("s_ts") <= col("p_ts"))
       .groupBy(col("p_id"))

@@ -122,9 +122,16 @@ object EvalExtraQueries {
   def macroF1(s: SparkSession, d: String): DataFrame = {
     val lab = events(s, d).select(col("event_type").as("y_true"),
       predRule(col("value")).as("y_pred"))
+    // ONE pass over the fact rows: the confusion grid is the only
+    // fact-scale aggregation — the class spine is its distinct
+    // y_true (every true class appears in some cell), not a second
+    // pass. Grid materialized once (round-8 scan gate: was 8 events
+    // scans).
+    import graft.operators.CacheOps.CheckpointSyntax
     val cells = lab.groupBy(col("y_true"), col("y_pred"))
       .agg(count(lit(1)).as("c"))
-    val classes = lab.select(col("y_true").as("cls")).distinct()
+      .truncatedCheckpoint()
+    val classes = cells.select(col("y_true").as("cls")).distinct()
     val tp = cells.where(col("y_true") === col("y_pred"))
       .select(col("y_true").as("cls"), col("c").as("tp"))
     val predTot = cells.groupBy(col("y_pred").as("cls"))

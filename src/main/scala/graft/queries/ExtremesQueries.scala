@@ -202,7 +202,11 @@ object ExtremesQueries {
     * one conditional-moment pass: each threshold's excess moments
     * are filtered decimal folds over the same scan. */
   def potGpd(s: SparkSession, d: String): DataFrame = {
+    // 1-col projection feeds one excess branch per threshold —
+    // materialize once (round-8 scan gate: was 5 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val v = events(s, d).select(col("value"))
+      .truncatedCheckpoint()
     val thresholds = Seq(70.0, 75.0, 80.0, 85.0, 90.0)
     def f(c: String) = col(c).cast("double")
     val rows = thresholds.map { u =>

@@ -110,11 +110,20 @@ object FairnessQueries {
       .select(col("qid"), least(
         floor((col("c_acctbal") - col("lo")) * lit(20.0)
           / (col("hi") - col("lo"))).cast("int"), lit(19)).as("bin"))
+    // ONE pass over the fact rows: the (qid, bin) count grid is the
+    // only fact-scale aggregation; group totals / global bin counts /
+    // grand total are exact integer folds OF THE GRID (identical
+    // values — sums of disjoint counts), not separate passes. The
+    // grid is ≤ |qid|·20 rows — materialized once (round-8 scan
+    // gate: the four independent passes re-embedded the customer
+    // scan 16× in this plan).
+    import graft.operators.CacheOps.CheckpointSyntax
     val gCnt = binned.groupBy(col("qid"), col("bin"))
       .agg(count(lit(1)).as("c"))
-    val gN = binned.groupBy(col("qid")).agg(count(lit(1)).as("gn"))
-    val glob = binned.groupBy(col("bin")).agg(count(lit(1)).as("gc"))
-    val tot = binned.agg(count(lit(1)).as("tn"))
+      .truncatedCheckpoint()
+    val gN = gCnt.groupBy(col("qid")).agg(sum(col("c")).as("gn"))
+    val glob = gCnt.groupBy(col("bin")).agg(sum(col("c")).as("gc"))
+    val tot = gCnt.agg(sum(col("c")).as("tn"))
     // dense (qid × 20-bin) grid so absent bins carry share 0
     val grid = gN.crossJoin(broadcast(glob.crossJoin(broadcast(tot))))
       .join(gCnt, Seq("qid", "bin"), "left")

@@ -213,6 +213,14 @@ object FsLinkageQueries {
     //    replace the previous within-nation grid×grid join, whose
     //    ≤ |cells/nation|² cell pairs were a large constant
     //    (~3.9 M at sf0.1, ~378 M at grid saturation).
+    //    Exactness bound (round-7 ADVICE): the pair count
+    //    n·(n−1)/2 is LONG arithmetic on per-(nation ∪ S) member
+    //    counts — exact while every group stays below ~4.3e9 members
+    //    (n·(n−1) < 2⁶³), i.e. up to ~10⁵× the stated 100 TB posture
+    //    (~6e8 customers/nation); beyond that, switch the fold to
+    //    decimal(38,0). Documented rather than decimal-by-default:
+    //    the long fold keeps the grid aggregation codegen'd, and the
+    //    driver-hash contract pins the LONG output type.
     def atLeast(m: Int): DataFrame = {
       val keys = col("nk") +: F.zipWithIndex.collect {
         case (f, i) if inPat(m, i) => col(f) }

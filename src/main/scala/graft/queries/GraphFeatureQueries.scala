@@ -26,7 +26,10 @@ import graft.Tables._
 object GraphFeatureQueries {
 
   /** Undirected simple edges a<b of the nation trade graph. */
-  private def undirected(s: SparkSession, d: String): DataFrame =
+  private def undirected(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
+    // <=|nations|^2 edge grid referenced by several branches per
+    // query - materialize once (round-8 scan gate)
     customer(s, d).select(col("c_custkey"), col("c_nationkey").as("src"))
       .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
         col("o_custkey") === col("c_custkey"))
@@ -38,6 +41,8 @@ object GraphFeatureQueries {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .truncatedCheckpoint()
+  }
 
   private val undirectedSql: String =
     """SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,

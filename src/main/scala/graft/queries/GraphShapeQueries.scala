@@ -28,7 +28,11 @@ object GraphShapeQueries {
 
   /** Directed weighted nation trade graph (customer nation → supplier
     * nation, weight = lineitem count). */
-  private def edges(s: SparkSession, d: String): DataFrame =
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
+    // ≤|nations|² edge grid, referenced by every shape/assortativity/
+    // modularity branch — materialize once (round-8 scan gate: the
+    // re-embedded 4-table join chain cost 12 fact scans per plan)
     customer(s, d).select(col("c_custkey"), col("c_nationkey").as("na"))
       .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
         col("o_custkey") === col("c_custkey"))
@@ -37,6 +41,8 @@ object GraphShapeQueries {
       .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey").as("nb")),
         col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("na"), col("nb")).agg(count(lit(1)).as("w"))
+      .truncatedCheckpoint()
+  }
 
   private val edgesSql: String =
     """SELECT c.c_nationkey AS src, s.s_nationkey AS dst,

@@ -124,7 +124,12 @@ object GrowthAcctQueries {
         col("event_type").as("a"))
       .withColumn("b", lead(col("a"), 1).over(w))
       .filter(col("b").isNotNull)
+    // |alphabet|²-cell transition grid feeds p (referenced by the 3
+    // unrolled power-iteration steps) and outT — materialize once
+    // (round-8 scan gate: was 8 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val trans = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .truncatedCheckpoint()
     val outT = trans.groupBy(col("a")).agg(sum(col("c")).as("ca"))
     val p = trans.join(broadcast(outT), "a")
       .select(col("a"), col("b"),

@@ -78,12 +78,18 @@ object HitsFunnelQueries {
   def funnelWindow(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("user_id"), col("event_type"),
       col("ts2"), unix_micros(col("ts2")).as("us"))
+    // shared stage frames materialized once (round-8 scan gate: the
+    // funnel chain otherwise re-runs every upstream stage per
+    // downstream branch — was 6 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val step1 = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      .truncatedCheckpoint()
     val step2 = e.filter(col("event_type") === "click")
       .join(step1, "user_id")
       .filter(col("us") >= col("t1") && col("us") - col("t1") <= 3600000000L)
       .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      .truncatedCheckpoint()
     val step3 = e.filter(col("event_type") === "purchase")
       .join(step2, "user_id")
       .filter(col("us") >= col("t2") && col("us") - col("t2") <= 3600000000L)

@@ -140,8 +140,14 @@ object InequalityQueries {
       .join(broadcast(region(s, d)),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("r_name"))
+    // per-customer (region, spend) rows feed the group moments AND
+    // the within-entropy pass; the 5-row group frame feeds two joins
+    // — materialize each once (round-8 scan gate: was 5 orders +
+    // customer scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val sp = spend(s, d).join(dim, col("o_custkey") === col("c_custkey"))
       .select(col("r_name"), col("spend").cast("double").as("x"))
+      .truncatedCheckpoint()
     val g = sp.groupBy(col("r_name")).agg(
       count(lit(1)).as("n_g"),
       sum(col("x").cast("decimal(18,2)")).as("s_g"))
@@ -152,6 +158,7 @@ object InequalityQueries {
         round(f("s_g") / col("n_g").cast("double"), 6).as("mu_g"),
         round(f("s_g") / f("s"), 10).as("share_g"),
         round(f("s") / f("n"), 6).as("mu"))
+      .truncatedCheckpoint()
     val within = sp.join(broadcast(gm), "r_name")
       .select(col("r_name"),
         round(col("x") / col("mu_g") * log(col("x") / col("mu_g")), 8)

@@ -28,8 +28,13 @@ object InferMoreQueries {
   /** q_dunn — pairwise Dunn z over event types: z_ij =
     * (R̄_i−R̄_j)/√((N(N+1)/12 − T/(12(N−1)))(1/n_i+1/n_j)). */
   def dunn(s: SparkSession, d: String): DataFrame = {
+    // value grid + the 5-row per-type frame each fan into several
+    // branches (prefix sweep, tie total, pairwise self-join) —
+    // materialize both once (round-8 scan gate: was 15 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val byVal = events(s, d).select(col("event_type"), col("value"))
       .groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+      .truncatedCheckpoint()
     val cum = graft.operators.PrefixOps.runningSums(byVal,
       col("value"), Seq(col("value")), Seq("ccnt" -> col("cnt")))
       .withColumn("midrank",
@@ -43,6 +48,7 @@ object InferMoreQueries {
       .select(col("t"), col("n_g"),
         round(col("rsum").cast("double") / col("n_g").cast("double"), 8)
           .as("rbar"))
+      .truncatedCheckpoint()
     val tot = byVal.agg(sum(col("cnt")).as("n"),
       sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie"))
     def f(c: String) = col(c).cast("double")
@@ -207,8 +213,13 @@ object InferMoreQueries {
     * bounded pair panel — no window; the step-up k* is one max over
     * satisfying ranks, flagged back by rank ≤ k*. */
   def bhDunn(s: SparkSession, d: String): DataFrame = {
+    // the pairwise-z frame (|types|² rows) is referenced by both
+    // sides of the rank self-join — materialize once (round-8 scan
+    // gate: was 60 events scans through the embedded dunn trees)
+    import graft.operators.CacheOps.CheckpointSyntax
     val z = dunn(s, d).select(col("t1"), col("t2"), col("z"),
       round(abs(col("z")), 6).as("az"))
+      .truncatedCheckpoint()
     val o = z.select(col("az").as("az2"), col("t1").as("u1"),
       col("t2").as("u2"))
     val ranked = z.join(broadcast(o), col("az2") > col("az") ||

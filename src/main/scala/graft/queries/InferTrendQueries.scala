@@ -35,10 +35,15 @@ object InferTrendQueries {
       .crossJoin(broadcast(n))
       .agg(min(when(col("cum").cast("double") >=
         lit(0.5) * col("nn").cast("double"), col("value"))).as("med"))
+    // |types|-row contingency frame feeds the totals fold and the
+    // per-type terms — materialize once (round-8 scan gate: was 9
+    // events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val cells = e.crossJoin(broadcast(med))
       .groupBy(col("event_type")).agg(
         count(when(col("value") > col("med"), lit(1))).as("above"),
         count(when(col("value") <= col("med"), lit(1))).as("below"))
+      .truncatedCheckpoint()
     val tots = cells.agg(sum(col("above")).as("ta"),
       sum(col("below")).as("tb"), count(lit(1)).as("k"))
     val withT = cells.crossJoin(broadcast(tots))

@@ -142,8 +142,15 @@ object InferenceQueries {
     * lift = conf/P(B) — exact user-count ratios, the |types|²
     * rule table of behavioral cross-sell analysis. */
   def assocRules(s: SparkSession, d: String): DataFrame = {
+    // ONE pass over the fact rows: the (user, type) distinct frame is
+    // the only fact-scale contraction — the user count is its
+    // distinct user_id (identical set: every user with events has ≥1
+    // type row). Materialized once (round-8 scan gate: was 5 events
+    // scans).
+    import graft.operators.CacheOps.CheckpointSyntax
     val ut = events(s, d).select(col("user_id"), col("event_type")).distinct()
-    val nUsers = events(s, d).select(col("user_id")).distinct()
+      .truncatedCheckpoint()
+    val nUsers = ut.select(col("user_id")).distinct()
       .agg(count(lit(1)).as("n_users"))
     val typeCnt = ut.groupBy(col("event_type")).agg(count(lit(1)).as("tc"))
     val pairs = ut.as("a").join(ut.as("b"),

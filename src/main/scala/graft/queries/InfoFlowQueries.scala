@@ -38,7 +38,10 @@ object InfoFlowQueries {
   /** q_cross_corr — CCF(k) = corr(x_t, y_{t+k}) for k = −5..5, each
     * lag one equi-join against broadcast standardization moments. */
   def crossCorr(s: SparkSession, d: String): DataFrame = {
-    val dd = daily(s, d)
+    // the daily grid feeds the moments frame + all 11 lag branches —
+    // materialize once (round-8 scan gate: was 33 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
+    val dd = daily(s, d).truncatedCheckpoint()
     def f(c: String) = col(c).cast("double")
     val m = dd.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
@@ -106,7 +109,11 @@ object InfoFlowQueries {
     * [p(y₁|y₀,x₀)/p(y₁|y₀)], all from the exact 8-cell count grid
     * of consecutive-day triples. */
   def transferEntropy(s: SparkSession, d: String): DataFrame = {
-    val dd = daily(s, d)
+    // daily grid + the move/triple frames each fan out into every
+    // conditional-probability branch — materialize the grid once
+    // (round-8 scan gate: was 40 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
+    val dd = daily(s, d).truncatedCheckpoint()
     val b = dd.select(col("day").as("dayp"), col("y").as("yp"),
       col("x").as("xp"))
     // up/down moves per day, then day-keyed self-join for the

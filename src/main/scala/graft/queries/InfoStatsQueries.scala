@@ -119,10 +119,16 @@ object InfoStatsQueries {
   def mutualInfo(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("event_type").as("t"),
       floor(col("value") / 100.0).cast("long").as("b"))
+    // ONE pass over the fact rows: margins and the grand total are
+    // exact integer folds OF THE CELL GRID (identical values — sums
+    // of disjoint counts), not three extra passes; the grid is
+    // materialized once (round-8 scan gate: was 8 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val cells = e.groupBy(col("t"), col("b")).agg(count(lit(1)).as("n_tb"))
-    val tm = e.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
-    val bm = e.groupBy(col("b")).agg(count(lit(1)).as("n_b"))
-    val tot = e.agg(count(lit(1)).as("n"))
+      .truncatedCheckpoint()
+    val tm = cells.groupBy(col("t")).agg(sum(col("n_tb")).as("n_t"))
+    val bm = cells.groupBy(col("b")).agg(sum(col("n_tb")).as("n_b"))
+    val tot = cells.agg(sum(col("n_tb")).as("n"))
     val joined = cells
       .join(broadcast(tm), "t").join(broadcast(bm), "b")
       .crossJoin(broadcast(tot))

@@ -36,10 +36,15 @@ object IsotonicQueries {
     val binned = e.select(
       least(floor(col("p") * lit(10.0)).cast("int"), lit(9)).as("bin"),
       col("p"), col("y"))
+    // 10-row grid referenced by both prefix legs, the spine, and the
+    // final join — materialize once (round-8 scan gate: was 6 events
+    // scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val bins = binned.groupBy(col("bin")).agg(
       count(lit(1)).as("n"),
       sum(col("p").cast("decimal(27,10)")).as("sp"),
       sum(col("y")).as("sy"))
+      .truncatedCheckpoint()
     // 10-row grid: inclusive prefix sums via a bounded self-join
     // (b ≤ a), carrying each bin's own (n, sy) so the interval sum
     // j..k is (cy_k − cy_j + sy_j) / (cn_k − cn_j + n_j)

@@ -29,9 +29,16 @@ object KmeansStepQueries {
     * members, exact decimals). Inertia must not increase — the
     * textbook monotonicity — pinned by WideningInvariantSpec. */
   def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    // exploded components feed both assignment passes + both centroid
+    // frames; the round-0 assignment feeds the update AND its own
+    // inertia fold — materialize each once (round-8 scan gate: was 6
+    // embeddings scans; per-iteration materialization is the
+    // standard distributed k-means shape)
+    import graft.operators.CacheOps.CheckpointSyntax
     val ex = embeddings(s, d).select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("x", col("v").cast("double"))
+      .truncatedCheckpoint()
     def assign(cent: DataFrame): DataFrame = {
       // d² = Σ_dims round((x−c)², 10) as exact decimal — identical in
       // any engine, so the argmin (with cluster-id tiebreak) is too
@@ -47,7 +54,7 @@ object KmeansStepQueries {
     val cent0 = ex.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cluster"), col("pos"),
         col("x").as("c"))
-    val a0 = assign(cent0)
+    val a0 = assign(cent0).truncatedCheckpoint()
     val cent1 = a0.select(col("vec_id"), col("cluster"))
       .join(ex, "vec_id")
       .groupBy(col("cluster"), col("pos"))

@@ -30,10 +30,16 @@ object LearningCurveQueries {
 
   /** q_learning_curve — fraction, train size, slope, val RMSE. */
   def learningCurve(s: SparkSession, d: String): DataFrame = {
+    // 3-col hashed projection feeds the train moments + validation
+    // scoring; the 1-row moment frame feeds one branch per grid point
+    // - materialize each once (round-8 scan gate: was 5 lineitem
+    // scans per query)
+    import graft.operators.CacheOps.CheckpointSyntax
     val li = lineitem(s, d).select(
       substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
         col("l_linenumber").cast("string"))), 1, 2).as("h"),
       col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .truncatedCheckpoint()
     def mom(cut: String): Seq[Column] = {
       val in = col("h") < cut
       Seq(count(when(in, lit(1))).as(s"n_$cut"),
@@ -48,6 +54,7 @@ object LearningCurveQueries {
     }
     val m = li.agg(mom(cuts.head._2).head,
       (cuts.flatMap(c => mom(c._2)).drop(1)): _*)
+      .truncatedCheckpoint()
     def f(c: String) = col(c).cast("double")
     val coefRows = cuts.map { case (fr, cut) =>
       val nD = f(s"n_$cut")
@@ -128,16 +135,23 @@ object LearningCurveQueries {
     * broadcast coefficient frame — regularization sweep without
     * re-training. */
   def ridgePath(s: SparkSession, d: String): DataFrame = {
+    // 3-col hashed projection feeds the train moments + validation
+    // scoring; the 1-row moment frame feeds one branch per grid point
+    // - materialize each once (round-8 scan gate: was 5 lineitem
+    // scans per query)
+    import graft.operators.CacheOps.CheckpointSyntax
     val li = lineitem(s, d).select(
       substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
         col("l_linenumber").cast("string"))), 1, 2).as("h"),
       col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .truncatedCheckpoint()
     val m = li.filter(col("h") < "e6").agg(
       count(lit(1)).as("n"),
       sum(col("x").cast("decimal(18,2)")).as("sx"),
       sum(col("y").cast("decimal(18,2)")).as("sy"),
       sum((col("x") * col("x")).cast("decimal(27,4)")).as("sxx"),
       sum((col("x") * col("y")).cast("decimal(27,4)")).as("sxy"))
+      .truncatedCheckpoint()
     def f(c: String) = col(c).cast("double")
     val lams = Seq(0.0, 1e4, 1e5, 1e6)
     val coef = lams.map { lam =>

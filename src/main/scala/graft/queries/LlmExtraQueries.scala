@@ -36,9 +36,14 @@ object LlmExtraQueries {
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // the exploded+windowed token frame feeds all three n-gram levels
+    // (two branches each) — materialize once (round-8 scan gate: was
+    // 9 documents scans re-running the explode+lead window)
+    import graft.operators.CacheOps.CheckpointSyntax
     val grams = toks
       .withColumn("t1", lead(col("tok"), 1).over(w))
       .withColumn("t2", lead(col("tok"), 2).over(w))
+      .truncatedCheckpoint()
     def level(n: Int): DataFrame = {
       val gram = n match {
         case 1 => col("tok")

@@ -72,10 +72,16 @@ object LofQueries {
     * ≤k-per-vector kNN edge list, identical for the exact and the
     * ANN-blocked candidate generators. */
   private def lofFromPairs(pairs: DataFrame): DataFrame = {
+    // the ≤K-per-vector kNN edge list feeds the kdist / reach / LOF
+    // self-joins (and lrd feeds two of them) — materialize each once
+    // so the candidate pair join (the quadratic stage) runs exactly
+    // once per query (round-8 scan gate: was 10 embeddings scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val w = Window.partitionBy(col("src"))
       .orderBy(col("dd"), col("dst"))
     val knn = pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
+      .truncatedCheckpoint()
     val kdist = knn.groupBy(col("src").as("v"))
       .agg(max(col("dd")).as("kdist"))
     val reach = knn
@@ -86,6 +92,7 @@ object LofQueries {
       .agg(round(lit(K.toDouble)
         / sum(col("reach").cast("decimal(18,3)")).cast("double"), 6)
         .as("lrd"))
+      .truncatedCheckpoint()
     val lofScores = knn.select(col("src"), col("dst"))
       .join(lrd.select(col("src").as("dst"), col("lrd").as("lrd_j")),
         "dst")

@@ -29,8 +29,15 @@ object LogrankQueries {
       datediff(to_date(max(col("ts2"))), to_date(min(col("ts2"))))
         .as("dur"),
       (dayofweek(to_date(min(col("ts2")))).isin(1, 7)).as("wk"))
+    // ONE pass over the per-user lifetimes: the (group, duration)
+    // death grid is the only user-scale aggregation; the per-group
+    // totals below are exact folds OF THE GRID (each user has exactly
+    // one (wk, dur) row). Materialized once (round-8 scan gate: was
+    // 8 events scans).
+    import graft.operators.CacheOps.CheckpointSyntax
     val deaths = life.groupBy(col("wk"), col("dur"))
       .agg(count(lit(1)).as("dd"))
+      .truncatedCheckpoint()
     // dense (group × duration) grid so both groups carry a row at
     // every death time
     val durs = deaths.select(col("dur")).distinct()
@@ -40,7 +47,7 @@ object LogrankQueries {
     val dense = durs.crossJoin(broadcast(grps))
       .join(deaths, Seq("wk", "dur"), "left")
       .select(col("wk"), col("dur"), coalesce(col("dd"), lit(0L)).as("dd"))
-    val tot = life.groupBy(col("wk")).agg(count(lit(1)).as("ng"))
+    val tot = deaths.groupBy(col("wk")).agg(sum(col("dd")).as("ng"))
     val w = Window.partitionBy(col("wk")).orderBy(col("dur"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val atRisk = dense.withColumn("cum", sum(col("dd")).over(w))

@@ -145,7 +145,11 @@ object MatchedRanksQueries {
         .when(col("o_totalprice") < 200000.0, 2)
         .when(col("o_totalprice") < 300000.0, 3)
         .when(col("o_totalprice") < 400000.0, 4).otherwise(5).as("p"))
+    // 25-cell contingency grid feeds the total/margin/observed folds —
+    // materialize once (round-8 scan gate: was 5 orders scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val cells = t.groupBy(col("a"), col("p")).agg(count(lit(1)).as("c"))
+      .truncatedCheckpoint()
     val n = cells.agg(sum(col("c")).as("n"))
     val rowM = cells.groupBy(col("a")).agg(sum(col("c")).as("ra"))
     val colM = cells.groupBy(col("p")).agg(sum(col("c")).as("cp"))

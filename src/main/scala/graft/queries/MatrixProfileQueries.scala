@@ -38,10 +38,15 @@ object MatrixProfileQueries {
         col("v"))
     val wspec = Window.partitionBy(col("t")).orderBy(col("i"))
       .rowsBetween(0, W - 1)
+    // per-(type, day) window frame feeds both sides of the pair join;
+    // the pair grid feeds motif + both discord directions —
+    // materialize each once (round-8 scan gate: was 12 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val win = idx
       .withColumn("arr", collect_list(col("v")).over(wspec))
       .filter(size(col("arr")) === W)
       .select(col("t"), col("i"), col("arr"))
+      .truncatedCheckpoint()
     val a = win.toDF("t", "i1", "arr1")
     val b = win.toDF("t2", "i2", "arr2")
     val pairs = a.join(b, col("t") === col("t2")
@@ -56,6 +61,7 @@ object MatrixProfileQueries {
       .groupBy(col("t"), col("i1"), col("i2"))
       .agg(round(sum(col("dd").cast("decimal(18,4)")).cast("double"), 4)
         .as("d2"))
+      .truncatedCheckpoint()
     val motif = pairs
       .withColumn("rn", row_number().over(Window.partitionBy(col("t"))
         .orderBy(col("d2"), col("i1"), col("i2"))))

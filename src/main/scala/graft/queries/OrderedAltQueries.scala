@@ -36,7 +36,12 @@ object OrderedAltQueries {
         substring(col("o_orderpriority"), 1, 1).cast("int").as("dose")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("dose"), col("l_quantity").cast("int").as("q"))
+    // (dose, q) count grid feeds the dose/level spines + dense grid —
+    // materialize once (round-8 scan gate: was 14 lineitem+orders
+    // scans through re-embedded copies of the contraction)
+    import graft.operators.CacheOps.CheckpointSyntax
     val cnt = base.groupBy(col("dose"), col("q")).agg(count(lit(1)).as("c"))
+      .truncatedCheckpoint()
     val doses = cnt.select(col("dose")).distinct()
     val levels = cnt.select(col("q")).distinct()
     // dose domain is the 5 one-digit priorities — broadcast it so the
@@ -115,9 +120,13 @@ object OrderedAltQueries {
     * tie-break), type order = alphabetical index, L = Σ idx·R_type,
     * null moments E = b·k(k+1)²/4, Var = b·k²(k+1)(k²−1)/144. */
   def pageTrend(s: SparkSession, d: String): DataFrame = {
+    // (day, type) grid feeds the k-spine, the dense filter, and the
+    // type index — materialize once (round-8 scan gate)
+    import graft.operators.CacheOps.CheckpointSyntax
     val grid = events(s, d)
       .groupBy(to_date(col("ts2")).as("day"), col("event_type").as("t"))
       .agg(count(lit(1)).as("c"))
+      .truncatedCheckpoint()
     val k = grid.select(col("t")).distinct().agg(count(lit(1)).as("k"))
     val full = grid
       .withColumn("nt", count(lit(1))

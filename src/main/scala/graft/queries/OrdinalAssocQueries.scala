@@ -26,12 +26,17 @@ object OrdinalAssocQueries {
 
   /** 5×5 contingency: priority rank (1..5, already ordinal in the
     * label prefix) × price band floor(total/100k) capped at 4. */
-  private def grid(s: SparkSession, d: String): DataFrame =
+  private def grid(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
+    // 25-cell contingency grid feeds every margin/max fold —
+    // materialize once (round-8 scan gate: was 5 orders scans)
     orders(s, d).select(
       substring(col("o_orderpriority"), 1, 1).cast("int").as("x"),
       least(lit(4), floor(col("o_totalprice") / 100000.0).cast("int"))
         .as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nij"))
+      .truncatedCheckpoint()
+  }
 
   private val gridSql: String =
     """SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS x,

@@ -141,8 +141,13 @@ object PathAgreementQueries {
     * chance-corrected agreement a labeling pipeline reports instead
     * of raw accuracy. */
   def langKappa(s: SparkSession, d: String): DataFrame = {
+    // per-doc (truth, prediction) pairs feed the agreement fold and
+    // both margin passes — materialize once (round-8 scan gate: was
+    // 9 documents scans re-running the langId classifier)
+    import graft.operators.CacheOps.CheckpointSyntax
     val pred = TextAnalysisQueries.langId(s, d)
       .select(col("lang"), col("pred_lang"))
+      .truncatedCheckpoint()
     val n = pred.agg(count(lit(1)).as("n"),
       count(when(col("lang") === col("pred_lang"), lit(1))).as("hits"))
     val rows = pred.groupBy(col("lang")).agg(count(lit(1)).as("row_n"))

@@ -35,12 +35,19 @@ object PipelineQueries {
     * scale each join is co-partitioned with the previous aggregate —
     * the sort orders reuse). */
   def funnel(s: SparkSession, d: String): DataFrame = {
+    // each per-user stage frame feeds the next stage's join AND its
+    // own count — materialize the shared stages once (round-8 scan
+    // gate: was 6 events scans; the funnel chain otherwise re-runs
+    // every upstream stage per downstream branch)
+    import graft.operators.CacheOps.CheckpointSyntax
     val e = events(s, d)
     val su = e.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts2")).as("t0"))
+      .truncatedCheckpoint()
     val vi = e.filter(col("event_type") === "view")
       .join(su, "user_id").filter(col("ts2") > col("t0"))
       .groupBy(col("user_id")).agg(min(col("ts2")).as("t1"))
+      .truncatedCheckpoint()
     val pu = e.filter(col("event_type") === "purchase")
       .join(vi, "user_id").filter(col("ts2") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("ts2")).as("t2"))

@@ -40,7 +40,11 @@ object RankDistQueries {
     }
     val r1 = era(col("l_shipdate") < lit("1998-01-01"), "rank1")
     val r2 = era(col("l_shipdate") >= lit("1998-01-01"), "rank2")
-    val both = r1.join(r2, "b")
+    // |brands|-row rank table feeds the total/footrule folds and both
+    // sides of the concordance self-join — materialize once (round-8
+    // scan gate: was 14 lineitem+part scans)
+    import graft.operators.CacheOps.CheckpointSyntax
+    val both = r1.join(r2, "b").truncatedCheckpoint()
     val n = both.agg(count(lit(1)).as("n"))
     val fr = both.agg(sum(abs(col("rank1") - col("rank2"))).as("footrule"))
     val p1 = both.select(col("b").as("ba"), col("rank1").as("a1"),

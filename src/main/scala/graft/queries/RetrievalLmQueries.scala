@@ -34,13 +34,21 @@ object RetrievalLmQueries {
 
   /** Per-doc lengths, query-term tfs, and broadcast corpus stats. */
   private def matrix(s: SparkSession, d: String): DataFrame = {
+    // query-term postings feed the tf and cf passes; doc lengths feed
+    // the collection total and the dense grid — materialize each once
+    // (round-8 scan gate: the consumers re-embedded up to 5 documents
+    // scans per plan)
+    import graft.operators.CacheOps.CheckpointSyntax
     val toks = documents(s, d).select(col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("term"))
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term").isin(Q: _*))
+      .truncatedCheckpoint()
     val dl = documents(s, d).select(col("doc_id"),
-      size(split(lower(col("text")), " ")).as("len"))
-    val tf = toks.filter(col("term").isin(Q: _*))
+        size(split(lower(col("text")), " ")).as("len"))
+      .truncatedCheckpoint()
+    val tf = toks
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val cf = toks.filter(col("term").isin(Q: _*))
+    val cf = toks
       .groupBy(col("term")).agg(count(lit(1)).as("cf"))
     val total = dl.agg(sum(col("len")).as("total_len"))
     val qstats = cf.crossJoin(broadcast(total))

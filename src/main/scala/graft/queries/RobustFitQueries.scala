@@ -25,13 +25,18 @@ import graft.operators.CacheOps.CheckpointSyntax
 object RobustFitQueries {
 
   private def daily(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
     val d0 = events(s, d).agg(min(to_date(col("ts2"))).as("dmin"))
+    // one row per day, referenced by every IRLS iterate's fit +
+    // residual + MAD branch — materialize once (round-8 scan gate:
+    // q_huber re-embedded the events scan 26× through this grid)
     events(s, d)
       .groupBy(to_date(col("ts2")).as("day"))
       .agg(round(graft.Determinism.dsum(col("value")), 4).as("v"))
       .crossJoin(broadcast(d0))
       .select(col("day"), datediff(col("day"), col("dmin"))
         .cast("double").as("i"), col("v"))
+      .truncatedCheckpoint()
   }
 
   private val dailySql: String =
@@ -166,8 +171,13 @@ object RobustFitQueries {
     * 100k-scaled order totalprice over λ ∈ {−1,−0.5,0,0.5,1}:
     * LL(λ) = −n/2·ln σ̂²(z_λ) + (λ−1)Σln y; best λ flagged. */
   def boxcox(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
+    // narrow 2-column projection referenced by the log-moment frame +
+    // all 5 per-λ transform branches (was 20 orders scans); caching
+    // one 2-col projection beats 11 column-pruned re-reads at any SF
     val y = orders(s, d).select(col("o_orderkey"),
       round(col("o_totalprice") / 100000.0, 8).as("y"))
+      .truncatedCheckpoint()
     val lams = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
     val slny = y.agg(
       sum(round(log(col("y")), 8).cast("decimal(27,8)"))

@@ -27,10 +27,15 @@ object RobustSeqQueries {
     * JSON "k" field) before and after 5%/95% winsorization of
     * both coordinates. */
   def winsorizedCorr(s: SparkSession, d: String): DataFrame = {
+    // narrow 3-col projection feeds both winsor-cap probes (two
+    // passes each) + the capped fold — materialize once (round-8
+    // scan gate: was 5 events scans re-running the JSON extraction)
+    import graft.operators.CacheOps.CheckpointSyntax
     val base = events(s, d).select(col("event_type").as("t"),
         col("value").as("x"),
         get_json_object(col("props"), "$.k").cast("double").as("y"))
       .filter(col("y").isNotNull)
+      .truncatedCheckpoint()
     def caps(c: String): DataFrame = {
       val byVal = base.groupBy(col("t"), col(c).as("v"))
         .agg(count(lit(1)).as("cnt"))

@@ -72,17 +72,32 @@ object ShapleyQueries {
       .select(col("user_id"), coalesce(col("mask"), lit(0)).as("mask"))
   }
 
-  /** v(S) for all 16 subsets: converters whose coalition ⊆ S. */
-  private def vTable(s: SparkSession, d: String): DataFrame = {
-    val maskCounts = masks(s, d).groupBy(col("mask"))
+  /** Per-mask converter counts (≤16 rows) — materialized once: the
+    * fact-scale masks pipeline feeds both the v-table and
+    * q_coalition_value's exact-count column, which re-embedded the
+    * events scans up to 12× per plan (round-8 scan gate). */
+  private def maskCounts(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
+    masks(s, d).groupBy(col("mask"))
       .agg(count(lit(1)).as("cnt"))
+      .truncatedCheckpoint()
+  }
+
+  /** v(S) for all 16 subsets: converters whose coalition ⊆ S.
+    * Materialized once (16 rows): both Shapley queries reference the
+    * v-table from several join legs. */
+  private def vTable(s: SparkSession, d: String,
+      mc: DataFrame): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
     val subsets = s.range(Full).select(col("id").cast("int").as("s"))
     broadcast(subsets)
-      .join(maskCounts,
-        col("mask").bitwiseAND(col("s")) === col("mask"), "left")
+      .join(mc, col("mask").bitwiseAND(col("s")) === col("mask"), "left")
       .groupBy(col("s"))
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+      .truncatedCheckpoint()
   }
+  private def vTable(s: SparkSession, d: String): DataFrame =
+    vTable(s, d, maskCounts(s, d))
 
   private val masksSql: String =
     """fp AS (SELECT user_id, ts AS pts, event_id AS peid FROM events
@@ -156,14 +171,13 @@ object ShapleyQueries {
     * derives from — graded so the contraction pipeline is verified
     * independently of the φ combinatorics. */
   def coalitionValue(s: SparkSession, d: String): DataFrame = {
-    val maskCounts = masks(s, d).groupBy(col("mask"))
-      .agg(count(lit(1)).as("cnt"))
-    val v = vTable(s, d)
+    val mc = maskCounts(s, d)
+    val v = vTable(s, d, mc)
     val members = concat_ws(",",
       Channels.map { case (name, bit) =>
         when(col("s").bitwiseAND(bit) =!= 0, lit(name))
       }: _*)
-    v.join(maskCounts, col("mask") === col("s"), "left")
+    v.join(mc, col("mask") === col("s"), "left")
       .select(col("s"), members.as("members"),
         coalesce(col("cnt"), lit(0L)).as("n_exact"), col("v"))
       .orderBy(col("s"))

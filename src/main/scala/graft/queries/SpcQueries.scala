@@ -38,8 +38,13 @@ object SpcQueries {
     * signal). */
   def controlChart(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("t")).orderBy(col("day"))
+    // per-(type, day) panel feeds the limit fold + the flag pass; the
+    // flagged panel feeds the run and out-of-bounds folds —
+    // materialize each once (round-8 scan gate: was 5 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val base = daily(s, d)
       .withColumn("mr", round(abs(col("v") - lag(col("v"), 1).over(w)), 4))
+      .truncatedCheckpoint()
     val stats = base.groupBy(col("t")).agg(
       count(lit(1)).as("n_days"),
       round(sum(col("v").cast("decimal(18,4)")).cast("double")
@@ -56,6 +61,7 @@ object SpcQueries {
       .withColumn("rn", row_number().over(w))
       .withColumn("rns", row_number().over(
         Window.partitionBy(col("t"), col("side")).orderBy(col("day"))))
+      .truncatedCheckpoint()
     val runs = flagged.filter(col("side") =!= 0)
       .groupBy(col("t"), col("side"), (col("rn") - col("rns")).as("grp"))
       .agg(count(lit(1)).as("len"))

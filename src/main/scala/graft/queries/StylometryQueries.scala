@@ -95,7 +95,11 @@ object StylometryQueries {
   /** q_burrows_delta — top-5 most stylistically similar source pairs
     * by Burrows' Delta over the top-20 corpus terms. */
   def burrowsDelta(s: SparkSession, d: String): DataFrame = {
-    val ts = termSource(s, d)
+    // (term, source, c) grid feeds the top-terms, source-length and
+    // rate branches — materialize once (round-8 scan gate: was 12
+    // documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
+    val ts = termSource(s, d).truncatedCheckpoint()
     val top = ts.groupBy(col("term")).agg(sum(col("c")).as("f"))
       .orderBy(col("f").desc, col("term")).limit(20)
       .select(col("term"))

@@ -193,9 +193,14 @@ object TextAnalysisQueries {
     * |vocab|² — never corpus-quadratic. Support floor keeps the
     * estimate stable. */
   def tokenCooccur(s: SparkSession, d: String): DataFrame = {
+    // distinct postings feed the df pass + both legs of the
+    // co-occurrence self-join — materialize once (round-8 scan gate:
+    // was 5 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val dt = documents(s, d).filter(col("lang") === "en")
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+      .truncatedCheckpoint()
     val nDocs = documents(s, d).filter(col("lang") === "en")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val df = dt.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))

@@ -25,12 +25,16 @@ object TwoWayAnovaQueries {
 
   /** q_anova2 — the SS decomposition and F panel. */
   def anova2(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
     val cells = events(s, d).select(col("event_type").as("a"),
         dayofweek(to_date(col("ts2"))).as("b"), col("value"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("sv"),
         sum((col("value") * col("value")).cast("decimal(27,4)")).as("svv"))
+      // (a, b) moment grid feeds the grand fold + three SS branches —
+      // materialize once (round-8 scan gate: was 8 events scans)
+      .truncatedCheckpoint()
     def f(c: String) = col(c).cast("double")
     val tot = cells.agg(sum(col("n")).as("nn"), sum(col("sv")).as("tsv"),
         sum(col("svv")).as("tsvv"),

@@ -34,20 +34,17 @@ class GlobalJoinSpec extends GraftSpecBase {
     * small DOMAIN constant the planner cannot see (a distinct /
     * groupBy contraction of a bounded-cardinality column): the bound
     * and why it holds at any scale. */
+  // Round-8 (verdict item 7): 13 → 5. The three query-term panels and
+  // q_kappa_weighted's rating grid now prove out via
+  // ScaleRules.literallyBoundedPhys / aliasBoundedPhys (literal In-
+  // filters and literal-valued CASE grouping keys); the four
+  // "1-row PK fetch" entries via the ported fixture-PK filter rule.
   private val boundedBuilds: Map[String, String] = Map(
-    "q_ann_recall" -> "1-row PK fetch (vec_id = 0) + no-group aggregates over the two top-k legs",
-    "q_err" -> "query-term panel: 3 literal terms",
-    "q_jelinek_mercer" -> "query-term panel: 3 literal terms",
     "q_join_theta" -> "graded theta-join demonstrator: supplier is the dim side; the scale path is q_join_range's sweep-line plan",
-    "q_kappa_weighted" -> "rating-grid panels: |a|x|p| <= 25",
     "q_kendall_tau" -> "daily pair panel: calendar-bounded",
-    "q_knn_classify" -> "1-row PK fetch (vec_id = 0)",
-    "q_mmd" -> "exact MMD^2 is inherently pairwise (the two label blocks GROW with the corpus, so this build is SF-proportional, not constant): the graded artifact is the exact statistic; deployment posture at 100 TB = the linear-time estimator, IMPLEMENTED as EmbAggQueries.mmdLinear (O(n), no pair join, MmdLinearSpec-pinned), or subsampling",
-    "q_ordinal_gamma" -> "ordinal (x,y) grid: |priorities|x|statuses| <= 15",
-    "q_query_likelihood" -> "query-term panel: 3 literal terms",
-    "q_rrf_fusion" -> "1-row PK fetch (vec_id = 0); both rank legs are TakeOrdered-bounded",
-    "q_sim_cosine" -> "1-row PK fetch (vec_id = 0)",
-    "q_somers_d" -> "ordinal (x,y) grid: <= 15 rows")
+    "q_mmd" -> "exact MMD^2 is inherently pairwise (the two label blocks GROW with the corpus, so this build is SF-proportional, not constant): the graded artifact is the exact statistic; deployment posture at 100 TB = the linear-time estimator, IMPLEMENTED as EmbAggQueries.mmdLinear (O(n), no pair join, MmdLinearSpec-pinned), or subsampling; since round 8 declared in the surface as q_mmd_linear",
+    "q_ordinal_gamma" -> "ordinal (x,y) grid: |priorities|x|statuses| <= 15 — y = least(4, floor(o_totalprice/1e5)) is finite only because prices are non-negative, which no structural rule can see (least(lit,·) is unbounded below)",
+    "q_somers_d" -> "ordinal (x,y) grid: <= 15 rows — same least(4, floor(price)) key as q_ordinal_gamma, same non-negativity argument")
 
   /** One shared plan-build pass for ALL whole-surface gate suites
     * (see [[GradedPlans]]). */
@@ -64,7 +61,20 @@ class GlobalJoinSpec extends GraftSpecBase {
     * (lowCardNames / boundedAliasNames / DATE type) — so legitimately
     * bounded builds prove out structurally instead of accreting
     * allowlist entries (the minimality test below keeps the remaining
-    * allowlist honest). */
+    * allowlist honest).
+    *
+    * Name-trust caveat (round-7 ADVICE, widened in round 8): several
+    * shared rules accept by NAME — the bounded-domain vocabularies,
+    * the fixture-PK equality rule, and the exprId-or-name fallback in
+    * literallyBoundedPhys / aliasBoundedPhys. A user column
+    * deliberately aliased onto a trusted name (`__pfx_bucket`,
+    * `vec_id`, a lowCardNames entry) would pass where a structural
+    * proof would reject. Accepted because (a) these proofs gate TESTS
+    * only — a spoof can loosen a gate, never change product results;
+    * (b) ScaleRulesSpec pins negative shapes so the detectors keep
+    * firing on the reconstructed pre-fix plans; (c) the alternative
+    * (exprId-only) goes blind at every localCheckpoint boundary,
+    * which round 8 made ubiquitous. */
   private def boundedRows(p: SparkPlan): Boolean =
     graft.plans.ScaleRules.boundedPhysical(p)
 
