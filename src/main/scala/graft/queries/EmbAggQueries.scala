@@ -106,12 +106,21 @@ object EmbAggQueries {
     * coordinate mean; reports the first 8 coordinates and the mean
     * L2 distance improvement vs the mean point. */
   def geomedian(s: SparkSession, d: String): DataFrame = {
-    val e = ex(s, d)
+    // round-8 scan gate: the exploded components are read once and
+    // cached (every Weiszfeld iterate + both mean-distance probes
+    // reference them), and each dim-sized iterate point (64 rows) is
+    // materialized so iterate k's plan does not re-embed iterate
+    // k−1's whole tree (the multiplicative nesting previously put 13
+    // embeddings scans in this plan). One pass per iteration over the
+    // CACHED components is the textbook distributed Weiszfeld shape.
+    import graft.operators.CacheOps.CheckpointSyntax
+    val e = ex(s, d).truncatedCheckpoint()
     val mean = e.groupBy(col("pos"))
       .agg(round(sum(col("x").cast("decimal(18,8)")).cast("double")
         / count(lit(1)).cast("double"), 8).as("c"))
-    val p1 = weiszfeld(e, mean)
-    val p2 = weiszfeld(e, p1)
+      .truncatedCheckpoint()
+    val p1 = weiszfeld(e, mean).truncatedCheckpoint()
+    val p2 = weiszfeld(e, p1).truncatedCheckpoint()
     def meanDist(point: DataFrame): DataFrame =
       e.join(broadcast(point), "pos")
         .groupBy(col("vec_id"))

@@ -42,11 +42,6 @@ class GlobalScanSpec extends GraftSpecBase {
     * reason. Keep minimal — a shared contracted frame re-embedded per
     * branch is a bug (materialize it once), not an allowlist case. */
   private val scanAllowed: Map[String, String] = Map(
-    "q_geomedian" -> ("unrolled Weiszfeld iterates: each iteration " +
-      "re-weights every point against the current iterate, so one " +
-      "pass over the table per iteration IS the algorithm (13 scans " +
-      "= the unroll depth); the per-iterate frames are checkpointed, " +
-      "the input re-read is inherent"),
     "q_mmd" -> ("exact pairwise MMD^2 demonstrator (allowlisted for " +
       "the same reason in GlobalJoinSpec): the xx/yy/xy kernel legs " +
       "each scan both label slices by contract; the deployment " +
