@@ -121,4 +121,66 @@ class RewriteParitySpec extends GraftSpecBase {
       checkGrowth(act)
     }
   }
+
+  // ----- round-8 margins-from-the-grid identity ---------------------
+  // The scan-census wave rewrote q_t_closeness / q_mutual_info /
+  // q_macro_f1 / q_logrank / q_assoc_rules to derive margins, grand
+  // totals, and group spines as FOLDS OF THE ONE (key…, count) grid
+  // instead of separate passes over the base rows. The identity is
+  // that a grid partitions the input (every row lands in exactly one
+  // cell, including NULL-keyed rows), so summing disjoint cell counts
+  // per margin key equals counting the base rows per margin key, and
+  // the grid's distinct key values equal the base's. The driver's
+  // oracle proves the five queries on the fixture; this pins the
+  // identity itself on the shapes the fixture never shows: NULL keys
+  // on either axis, a both-NULL row, a single-row group, an empty
+  // frame, and a key present on only one axis.
+
+  private def marginParity(base: DataFrame): Unit = {
+    val grid = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // margin per a: fold of grid == direct pass (NULL-safe groupBy)
+    assert(rows(grid.groupBy(col("a")).agg(sum(col("c")).as("n")))
+      == rows(base.groupBy(col("a")).agg(count(lit(1)).as("n"))))
+    // margin per b
+    assert(rows(grid.groupBy(col("b")).agg(sum(col("c")).as("n")))
+      == rows(base.groupBy(col("b")).agg(count(lit(1)).as("n"))))
+    // grand total (sum of LONG counts keeps the LONG type the rewrites
+    // rely on for the driver's hash compare)
+    assert(rows(grid.agg(coalesce(sum(col("c")), lit(0L)).as("n")))
+      == rows(base.agg(count(lit(1)).as("n"))))
+    // key spine: distinct a of the grid == distinct a of the base
+    // (the q_macro_f1 classes rewrite)
+    assert(rows(grid.select(col("a")).distinct())
+      == rows(base.select(col("a")).distinct()))
+  }
+
+  test("margins-from-grid equals direct margins on NULL-keyed, empty, and singleton shapes") {
+    val s = spark
+    import s.implicits._
+    val nasty = Seq[(Option[String], Option[Int])](
+      (Some("x"), Some(1)), (Some("x"), Some(1)), (Some("x"), Some(2)),
+      (Some("y"), None),                       // NULL on one axis
+      (None, Some(1)), (None, Some(1)),        // NULL on the other
+      (None, None),                            // both NULL
+      (Some("z"), Some(9))                     // singleton group
+    ).toDF("a", "b")
+    marginParity(nasty)
+    marginParity(nasty.limit(0))               // empty frame
+    marginParity(nasty.filter(col("a").isNull)) // all-NULL key axis
+  }
+
+  test("margins-from-grid parity on seeded random grids") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val base = (1 to 300).map { _ =>
+        (if (rnd.nextDouble() < 0.1) None else Some(s"k${rnd.nextInt(5)}"),
+         if (rnd.nextDouble() < 0.1) None else Some(rnd.nextInt(4)))
+      }.toDF("a", "b")
+      marginParity(base)
+    }
+  }
 }
