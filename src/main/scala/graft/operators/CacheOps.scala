@@ -37,6 +37,23 @@ object CacheOps {
   def truncated(df: DataFrame): DataFrame =
     CheckpointRegistry.register(df.localCheckpoint(eager = false), df)
 
+  /** True when every leaf of `df`'s analyzed plan is already
+    * materialization-backed (checkpointed RDD, local relation, small
+    * range) — i.e. re-executing the frame touches no base-table scan.
+    * Operators that materialize their input for branch fan-out
+    * (PrefixOps) skip the checkpoint then: re-deriving a projection
+    * from cached rows per branch is cheaper than a second cached
+    * copy. */
+  def scanFree(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
+        r.numElements <= BigInt(65536)
+      case _ => false
+    }
+
   /** Chain-friendly forms of [[truncated]]/[[finalized]]'s
     * registration, so call sites keep their method-chain shape. */
   implicit class CheckpointSyntax(private val df: DataFrame)

@@ -112,19 +112,11 @@ object PrefixOps {
     val withP0 = partitionBy.zipWithIndex.foldLeft(df) {
       case (acc, (c, i)) => acc.withColumn(s"__pfx_p$i", c) }
     // skip the materialization when the input is already scan-free
-    // (every leaf is a checkpointed RDD / local relation — e.g. a
-    // caller-checkpointed grid): re-deriving a projection from cached
-    // rows per branch is cheaper than a second cached copy
-    val scanFree = withP0.queryExecution.analyzed.collectLeaves().forall {
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
-      case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
-        r.numElements <= BigInt(65536)
-      case _ => false
-    }
+    // (e.g. a caller-checkpointed grid) — see CacheOps.scanFree
     val withP =
-      if (materialize && !scanFree) withP0.truncatedCheckpoint() else withP0
+      if (materialize && !CacheOps.scanFree(withP0))
+        withP0.truncatedCheckpoint()
+      else withP0
     // 1. lazy equi-width buckets from a broadcast (min, max) — per
     //    group when partitioned: exact, deterministic,
     //    partial-aggregable — every plan branch derives the identical
@@ -300,16 +292,8 @@ object PrefixOps {
     import CacheOps.CheckpointSyntax
     // same fan-out as runningSums (bounds / within / totals all
     // reference the input) — materialize it once (round-8 scan gate),
-    // unless it is already scan-free (see runningSums)
-    val dfScanFree = df.queryExecution.analyzed.collectLeaves().forall {
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
-      case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
-        r.numElements <= BigInt(65536)
-      case _ => false
-    }
-    val dfM = if (dfScanFree) df else df.truncatedCheckpoint()
+    // unless it is already scan-free (CacheOps.scanFree)
+    val dfM = if (CacheOps.scanFree(df)) df else df.truncatedCheckpoint()
     val k = key.cast("double")
     val bounds = dfM.agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))
     val width =
