@@ -22,8 +22,13 @@ object BasketQueries {
     * (distinct parts per order; a<b orientation counts each pair
     * once). Ties break on the pair keys. */
   def copurchase(s: SparkSession, d: String): DataFrame = {
+    // distinct basket items feed the part counts + both self-join
+    // legs — materialize once (round-8 scan gate: was 4 lineitem
+    // scans re-running the distinct)
+    import graft.operators.CacheOps.CheckpointSyntax
     val items = lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .truncatedCheckpoint()
     val nOrders = orders(s, d).agg(count(lit(1)).as("n_orders"))
     val partCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
     val pairs = items.as("a").join(items.as("b"),

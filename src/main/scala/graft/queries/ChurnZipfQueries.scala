@@ -26,9 +26,13 @@ object ChurnZipfQueries {
     // broadcast 1-row aggregates (crossJoin(broadcast(...))) — the
     // per-user stage stays fully parallel, with no partition-less
     // window anywhere in the plan.
+    // per-user frame feeds the horizon probe + flag/rate branches —
+    // materialize once (round-8 scan gate: was 4 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val byUser = events(s, d).groupBy(col("user_id"))
       .agg(min(col("ts2")).as("first_ts"), max(col("ts2")).as("last_ts"),
         count(lit(1)).as("n_events"))
+      .truncatedCheckpoint()
     val horizon = byUser.agg(max(col("last_ts")).as("horizon_ts"))
     val flagged = byUser.crossJoin(broadcast(horizon))
       // DIV, not `/`: Column `/` on longs is double division, and a

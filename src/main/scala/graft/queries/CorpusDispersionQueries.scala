@@ -32,10 +32,15 @@ object CorpusDispersionQueries {
   def termDispersion(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d).select(col("source"),
       explode(split(lower(col("text")), " ")).as("term"))
+    // ONE pass: the per-source sizes are exact folds of the
+    // (term, source) grid (parity-pinned identity) — materialized
+    // once (round-8 scan gate: was 4 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val ts = toks.groupBy(col("term"), col("source"))
       .agg(count(lit(1)).as("v"))
-    val partSize = toks.groupBy(col("source"))
-      .agg(count(lit(1)).as("sz"))
+      .truncatedCheckpoint()
+    val partSize = ts.groupBy(col("source"))
+      .agg(sum(col("v")).as("sz"))
     val totals = partSize.agg(sum(col("sz")).as("total"),
       count(lit(1)).as("k"))
     val top = ts.groupBy(col("term")).agg(sum(col("v")).as("f"))

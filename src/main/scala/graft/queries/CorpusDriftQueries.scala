@@ -85,10 +85,14 @@ object CorpusDriftQueries {
     val df = docTerm.groupBy(col("h"), col("term"))
       .agg(count(lit(1)).as("df"))
     val nDocs = docs.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    // per-(half, term) idf feeds both split legs — materialize once
+    // (round-8 scan gate: was 4 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val idf = df.join(broadcast(nDocs), "h")
       .select(col("h"), col("term"),
         round(log(col("n_docs").cast("double") / col("df").cast("double")), 8)
           .as("idf"))
+      .truncatedCheckpoint()
     val a = idf.filter(col("h") === "A").select(col("term"), col("idf").as("idf_a"))
     val b = idf.filter(col("h") === "B").select(col("term"), col("idf").as("idf_b"))
     a.join(b, "term")

@@ -234,6 +234,9 @@ object DedupQueries {
           slice(toks, lit(2), size(toks) - 1),
           (a, b) => concat(a, lit("_"), b))).as("bg"))
       .distinct()
+      // bigram postings feed the size frame + both self-join legs —
+      // materialize once (round-8 scan gate: was 4 documents scans)
+      .truncatedCheckpoint()
     val sizes = big.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = big.as("a")
       .join(big.as("b"), col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))

@@ -113,10 +113,15 @@ object DerivedAnalyticsQueries {
     * free aggregation (join the |groups|-row month extremes back),
     * CAGR = exp(ln(last/first)/months) − 1. */
   def cagr(s: SparkSession, d: String): DataFrame = {
+    // (pri, month) grid feeds the span probe and both endpoint
+    // lookups — materialize once (round-8 scan gate: was 4 orders
+    // scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val monthly = orders(s, d)
       .groupBy(col("o_orderpriority").as("pri"),
         date_trunc("month", col("o_orderdate")).cast("date").as("m"))
       .agg(round(dsum(col("o_totalprice")), 2).as("rev"))
+      .truncatedCheckpoint()
     val span = monthly.groupBy(col("pri"))
       .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
     val first = monthly.join(broadcast(span), "pri")

@@ -70,9 +70,13 @@ object DriftQueries {
     // cumulative and total counts from a broadcast self-join /
     // broadcast 1-row aggregate instead of global windows.
     import graft.operators.PrefixOps
+    import graft.operators.CacheOps.CheckpointSyntax
     val e0 = events(s, d)
       .select(col("value"), col("event_id"),
         (col("event_type") === "purchase").cast("long").as("y"))
+      // 3-col projection feeds the row-count probe + the prefix pass
+      // — materialize once (round-8 scan gate: was 4 events scans)
+      .truncatedCheckpoint()
     val n = e0.agg(count(lit(1)).as("n_rows"))
     val e = PrefixOps.runningSums(e0,
         -col("value"), Seq(col("value").desc, col("event_id")),

@@ -249,7 +249,11 @@ object EmbAggQueries {
           pmod(hash(col("vec_id")), lit(buckets)).as("bkt"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("bkt")).orderBy(col("vec_id"))
+      // ranked frame feeds both halves of the consecutive pairing —
+      // materialize once (round-8 scan gate: was 4 embeddings scans)
+      import graft.operators.CacheOps.CheckpointSyntax
       val rn = e.withColumn("rn", row_number().over(w))
+        .truncatedCheckpoint()
       val a = rn.filter(pmod(col("rn"), lit(2)) === 1)
         .select(col("bkt"), expr("(rn + 1) div 2").as("idx"),
           col("embedding").as("ea"))

@@ -32,9 +32,13 @@ object EncodingEconQueries {
   def woeIv(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderpriority").as("priority"),
       (col("o_totalprice") > 100000.0).as("good"))
+    // 5-row category grid feeds the smoothed totals + WoE/IV folds —
+    // materialize once (round-8 scan gate: was 4 orders scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val byCat = o.groupBy(col("priority")).agg(
       count(when(col("good"), lit(1))).as("n_good"),
       count(when(!col("good"), lit(1))).as("n_bad"))
+      .truncatedCheckpoint()
     val tot = byCat.agg(
       sum(col("n_good") + lit(0.5)).as("g_tot"),
       sum(col("n_bad") + lit(0.5)).as("b_tot"))

@@ -288,14 +288,19 @@ object EvalExtraQueries {
       when(regexp_extract(col("source"), "([0-9]+)", 1).cast("int") < 10, "a")
         .otherwise("b").as("grp"),
       explode(split(lower(col("text")), " ")).as("tok"))
+    // ONE pass: group token totals are exact folds OF THE GRID
+    // (parity-pinned identity, RewriteParitySpec) — materialized once
+    // (round-8 scan gate: was 4 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val counts = toks.groupBy(col("grp"), col("tok"))
       .agg(count(lit(1)).as("c"))
+      .truncatedCheckpoint()
     val a = counts.where(col("grp") === "a")
       .select(col("tok"), col("c").as("ca"))
     val b = counts.where(col("grp") === "b")
       .select(col("tok"), col("c").as("cb"))
-    val na = toks.where(col("grp") === "a").agg(count(lit(1)).as("na"))
-    val nb = toks.where(col("grp") === "b").agg(count(lit(1)).as("nb"))
+    val na = counts.where(col("grp") === "a").agg(sum(col("c")).as("na"))
+    val nb = counts.where(col("grp") === "b").agg(sum(col("c")).as("nb"))
     val vocab = a.join(b, Seq("tok"), "full_outer")
       .select(col("tok"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
@@ -355,10 +360,15 @@ object EvalExtraQueries {
   def cramersV(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("event_type").as("t"),
       floor(col("value") / 150.0).cast("long").as("b"))
+    // ONE pass: margins, grand total, and axis cardinalities are
+    // exact folds OF THE GRID (parity-pinned identity,
+    // RewriteParitySpec) — materialized once (round-8 scan gate)
+    import graft.operators.CacheOps.CheckpointSyntax
     val cells = e.groupBy(col("t"), col("b")).agg(count(lit(1)).as("o"))
-    val tm = e.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
-    val bm = e.groupBy(col("b")).agg(count(lit(1)).as("n_b"))
-    val tot = e.agg(count(lit(1)).as("n"),
+      .truncatedCheckpoint()
+    val tm = cells.groupBy(col("t")).agg(sum(col("o")).as("n_t"))
+    val bm = cells.groupBy(col("b")).agg(sum(col("o")).as("n_b"))
+    val tot = cells.agg(sum(col("o")).as("n"),
       countDistinct(col("t")).as("r"),
       countDistinct(col("b")).as("c"))
     val terms = cells.join(broadcast(tm), "t").join(broadcast(bm), "b")

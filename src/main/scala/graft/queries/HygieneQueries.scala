@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #22: release-hygiene audits — l-diversity (the
   * sensitive-attribute companion to q_k_anonymity) and the
@@ -72,6 +73,9 @@ object HygieneQueries {
         sha2(array_join(slice(split(lower(col("text")), " "), 1, 4), " "), 256)
           .as("h"))
       .distinct()
+      // prefix-hash keys feed the size frame + both self-join legs —
+      // materialize once (round-8 scan gate: was 4 documents scans)
+      .truncatedCheckpoint()
     val sizes = keys.groupBy(col("source")).agg(count(lit(1)).as("n_keys"))
     val pairs = keys.as("x").join(keys.as("y"),
         col("x.h") === col("y.h") && col("x.source") < col("y.source"))

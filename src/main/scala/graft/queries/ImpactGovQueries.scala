@@ -26,10 +26,14 @@ object ImpactGovQueries {
     * control: OLS fit on the first half of the calendar, average and
     * cumulative divergence over the second half. */
   def causalImpact(s: SparkSession, d: String): DataFrame = {
+    // daily grid feeds the midpoint probe + the pre/post branches —
+    // materialize once (round-8 scan gate: was 4 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val daily = events(s, d)
       .groupBy(to_date(col("ts2")).as("day"))
       .agg(count(when(col("event_type") === "purchase", lit(1))).as("y"),
         count(when(col("event_type") =!= "purchase", lit(1))).as("x"))
+      .truncatedCheckpoint()
     val mid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(date_add(col("lo"),
         (datediff(col("hi"), col("lo")) / 2).cast("int")).as("cut"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #75: regression influence diagnostics — leverage,
   * internally-studentized residuals, and Cook's distance for the
@@ -31,6 +32,9 @@ object InfluenceQueries {
       .groupBy(col("event_type").as("t"), to_date(col("ts2")).as("day"))
       .agg(round(graft.Determinism.dsum(col("value")), 4).as("v"))
       .withColumn("x", row_number().over(w).cast("double"))
+      // (type, day) panel feeds the fit moments + residual/MSE
+      // branches — materialize once (round-8 scan gate: was 4 scans)
+      .truncatedCheckpoint()
     val m1 = base.groupBy(col("t")).agg(
       count(lit(1)).as("n"),
       sum(col("x").cast("decimal(18,4)")).as("sx"),

@@ -39,10 +39,15 @@ object IrGraphQueries {
   def bm25(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+    // doc-length and query-term grids each feed two consumers —
+    // materialize each once (round-8 scan gate: was 4 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .truncatedCheckpoint()
     val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = toks.filter(col("term").isin("data", "fast"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .truncatedCheckpoint()
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))

@@ -29,8 +29,13 @@ object OverlapSeriesQueries {
     * user sets (distinct-pair contraction, then a user-keyed
     * self-join — never a users×users product). */
   def userOverlap(s: SparkSession, d: String): DataFrame = {
+    // distinct (type, user) frame feeds the size frame + both
+    // self-join legs — materialize once (round-8 scan gate: was 4
+    // events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val tu = events(s, d)
       .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      .truncatedCheckpoint()
     val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
     val inter = tu.as("a").join(tu.as("b"),
         col("a.u") === col("b.u") && col("a.t") < col("b.t"))

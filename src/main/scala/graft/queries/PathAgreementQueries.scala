@@ -49,14 +49,20 @@ object PathAgreementQueries {
       .otherwise(lit(0.2) / (col("n").cast("double") - 2.0))
     val credited = sized.select(col("event_type").as("channel"),
       round(credit, 8).cast("decimal(18,8)").as("c"))
-    val tot = credited.agg(sum(col("c")).cast("double").as("tot"))
-    credited.groupBy(col("channel"))
-      .agg(count(lit(1)).as("n_touches"),
-        sum(col("c")).cast("double").as("credit"))
+    // ONE pass: the grand total is the exact decimal fold of the
+    // per-channel sums (disjoint-partition identity) — the grouped
+    // frame (|channels| rows) is materialized once (round-8 scan
+    // gate: was 4 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
+    val grouped = credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("c")).as("c_sum"))
+      .truncatedCheckpoint()
+    val tot = grouped.agg(sum(col("c_sum")).cast("double").as("tot"))
+    grouped
       .crossJoin(broadcast(tot))
       .select(col("channel"), col("n_touches"),
-        round(col("credit"), 4).as("credit"),
-        round(col("credit") / col("tot"), 6).as("share"))
+        round(col("c_sum").cast("double"), 4).as("credit"),
+        round(col("c_sum").cast("double") / col("tot"), 6).as("share"))
       .orderBy(col("channel"))
   }
 

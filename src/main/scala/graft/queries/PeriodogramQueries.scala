@@ -27,10 +27,14 @@ object PeriodogramQueries {
   /** q_periodogram — power at harmonics k=1..10 with the dominant
     * harmonic flagged. */
   def periodogram(s: SparkSession, d: String): DataFrame = {
+    // daily grid feeds the anchor probe + the centered series —
+    // materialize once (round-8 scan gate: was 4 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val daily0 = events(s, d)
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts2")).as("day"))
       .agg(count(lit(1)).as("y"))
+      .truncatedCheckpoint()
     val d0 = daily0.agg(min(col("day")).as("dmin"),
       count(lit(1)).as("n"), sum(col("y")).as("sy"))
     val daily = daily0.crossJoin(broadcast(d0))

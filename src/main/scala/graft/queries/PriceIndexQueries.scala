@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #58: price-index economics — the Laspeyres /
   * Paasche / Fisher index triplet between two order-date eras (the
@@ -111,8 +112,11 @@ object PriceIndexQueries {
         col("l_partkey") === col("p_partkey"))
       .withColumn("era",
         when(col("o_orderdate") < lit(cut).cast("timestamp"), 0).otherwise(1))
+    // (era, brand) revenue grid feeds the era totals + both share
+    // legs — materialize once (round-8 scan gate: was 4 fact scans)
     val brandEra = joined.groupBy(col("era"), col("p_brand"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .truncatedCheckpoint()
     val tot = brandEra.groupBy(col("era")).agg(sum(col("rev")).as("t"))
     val shares = brandEra.join(broadcast(tot), "era")
       .select(col("era"), col("p_brand"),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 import graft.operators.PrefixOps
 
 /** Round-4 widening #36: product-engagement analytics — the DAU/WAU
@@ -68,6 +69,9 @@ object ProductAnalyticsQueries {
       .groupBy(col("p_id"))
       .agg(max(col("s_ts")).as("m_ts"), max(col("p_ts")).as("p_ts"))
       .select(datediff(to_date(col("p_ts")), to_date(col("m_ts"))).as("gap"))
+      // per-purchase gaps feed the gap grid AND the moments fold —
+      // materialize once (round-8 scan gate: was 4 events scans)
+      .truncatedCheckpoint()
     val byGap = gaps.groupBy(col("gap")).agg(count(lit(1)).as("cnt"))
     val cum = PrefixOps.runningSums(byGap,
       col("gap"), Seq(col("gap")), Seq("cum" -> col("cnt")))

@@ -29,8 +29,11 @@ object RakingQueries {
     * against uniform margin targets, with the residual row-margin
     * error per cell's language. */
   def ipfRake(s: SparkSession, d: String): DataFrame = {
+    // cell grid feeds the totals probe + the seeded frame —
+    // materialize once (round-8 scan gate: was 4 documents scans)
     val cells = documents(s, d).groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"))
+      .truncatedCheckpoint()
     val nTot = cells.agg(sum(col("n")).as("nt"),
       countDistinct(col("lang")).as("nl"),
       countDistinct(col("source")).as("ns"))
@@ -118,9 +121,12 @@ object RakingQueries {
     * tiny per-row/per-column domains (≤|sources| values each). */
   def medianPolish(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cell grid feeds each sweep's count probe + window — materialize
+    // once (round-8 scan gate: was 4 documents scans)
     val grid = documents(s, d).groupBy(col("lang"), col("source"))
       .agg(round(sum(col("n_chars").cast("decimal(18,4)")).cast("double") /
         count(lit(1)).cast("double"), 4).as("v"))
+      .truncatedCheckpoint()
     def medianOver(df: DataFrame, key: String, valueCol: String,
         out: String): DataFrame = {
       val w = Window.partitionBy(col(key))

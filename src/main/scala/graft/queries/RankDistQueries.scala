@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #108: full-permutation rank distances — Spearman
   * footrule and Kendall tau distance between the early-era and
@@ -28,9 +29,12 @@ object RankDistQueries {
       .join(part(s, d).select(col("p_partkey"),
         col("p_brand")), col("l_partkey") === col("p_partkey"))
     def era(cond: org.apache.spark.sql.Column, name: String): DataFrame = {
+      // per-era brand revenue feeds both rank-join legs —
+      // materialize once (round-8 scan gate: was 4 fact scans)
       val rev = li.filter(cond).groupBy(col("p_brand"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(27,4)")).as("rev"))
+        .truncatedCheckpoint()
       val a = rev.select(col("p_brand").as("b"), col("rev").as("r"))
       val b = rev.select(col("p_brand").as("b2"), col("rev").as("r2"))
       a.join(broadcast(b), col("r2") > col("r") ||
@@ -43,7 +47,6 @@ object RankDistQueries {
     // |brands|-row rank table feeds the total/footrule folds and both
     // sides of the concordance self-join — materialize once (round-8
     // scan gate: was 14 lineitem+part scans)
-    import graft.operators.CacheOps.CheckpointSyntax
     val both = r1.join(r2, "b").truncatedCheckpoint()
     val n = both.agg(count(lit(1)).as("n"))
     val fr = both.agg(sum(abs(col("rank1") - col("rank2"))).as("footrule"))

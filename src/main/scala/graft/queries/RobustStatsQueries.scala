@@ -23,8 +23,12 @@ object RobustStatsQueries {
     * vocabulary — the classic featurization cleanup before TF-IDF or
     * hashing at corpus scale. */
   def vocabBandpass(s: SparkSession, d: String): DataFrame = {
+    // token postings feed the df pass + the band-pass join —
+    // materialize once (round-8 scan gate: was 4 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val toks = documents(s, d)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .truncatedCheckpoint()
     val nDocs = documents(s, d).agg(count(lit(1)).as("n")).select(col("n"))
     val df = toks.select(col("doc_id"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -134,9 +134,13 @@ object SeasonalQueries {
     * broadcast; the argmax joins a broadcast per-type max back
     * (earliest day wins ties). */
   def changepoint(s: SparkSession, d: String): DataFrame = {
+    // (type, day) grid feeds the mean frame + the cusum/peak branches
+    // — materialize once (round-8 scan gate: was 4 events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val daily = events(s, d)
       .groupBy(col("event_type").as("t"), to_date(col("ts2")).as("day"))
       .agg(count(lit(1)).as("n"))
+      .truncatedCheckpoint()
     val m = daily.groupBy(col("t"))
       .agg(count(lit(1)).as("n_days"),
         round(sum(col("n")).cast("double") / count(lit(1)), 6).as("mu"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #107: segmented (broken-stick) regression — fit
   * TWO lines to the daily purchase series with the breakpoint chosen
@@ -35,6 +36,9 @@ object SegmentedFitQueries {
     val daily = daily0.crossJoin(broadcast(d0))
       .select(col("day"), datediff(col("day"), col("d0")).as("i"),
         col("y"))
+      // indexed daily grid feeds the prefix sweep + the total moments
+      // — materialize once (round-8 scan gate: was 4 events scans)
+      .truncatedCheckpoint()
     val cum = graft.operators.PrefixOps.runningSums(daily,
       col("i"), Seq(col("i")),
       Seq("cn" -> lit(1L), "ci" -> col("i").cast("long"),

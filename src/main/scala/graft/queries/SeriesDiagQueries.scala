@@ -105,7 +105,11 @@ object SeriesDiagQueries {
     * per-type first day), coefficients rounded to 8dp, plus 6dp
     * residuals — shared by q_durbin_watson and q_model_ic. */
   private def residuals(s: SparkSession, d: String): DataFrame = {
-    val dd = daily(s, d)
+    // (type, day) panel feeds the anchor probe + fit + residual
+    // branches — materialize once (round-8 scan gate: the consumers
+    // re-embedded 4 events scans per plan)
+    import graft.operators.CacheOps.CheckpointSyntax
+    val dd = daily(s, d).truncatedCheckpoint()
     val anchor = dd.groupBy(col("t")).agg(min(col("day")).as("day0"))
     val xy = dd.join(broadcast(anchor), "t")
       .withColumn("x", datediff(col("day"), col("day0")).cast("double"))

@@ -155,7 +155,11 @@ object SeriesShapeQueries {
     * q_mann_kendall runs on; the median comes from a per-type
     * row_number window (partitioned, never global). */
   def theilSen(s: SparkSession, d: String): DataFrame = {
-    val dl = daily(s, d)
+    // daily panel feeds both pair legs; the pair grid feeds the count
+    // probe + rank pass — materialize once (round-8 scan gate: was 4
+    // events scans)
+    import graft.operators.CacheOps.CheckpointSyntax
+    val dl = daily(s, d).truncatedCheckpoint()
     val pairs = dl.as("a").join(dl.as("b"),
         col("a.t") === col("b.t") && col("a.day") < col("b.day"))
       .select(col("a.t").as("t"),

@@ -48,9 +48,13 @@ object SketchExactQueries {
     * the overcount column is the collision mass the sketch would
     * charge each heavy hitter. */
   def cmsFreq(s: SparkSession, d: String): DataFrame = {
+    // term-count grid feeds the 3 CMS counters + the probe top-20 —
+    // materialize once (round-8 scan gate: was 4 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val counts = documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .truncatedCheckpoint()
     def counter(i: Int): DataFrame = counts
       .groupBy(sparkBucket(col("term"), s"cms$i", 1024).as(s"b$i"))
       .agg(sum(col("cnt")).as(s"c$i"))

@@ -63,8 +63,13 @@ object SourceTermQueries {
   def logOdds(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+    // ONE pass: the global token counts are exact folds of the
+    // (lang, tok) grid (parity-pinned identity) — materialized once
+    // (round-8 scan gate: was 4 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val byLang = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
-    val global = toks.groupBy(col("tok")).agg(count(lit(1)).as("g"))
+      .truncatedCheckpoint()
+    val global = byLang.groupBy(col("tok")).agg(sum(col("c")).as("g"))
     val vocab = global.agg(count(lit(1)).as("v"), sum(col("g")).as("tot"))
     val langTot = byLang.groupBy(col("lang")).agg(sum(col("c")).as("lt"))
     val a = lit(0.01)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #80: statistical process control — the
   * individuals (X/MR) control chart over each type's daily activity
@@ -41,7 +42,6 @@ object SpcQueries {
     // per-(type, day) panel feeds the limit fold + the flag pass; the
     // flagged panel feeds the run and out-of-bounds folds —
     // materialize each once (round-8 scan gate: was 5 events scans)
-    import graft.operators.CacheOps.CheckpointSyntax
     val base = daily(s, d)
       .withColumn("mr", round(abs(col("v") - lag(col("v"), 1).over(w)), 4))
       .truncatedCheckpoint()
@@ -257,9 +257,12 @@ object SpcQueries {
     * One daily contraction + a broadcast centerline; reports the
     * violation count and the top-5 most extreme days by |z|. */
   def pChart(s: SparkSession, d: String): DataFrame = {
+    // daily grid feeds the center probe + score/violation branches
+    // — materialize once (round-8 scan gate: was 4 events scans)
     val dd = events(s, d).groupBy(to_date(col("ts2")).as("day"))
       .agg(count(lit(1)).as("n"),
         count(when(col("event_type") === "purchase", lit(1))).as("x"))
+      .truncatedCheckpoint()
     val center = dd.agg(sum(col("x")).as("sx"), sum(col("n")).as("sn"))
       .select(round(col("sx").cast("double")
         / col("sn").cast("double"), 8).as("pbar"))

@@ -34,8 +34,12 @@ object StatEngQueries {
     * temperature-1 sampling distribution a curriculum/mixing pipeline
     * draws from. */
   def softmax(s: SparkSession, d: String): DataFrame = {
+    // per-(type, user) scores feed the max probe + both weight
+    // passes — materialize once (round-8 scan gate: was 4 scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val su = events(s, d).groupBy(col("event_type").as("t"), col("user_id"))
       .agg(round(dsum(col("value")), 4).as("score"))
+      .truncatedCheckpoint()
     val mx = su.groupBy(col("t")).agg(max(col("score")).as("mx"))
     val z = su.join(broadcast(mx), "t")
       .withColumn("w_raw", round(exp(round(col("score") - col("mx"), 4)), 8))

@@ -163,9 +163,13 @@ object TemporalRelQueries {
     * factor low-resource sources gain — the mixture policy step of a
     * pre-training data pipeline. */
   def mixTemper(s: SparkSession, d: String): DataFrame = {
+    // per-source frame feeds the total probe + share/z branches —
+    // materialize once (round-8 scan gate: was 4 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val per = documents(s, d).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .truncatedCheckpoint()
     val tot = per.agg(sum(col("n_tokens")).as("t_tokens"))
     val shared = per.crossJoin(broadcast(tot))
       .withColumn("raw_share",

@@ -91,10 +91,14 @@ object TextExtraQueries {
     * margins as broadcast term counts, PMI = ln(c·T/(n1·n2)) on
     * exact integers. */
   def collocations(s: SparkSession, d: String): DataFrame = {
+    // unigram table feeds the total fold + both bigram join legs —
+    // materialize once (round-8 scan gate: was 4 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val toks = documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
     val uni = toks.select(explode(col("ts")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .truncatedCheckpoint()
     val tot = uni.agg(sum(col("n")).as("tt"))
     val bi = toks
       .select(posexplode(col("ts")).as(Seq("i", "w1")), col("ts"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.CacheOps.CheckpointSyntax
 
 /** Round-4 widening #63: uncertainty-aware ranking and fitted decay —
   * Wilson-score lower-bound ranking of brand return rates (the
@@ -115,6 +116,9 @@ object UncertaintyEconQueries {
       .select(col("user_id"),
         datediff(to_date(col("ts2")), col("cohort")).as("day_off"))
       .filter(col("day_off") <= 7).distinct()
+      // per-user day offsets feed the day-0 base + the rate grid —
+      // materialize once (round-8 scan gate: was 4 events scans)
+      .truncatedCheckpoint()
     val base = offs.filter(col("day_off") === 0)
       .agg(count(lit(1)).as("n0"))
     val rates = offs.filter(col("day_off") >= 1)

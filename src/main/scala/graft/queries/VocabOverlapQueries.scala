@@ -23,10 +23,14 @@ object VocabOverlapQueries {
   /** q_containment — per source pair: vocabulary sizes, intersection,
     * containment both ways, Dice, and overlap coefficient. */
   def containment(s: SparkSession, d: String): DataFrame = {
+    // per-source vocab feeds the size frame + both self-join legs —
+    // materialize once (round-8 scan gate: was 4 documents scans)
+    import graft.operators.CacheOps.CheckpointSyntax
     val vocab = documents(s, d)
       .select(col("source"),
         explode(split(lower(col("text")), " ")).as("tok"))
       .distinct()
+      .truncatedCheckpoint()
     val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("v"))
     val inter = vocab.as("a")
       .join(vocab.as("b"),

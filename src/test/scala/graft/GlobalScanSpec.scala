@@ -32,11 +32,13 @@ import graft.plans.ScanCensus
 class GlobalScanSpec extends GraftSpecBase {
 
   /** A fact table appearing more than this many times in one query's
-    * expanded plan fails the gate. 4 accommodates the legitimate
-    * multi-pass shapes (self-joins = 2, exact-vs-approx comparison
-    * legs, train/validate splits) without re-admitting the fixed
-    * N-fold class (the fix wave left 362 of 538 queries at ≤2). */
-  private val MaxFactScans = 4
+    * expanded plan fails the gate. 3 accommodates the legitimate
+    * multi-pass shapes (self-joins = 2, three-stage funnels,
+    * train/validate splits with a spine) without re-admitting the
+    * fixed N-fold class. The round-8 fix waves left the distribution
+    * at 0×15 / 1×313 / 2×164 / 3×45 across the 538-query surface,
+    * with only the allowlisted q_mmd demonstrator above. */
+  private val MaxFactScans = 3
 
   /** Queries allowed to exceed [[MaxFactScans]], with the inherent
     * reason. Keep minimal — a shared contracted frame re-embedded per
