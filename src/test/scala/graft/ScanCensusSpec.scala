@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CacheOps
+import graft.plans.{CheckpointRegistry, ScanCensus}
+
+/** Unit pins for the round-8 scan-census machinery itself — the
+  * counting rules GlobalScanSpec's whole-surface sweep relies on.
+  * The gate's detector self-test proves end-to-end behavior; these
+  * pin the individual rules so a refactor cannot silently change
+  * what "a scan" means.
+  */
+class ScanCensusSpec extends GraftSpecBase {
+
+  private def census(df: org.apache.spark.sql.DataFrame) =
+    ScanCensus.tableScanCounts(
+      CheckpointRegistry.expand(df.queryExecution.optimizedPlan))
+
+  test("each logical occurrence of a base relation counts once; dims and facts both appear") {
+    val n = Tables.nation(spark, sf)
+    val e = Tables.events(spark, sf).select(col("event_type"), col("value"))
+    val joined = e.join(broadcast(n.select(col("n_nationkey"))),
+      col("value") > col("n_nationkey"))
+    val c = census(joined)
+    assert(c.getOrElse("events", 0) == 1 && c.getOrElse("nation", 0) == 1, c)
+    // a self-join embeds the relation twice
+    val self = e.as("a").join(e.as("b"), Seq("event_type"))
+    assert(census(self).getOrElse("events", 0) == 2)
+  }
+
+  test("factOffenders flags only fact tables above the limit, never dims") {
+    val n = Tables.nation(spark, sf).select(col("n_nationkey"))
+    val manyDims = (1 to 6).map(_ => n).reduce(_ unionByName _)
+    assert(ScanCensus.factOffenders(CheckpointRegistry.expand(
+      manyDims.queryExecution.optimizedPlan), maxScans = 3).isEmpty,
+      "re-reading a 25-row dim is free at any scale")
+    val e = Tables.events(spark, sf).select(col("event_id"))
+    val manyFacts = (1 to 6).map(_ => e).reduce(_ unionByName _)
+    val off = ScanCensus.factOffenders(CheckpointRegistry.expand(
+      manyFacts.queryExecution.optimizedPlan), maxScans = 3)
+    assert(off.get("events").exists(_ > 3), off)
+  }
+
+  test("a checkpointed frame counts its interior once however many branches consume it") {
+    import CacheOps.CheckpointSyntax
+    val grid = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .truncatedCheckpoint()
+    val fanned = (1 to 5).map(_ => grid.select(col("event_type"), col("n")))
+      .reduce(_ unionByName _)
+    assert(census(fanned).getOrElse("events", 0) == 1,
+      "5 branches over one checkpoint leaf must count the interior scan once")
+  }
+
+  test("scanFree recognizes checkpoint-leaf, local, and small-range frames — and nothing scanning a table") {
+    import CacheOps.CheckpointSyntax
+    val s = spark
+    import s.implicits._
+    assert(CacheOps.scanFree(Seq((1, "a")).toDF("k", "v")))
+    assert(CacheOps.scanFree(spark.range(10).toDF()))
+    val ck = Tables.events(spark, sf).select(col("event_id"))
+      .truncatedCheckpoint()
+    assert(CacheOps.scanFree(ck))
+    assert(CacheOps.scanFree(ck.filter(col("event_id") > 0)
+      .join(Seq(1L).toDF("event_id"), Seq("event_id"))))
+    assert(!CacheOps.scanFree(Tables.events(spark, sf)))
+    assert(!CacheOps.scanFree(
+      ck.join(Tables.nation(spark, sf), col("event_id") === col("n_nationkey"))),
+      "a real table leaf anywhere must defeat the scan-free proof")
+  }
+}
