@@ -47,20 +47,31 @@ object CheckpointRegistry {
   /** All registered plans reachable from `p`'s checkpoint leaves,
     * transitively — lets whole-plan sweeps (hint audits, funnel
     * gates) cover checkpointed interiors instead of stopping at the
-    * leaf. Includes `p` itself. */
+    * leaf. Includes `p` itself.
+    *
+    * Round-9 (ADVICE): interiors are deduped by checkpoint RDD id,
+    * not plan structural equality — two DISTINCT checkpoints with
+    * structurally-equal interiors are two materializations that each
+    * scan their tables once, so each contributes its interior to the
+    * census. The SAME checkpoint referenced twice (a self-join of one
+    * materialized frame) still counts once: one materialization, one
+    * physical read. Checkpoint leaves inside subquery-expression
+    * plans are reached too (`subqueriesAll` — `foreach` alone does
+    * not descend into them). */
   def expand(p: LogicalPlan): Seq[LogicalPlan] = {
-    val seen = scala.collection.mutable.LinkedHashSet[LogicalPlan]()
+    val seenIds = scala.collection.mutable.Set[Int]()
+    val out = scala.collection.mutable.ArrayBuffer[LogicalPlan]()
     def go(plan: LogicalPlan): Unit = {
-      if (!seen.contains(plan)) {
-        seen += plan
-        plan.foreach {
-          case l: org.apache.spark.sql.execution.LogicalRDD =>
-            lookup(l.rdd.id).foreach(go)
-          case _ =>
-        }
-      }
+      out += plan
+      (Iterator(plan) ++ plan.subqueriesAll.iterator).foreach(_.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD
+            if !seenIds.contains(l.rdd.id) =>
+          seenIds += l.rdd.id
+          lookup(l.rdd.id).foreach(go)
+        case _ =>
+      })
     }
     go(p)
-    seen.toSeq
+    out.toSeq
   }
 }

@@ -198,7 +198,9 @@ object ScaleRules {
       case v: Long => v <= 65536L
       case _ => false
     }
-    rankAttrs.nonEmpty && f.condition.exists {
+    // round-9 ADVICE: top-level conjuncts only — `rn = 1 OR x`
+    // does not cap rows
+    rankAttrs.nonEmpty && conjunctsOf(f.condition).exists {
       case EqualTo(att: Attribute, l: Literal) =>
         rankAttrs(att.exprId) && small(l)
       case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
@@ -206,6 +208,241 @@ object ScaleRules {
       case org.apache.spark.sql.catalyst.expressions.LessThan(
         att: Attribute, l: Literal) => rankAttrs(att.exprId) && small(l)
       case _ => false
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Round-9 (ADVICE, medium): lineage-aware bounded-key proofs.
+  //
+  // The previous literallyBounded / literallyBoundedPhys /
+  // aliasBoundedPhys matched by exprId OR BARE NAME over filter/alias
+  // expressions collected from ANYWHERE below the aggregate —
+  // including other join branches — so a same-named but unrelated
+  // attribute filtered elsewhere in the tree could falsely prove a
+  // grouping key bounded (and the laxity fired accidentally, not just
+  // adversarially). The walkers below track the key's exprId through
+  // the plan instead: remapped through Project/Aggregate aliases,
+  // POSITIONALLY through checkpoint leaves (CheckpointRegistry
+  // interiors keep their own exprIds — DeduplicateRelations
+  // re-instances a reused checkpoint's output ids) and cached
+  // subtrees, per-branch through unions, and only into the join side
+  // that actually outputs the key. A Filter counts only when a
+  // TOP-LEVEL CONJUNCT pins the tracked id to a literal domain
+  // (ADVICE, low: an equality under OR / NOT is not a pin).
+  // ------------------------------------------------------------------
+
+  /** Top-level conjuncts of a predicate. */
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
+  private def attrIdOf(e: Expression)
+      : Option[org.apache.spark.sql.catalyst.expressions.ExprId] = e match {
+    case a: Attribute => Some(a.exprId)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast => attrIdOf(c.child)
+    case k: org.apache.spark.sql.catalyst.expressions.KnownFloatingPointNormalized =>
+      attrIdOf(k.child)
+    case n: org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero =>
+      attrIdOf(n.child)
+    case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+      attrIdOf(al.child)
+    case _ => None
+  }
+
+  private type Ids = Set[org.apache.spark.sql.catalyst.expressions.ExprId]
+
+  /** A top-level conjunct pinning one of `ids` to a literal domain. */
+  private def literalPin(ids: Ids, cond: Expression): Boolean =
+    conjunctsOf(cond).exists {
+      case In(att: Attribute, vs) =>
+        ids(att.exprId) && vs.forall(_.isInstanceOf[Literal])
+      case InSet(att: Attribute, _) => ids(att.exprId)
+      case EqualTo(att: Attribute, _: Literal) => ids(att.exprId)
+      case EqualTo(_: Literal, att: Attribute) => ids(att.exprId)
+      case _ => false
+    }
+
+  /** Fixture columns that are NON-NEGATIVE by the TPC-H spec /
+    * TESTDATA generator contract (c_acctbal is NOT: CBAL reaches
+    * −999.99). Feeds [[boundedValueExpr]]'s least-rule: the only
+    * reason `least(4, floor(o_totalprice/1e5))` has a finite image is
+    * that prices cannot go below 0 — previously a prose argument
+    * carried by two allowlist entries (round-8 verdict item 4). */
+  val nonNegativeNames: Set[String] = Set(
+    "o_totalprice", "l_quantity", "l_extendedprice", "l_discount",
+    "l_tax", "p_retailprice", "p_size")
+
+  /** Provably ≥ 0: non-negative literals, contract-non-negative
+    * fixture columns, and closure under floor/cast/abs/+/·/÷ (every
+    * operand must be non-negative — division keeps sign). */
+  private def nonNegativeExpr(e: Expression): Boolean = e match {
+    case Literal(v: Number, _) => v.doubleValue >= 0
+    case Literal(v: java.math.BigDecimal, _) => v.signum >= 0
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      v.toBigDecimal.signum >= 0
+    case att: Attribute => nonNegativeNames.contains(att.name)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      nonNegativeExpr(c.child)
+    case f: org.apache.spark.sql.catalyst.expressions.Floor =>
+      nonNegativeExpr(f.child)
+    case c: org.apache.spark.sql.catalyst.expressions.Ceil =>
+      nonNegativeExpr(c.child)
+    case _: org.apache.spark.sql.catalyst.expressions.Abs => true
+    case m: org.apache.spark.sql.catalyst.expressions.Multiply =>
+      nonNegativeExpr(m.left) && nonNegativeExpr(m.right)
+    case d: org.apache.spark.sql.catalyst.expressions.Divide =>
+      nonNegativeExpr(d.left) && nonNegativeExpr(d.right)
+    case a: org.apache.spark.sql.catalyst.expressions.Add =>
+      nonNegativeExpr(a.left) && nonNegativeExpr(a.right)
+    case _ => false
+  }
+
+  private def smallIntLiteral(e: Expression): Boolean = e match {
+    case Literal(v: Int, _) => v >= 0 && v <= 65536
+    case Literal(v: Long, _) => v >= 0L && v <= 65536L
+    case Literal(v: Short, _) => v >= 0
+    case Literal(v: Byte, _) => v >= 0
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      smallIntLiteral(c.child)
+    case _ => false
+  }
+
+  /** An expression with a provably FINITE small image — the alias
+    * values a grouping key may take: literals, literal-valued CASE
+    * chains, any deterministic function of bounded-domain /
+    * DATE-typed inputs, and (round-9, verdict item 4)
+    * `least(k, e₁…)` where k is a small non-negative integer literal
+    * and every operand is provably non-negative integer-valued —
+    * image ⊆ {0..k}, the ordinal-grid price-band key. */
+  private def boundedValueExpr(e: Expression): Boolean = e match {
+    case _: Literal => true
+    case c: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
+      c.branches.forall { case (_, v) => boundedValueExpr(v) } &&
+        c.elseValue.forall(boundedValueExpr)
+    case att: Attribute =>
+      lowCardNames.contains(att.name) || boundedAliasNames.contains(att.name) ||
+        att.dataType == org.apache.spark.sql.types.DateType
+    case l: org.apache.spark.sql.catalyst.expressions.Least
+        if Set[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.ByteType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType).contains(l.dataType) &&
+          l.children.exists(smallIntLiteral) &&
+          l.children.forall(nonNegativeExpr) => true
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      boundedValueExpr(c.child)
+    case other =>
+      other.deterministic && other.references.nonEmpty &&
+        other.references.forall(r =>
+          lowCardNames.contains(r.name) || boundedAliasNames.contains(r.name) ||
+            r.dataType == org.apache.spark.sql.types.DateType)
+  }
+
+  /** LOGICAL lineage walker: does a literal-domain Filter pin, or a
+    * bounded-value alias, prove one of `ids` bounded in `plan`'s own
+    * lineage? */
+  private def boundedKeyL(ids: Ids, plan: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    if (ids.isEmpty) return false
+    def remap(exprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+        : (Boolean, Ids) = {
+      var hit = false
+      val extra = exprs.flatMap {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias
+            if ids(al.exprId) =>
+          if (boundedValueExpr(al.child)) { hit = true; None }
+          else attrIdOf(al.child)
+        case _ => None
+      }
+      (hit, ids ++ extra)
+    }
+    def into(c: LogicalPlan): Boolean =
+      boundedKeyL(ids.filter(id => c.outputSet.exists(_.exprId == id)), c)
+    plan match {
+      case f: Filter =>
+        literalPin(ids, f.condition) || boundedKeyL(ids, f.child)
+      case p: Project =>
+        val (hit, mapped) = remap(p.projectList)
+        hit || boundedKeyL(mapped, p.child)
+      case a: Aggregate =>
+        val (hit, mapped) = remap(a.aggregateExpressions)
+        hit || boundedKeyL(mapped, a.child)
+      case u: Union =>
+        val poss = u.output.zipWithIndex.collect {
+          case (att, i) if ids(att.exprId) => i }
+        poss.nonEmpty && u.children.forall(c =>
+          boundedKeyL(poss.map(i => c.output(i).exprId).toSet, c))
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        CheckpointRegistry.lookup(l.rdd.id).exists { interior =>
+          val mapped: Ids = l.output.zipWithIndex.collect {
+            case (att, i) if ids(att.exprId) && i < interior.output.size =>
+              interior.output(i).exprId
+          }.toSet
+          boundedKeyL(mapped, interior)
+        }
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        val mapped: Ids = m.output.zipWithIndex.collect {
+          case (att, i) if ids(att.exprId) && i < m.cachedPlan.output.size =>
+            m.cachedPlan.output(i).exprId
+        }.toSet
+        boundedKeyP(mapped, m.cachedPlan)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.exists(into)
+    }
+  }
+
+  /** PHYSICAL twin of [[boundedKeyL]]. */
+  private def boundedKeyP(ids: Ids, p: SparkPlan): Boolean = {
+    if (ids.isEmpty) return false
+    def into(c: SparkPlan): Boolean =
+      boundedKeyP(ids.filter(id => c.outputSet.exists(_.exprId == id)), c)
+    p match {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        literalPin(ids, f.condition) || boundedKeyP(ids, f.child)
+      case pr: org.apache.spark.sql.execution.ProjectExec =>
+        var hit = false
+        val extra = pr.projectList.flatMap {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias
+              if ids(al.exprId) =>
+            if (boundedValueExpr(al.child)) { hit = true; None }
+            else attrIdOf(al.child)
+          case _ => None
+        }
+        hit || boundedKeyP(ids ++ extra, pr.child)
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        var hit = false
+        val extra = a.resultExpressions.flatMap {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias
+              if ids(al.exprId) =>
+            if (boundedValueExpr(al.child)) { hit = true; None }
+            else attrIdOf(al.child)
+          case _ => None
+        }
+        hit || boundedKeyP(ids ++ extra, a.child)
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        CheckpointRegistry.lookup(r.rdd.id).exists { interior =>
+          val mapped: Ids = r.output.zipWithIndex.collect {
+            case (att, i) if ids(att.exprId) && i < interior.output.size =>
+              interior.output(i).exprId
+          }.toSet
+          boundedKeyL(mapped, interior)
+        }
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        boundedKeyP(ids, s.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        boundedKeyP(ids, a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        boundedKeyP(ids, q.plan)
+      case u: org.apache.spark.sql.execution.UnionExec =>
+        val poss = u.output.zipWithIndex.collect {
+          case (att, i) if ids(att.exprId) => i }
+        poss.nonEmpty && u.children.forall(c =>
+          boundedKeyP(poss.map(i => c.output(i).exprId).toSet, c))
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.exists(into)
     }
   }
 
@@ -218,32 +455,13 @@ object ScaleRules {
     * frame). Conservative otherwise: unrecognized leaf = unbounded. */
   def boundedLogical(p: LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    // round-8: search through checkpoint leaves too (expand) — the
-    // materialization wave moved many literal In-filters inside
-    // localCheckpoint interiors, where the direct subtree walk went
-    // blind; name fallback carries the boundedRows spoof caveat
-    def literallyBounded(a: Attribute, below: LogicalPlan): Boolean =
-      CheckpointRegistry.expand(below)
-        .flatMap(_.collect { case f: Filter => f.condition })
-        .exists { cond =>
-        cond.exists {
-          case In(att: Attribute, vs) =>
-            (att.exprId == a.exprId || att.name == a.name) &&
-              vs.forall(_.isInstanceOf[Literal])
-          case InSet(att: Attribute, _) =>
-            att.exprId == a.exprId || att.name == a.name
-          case EqualTo(att: Attribute, _: Literal) =>
-            att.exprId == a.exprId || att.name == a.name
-          case EqualTo(_: Literal, att: Attribute) =>
-            att.exprId == a.exprId || att.name == a.name
-          case _ => false
-        }
-      }
     // the fixture tables' unique row keys (TESTDATA contract): an
     // equality pin on one is a 1-row fetch; a `< k` range is ≤ k rows
+    // — matched at conjunct level only (round-9 ADVICE: an equality
+    // under OR / NOT is not a pin)
     val fixturePks = Set("vec_id", "doc_id", "event_id")
     def pkBounded(cond: Expression): Boolean =
-      cond.exists {
+      conjunctsOf(cond).exists {
         case EqualTo(att: Attribute, _: Literal) => fixturePks(att.name)
         case EqualTo(_: Literal, att: Attribute) => fixturePks(att.name)
         case org.apache.spark.sql.catalyst.expressions.LessThan(
@@ -290,8 +508,9 @@ object ScaleRules {
               // the round-6 promotion already treats calendar names as
               // bounded; this closes the renamed-alias gap (round-7)
               g.dataType == org.apache.spark.sql.types.DateType ||
+              boundedValueExpr(g) ||
               (g match {
-                case att: Attribute => literallyBounded(att, a.child)
+                case att: Attribute => boundedKeyL(Set(att.exprId), a.child)
                 case _ => false
               })
           }
@@ -318,103 +537,19 @@ object ScaleRules {
     }
   }
 
-  /** Round-8 (verdict item 7): filter conditions visible below a
-    * physical node — FilterExec conditions in the subtree, plus (so
-    * the round-8 lazy-checkpoint materializations don't hide proofs)
-    * Filter conditions inside any checkpointed interior reachable
-    * through an RDD-scan leaf. */
-  private def filterCondsBelow(p: SparkPlan)
-      : Seq[Expression] = {
-    val direct = p.collect {
-      case f: org.apache.spark.sql.execution.FilterExec => Seq(f.condition)
-      case r: org.apache.spark.sql.execution.RDDScanExec =>
-        CheckpointRegistry.lookup(r.rdd.id).toSeq.flatMap(_.collect {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            f.condition
-        })
-      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        filterCondsBelow(s.relation.cachedPlan)
-    }
-    direct.flatten
-  }
-
-  /** The PHYSICAL twin of [[boundedLogical]]'s literal-predicate
-    * rule: the grouping attribute is pinned to a literal domain by an
-    * In / InSet / = literal filter below the aggregate (e.g. the
-    * retrieval queries' 3-literal query-term panels). Matches by
-    * exprId, with a NAME fallback for attributes re-created across a
-    * localCheckpoint boundary — name trust carries the same
-    * documented spoof caveat as the bounded-name vocabulary (a user
-    * column aliased onto a filtered name would pass; gates only, can
-    * never loosen product results). */
-  private def literallyBoundedPhys(a: Attribute, below: SparkPlan)
-      : Boolean =
-    filterCondsBelow(below).exists { cond =>
-      cond.exists {
-        case In(att: Attribute, vs) =>
-          (att.exprId == a.exprId || att.name == a.name) &&
-            vs.forall(_.isInstanceOf[Literal])
-        case InSet(att: Attribute, _) =>
-          att.exprId == a.exprId || att.name == a.name
-        case EqualTo(att: Attribute, _: Literal) =>
-          att.exprId == a.exprId || att.name == a.name
-        case EqualTo(_: Literal, att: Attribute) =>
-          att.exprId == a.exprId || att.name == a.name
-        case _ => false
-      }
-    }
-
-  /** Round-8 alias resolution for computed grouping keys: resolve the
-    * attribute through Project aliases below (physical, and logical
-    * inside checkpoint interiors) and accept expressions that are
-    * provably finite-valued — literal-valued CASE WHEN chains
-    * (≤ branches+1 values), or any deterministic expression whose
-    * every attribute input is itself a bounded domain (a function of
-    * a finite domain has a finite image: substring(o_orderpriority),
-    * bucketed casts of a 25-value key, …). */
-  private def aliasBoundedPhys(a: Attribute, below: SparkPlan): Boolean = {
-    def boundedExpr(e: Expression): Boolean = e match {
-      case _: Literal => true
-      case c: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
-        c.branches.forall { case (_, v) => boundedExpr(v) } &&
-          c.elseValue.forall(boundedExpr)
-      case att: Attribute =>
-        lowCardNames.contains(att.name) || boundedAliasNames.contains(att.name) ||
-          att.dataType == org.apache.spark.sql.types.DateType
-      case other =>
-        other.deterministic && other.references.nonEmpty &&
-          other.references.forall(r =>
-            lowCardNames.contains(r.name) || boundedAliasNames.contains(r.name) ||
-              r.dataType == org.apache.spark.sql.types.DateType)
-    }
-    val aliases: Seq[org.apache.spark.sql.catalyst.expressions.Alias] = {
-      val phys = below.collect {
-        case pr: org.apache.spark.sql.execution.ProjectExec =>
-          pr.projectList.collect {
-            case al: org.apache.spark.sql.catalyst.expressions.Alias => al }
-        case r: org.apache.spark.sql.execution.RDDScanExec =>
-          CheckpointRegistry.lookup(r.rdd.id).toSeq.flatMap(_.collect {
-            case pj: org.apache.spark.sql.catalyst.plans.logical.Project =>
-              pj.projectList.collect {
-                case al: org.apache.spark.sql.catalyst.expressions.Alias => al }
-          }.flatten)
-      }
-      phys.flatten
-    }
-    aliases.exists(al =>
-      (al.exprId == a.exprId || al.name == a.name) && boundedExpr(al.child))
-  }
-
   /** Physical row bound — the SparkPlan twin of [[boundedLogical]]
     * (GlobalJoinSpec's BNLJ-build proof, promoted to main in round 7
     * so cached subtrees can carry it: a `.persist()` plants an
     * InMemoryRelation leaf in the LOGICAL plan whose interior only
     * exists physically). Grouping-key rules mirror the logical
     * Aggregate rule: bounded-domain names, PrefixOps internals,
-    * DATE-typed keys, plus (round 8) the literal-predicate and
-    * bounded-alias-expression proofs ([[literallyBoundedPhys]] /
-    * [[aliasBoundedPhys]]) that let the former query-term-panel and
-    * rating-grid allowlist entries prove out structurally. */
+    * DATE-typed keys, plus the literal-predicate and bounded-alias-
+    * expression proofs — round-9: both LINEAGE-AWARE via
+    * [[boundedKeyP]] (exprId-tracked through aliases, checkpoint
+    * leaves, caches; no bare-name fallback, no cross-branch filter
+    * leakage) — that let the former query-term-panel, rating-grid,
+    * and ordinal-price-band allowlist entries prove out
+    * structurally. */
   def boundedPhysical(p: SparkPlan): Boolean = p match {
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
       import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
@@ -432,10 +567,10 @@ object ScaleRules {
                 boundedAliasNames.contains(att.name) ||
                 att.name.startsWith("__pfx_p") ||
                 Set("__pfx_bucket", "__tb", "__eb").contains(att.name) ||
-                literallyBoundedPhys(att, a.child) ||
-                aliasBoundedPhys(att, a.child)
+                boundedKeyP(Set(att.exprId), a.child)
             case _ => false
-          }) || g.dataType == org.apache.spark.sql.types.DateType
+          }) || g.dataType == org.apache.spark.sql.types.DateType ||
+            boundedValueExpr(g)
         })
     case _: org.apache.spark.sql.execution.GlobalLimitExec |
          _: org.apache.spark.sql.execution.LocalLimitExec |
@@ -443,9 +578,11 @@ object ScaleRules {
          _: org.apache.spark.sql.execution.CollectLimitExec => true
     // round-8 port of boundedLogical's fixture-PK rule: an equality
     // pin on a unique row key is a 1-row fetch (the q_sim_cosine /
-    // q_knn_classify "query vector by vec_id = 0" probes)
+    // q_knn_classify "query vector by vec_id = 0" probes) — round-9
+    // ADVICE: matched at TOP-LEVEL CONJUNCT only (an equality under
+    // OR / NOT is not a 1-row fetch)
     case f: org.apache.spark.sql.execution.FilterExec
-        if f.condition.exists {
+        if conjunctsOf(f.condition).exists {
           case EqualTo(att: Attribute, _: Literal) =>
             Set("vec_id", "doc_id", "event_id").contains(att.name)
           case EqualTo(_: Literal, att: Attribute) =>
@@ -515,11 +652,6 @@ object ScaleRules {
       : Seq[(Option[String], Option[String])] = {
     val leftOut = j.left.outputSet
     val rightOut = j.right.outputSet
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     def sidesOf(a: Expression, b: Expression)
         : Option[(Expression, Expression)] =
       if (a.references.subsetOf(leftOut) && b.references.subsetOf(rightOut))
@@ -527,7 +659,7 @@ object ScaleRules {
       else if (b.references.subsetOf(leftOut) && a.references.subsetOf(rightOut))
         Some((b, a))
       else None
-    j.condition.toSeq.flatMap(conjuncts).flatMap {
+    j.condition.toSeq.flatMap(conjunctsOf).flatMap {
       case EqualTo(a, b) => sidesOf(a, b)
       case EqualNullSafe(a, b) => sidesOf(a, b)
       case _ => None

@@ -35,24 +35,50 @@ object ScanCensus {
     "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
+  /** Table name for a file relation's root paths. Round-9 (ADVICE):
+    * match any PATH SEGMENT equal to `<table>.parquet` or `<table>`
+    * (exact segment equality — no partsupp-style substring false
+    * positives), preferring the leaf name, instead of requiring the
+    * leaf to be `<table>.parquet` exactly: a partitioned/multi-file
+    * layout (`…/lineitem/part-00001.parquet`, per-partition subdirs)
+    * would previously classify as `unknown`, and the fact gate would
+    * never fire for that table. */
+  private[graft] def tableOf(fs: HadoopFsRelation): Option[String] =
+    tableOfPaths(fs.location.rootPaths)
+
+  private[graft] def tableOfPaths(
+      paths: Seq[org.apache.hadoop.fs.Path]): Option[String] = {
+    val leaf = paths.iterator.flatMap(p =>
+      graft.Tables.names.find(t => p.getName == s"$t.parquet"))
+      .toSeq.headOption
+    leaf.orElse {
+      val segs = paths.iterator
+        .flatMap(_.toString.split('/').iterator).toSet
+      graft.Tables.names.find(t =>
+        segs.contains(s"$t.parquet") || segs.contains(t))
+    }
+  }
+
   /** Count of base-table scans per table name across `plans`
     * (typically one query's CheckpointRegistry-expanded plan list).
-    * Key "unknown" counts file relations matching no graded table. */
+    * Key "unknown" counts file relations matching no graded table.
+    * Round-9 (ADVICE): also descends into subquery-expression plans
+    * (`subqueriesAll`) — `LogicalPlan.foreach` alone leaves scalar
+    * subqueries' scans invisible to the census. */
   def tableScanCounts(plans: Seq[LogicalPlan]): Map[String, Int] = {
     val counts = scala.collection.mutable.Map.empty[String, Int]
-    plans.foreach(_.foreach {
-      case lr: LogicalRelation =>
-        val name = lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.iterator.flatMap(p =>
-              graft.Tables.names.find(t => p.getName == s"$t.parquet"))
-              .toSeq.headOption
-          case _ => None
-        }
-        val key = name.getOrElse("unknown")
-        counts(key) = counts.getOrElse(key, 0) + 1
-      case _ => ()
-    })
+    plans.iterator
+      .flatMap(p => Iterator(p) ++ p.subqueriesAll.iterator)
+      .foreach(_.foreach {
+        case lr: LogicalRelation =>
+          val name = lr.relation match {
+            case fs: HadoopFsRelation => tableOf(fs)
+            case _ => None
+          }
+          val key = name.getOrElse("unknown")
+          counts(key) = counts.getOrElse(key, 0) + 1
+        case _ => ()
+      })
     counts.toMap
   }
 

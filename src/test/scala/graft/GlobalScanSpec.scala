@@ -42,13 +42,13 @@ class GlobalScanSpec extends GraftSpecBase {
 
   /** Queries allowed to exceed [[MaxFactScans]], with the inherent
     * reason. Keep minimal — a shared contracted frame re-embedded per
-    * branch is a bug (materialize it once), not an allowlist case. */
-  private val scanAllowed: Map[String, String] = Map(
-    "q_mmd" -> ("exact pairwise MMD^2 demonstrator (allowlisted for " +
-      "the same reason in GlobalJoinSpec): the xx/yy/xy kernel legs " +
-      "each scan both label slices by contract; the deployment " +
-      "answer is the linear-time q_mmd_linear, declared in the " +
-      "surface since round 8"))
+    * branch is a bug (materialize it once), not an allowlist case.
+    * EMPTY since round 9: q_mmd (the last entry, 6 scans) now
+    * materializes each label slice once, so the xx/yy/xy kernel legs
+    * read cached frames — 2 scans, gate-clean. The pairwise kernel
+    * cost stays (exact-MMD² demonstrator by contract; scale path =
+    * q_mmd_linear), but its I/O no longer multiplies. */
+  private val scanAllowed: Map[String, String] = Map.empty
 
   private lazy val censuses: Seq[(String, Map[String, Int])] =
     GradedPlans.logicalExpanded.map { case (name, plans) =>

@@ -112,6 +112,79 @@ class ScaleRulesSpec extends GraftSpecBase {
     } finally grid.unpersist()
   }
 
+  // ----- round-9 pins: lineage-aware bounded-key proofs (ADVICE,
+  // medium + low) and the least/non-negative ordinal-grid rule
+  // (verdict item 4).
+
+  test("least(k, floor(nonNegative/c)) grid key proves bounded; the same shape over a sign-indefinite column does NOT") {
+    // the q_ordinal_gamma / q_somers_d price-band key: finite image
+    // {0..4} BECAUSE o_totalprice >= 0 by fixture contract
+    val priced = Tables.orders(spark, sf).select(
+      substring(col("o_orderpriority"), 1, 1).cast("int").as("x"),
+      least(lit(4), floor(col("o_totalprice") / 100000.0).cast("int")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(priced.queryExecution.optimizedPlan),
+      "the ordinal price-band grid must prove bounded (verdict item 4)")
+    assert(ScaleRules.boundedPhysical(priced.queryExecution.executedPlan))
+    // c_acctbal reaches −999.99: least(4, floor(acctbal/10)) is
+    // unbounded BELOW — the non-negativity premise fails
+    val signIndef = Tables.customer(spark, sf).select(
+      least(lit(4), floor(col("c_acctbal") / 10.0).cast("int")).as("y"))
+      .groupBy(col("y")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(signIndef.queryExecution.optimizedPlan),
+      "least over a sign-indefinite column must stay unbounded")
+    assert(!ScaleRules.boundedPhysical(signIndef.queryExecution.executedPlan))
+  }
+
+  test("a same-named attribute filtered in ANOTHER join branch cannot prove a grouping key bounded (round-9 ADVICE, medium)") {
+    // the accidental-fire shape: facts grouped on their own `segx`
+    // column (NOT a vocabulary name — the bounded-name vocabularies
+    // are the separately-documented residual name trust), joined with
+    // a frame that pins a DIFFERENT column also named `segx` to a
+    // literal — the old anywhere-below name-fallback collected that
+    // filter and falsely proved the fact key bounded
+    val facts = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        col("value").cast("string").as("segx"))
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segx"))
+      .filter(col("segx") === "BUILDING")
+      .select(col("user_id"))
+    val grouped = facts.join(dim, "user_id")
+      .groupBy(facts("segx")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(grouped.queryExecution.optimizedPlan),
+      "the filter pins the DIM's seg, not the grouping key — must not prove")
+    assert(!ScaleRules.boundedPhysical(grouped.queryExecution.executedPlan))
+  }
+
+  test("a literal pin survives its own lineage: through project aliases and a checkpoint leaf (exprId-tracked, no name trust)") {
+    import graft.operators.CacheOps.CheckpointSyntax
+    // rename the pinned column twice and cross a checkpoint boundary:
+    // the lineage walker must still connect grouping key → filter
+    val pinned = Tables.events(spark, sf)
+      .filter(col("value").isin(1.0, 2.0, 3.0))
+      .select(col("value").as("v1"), col("event_id"))
+      .truncatedCheckpoint()
+      .select(col("v1").as("v2"), col("event_id"))
+      .groupBy(col("v2")).agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(pinned.queryExecution.optimizedPlan),
+      "isin-pinned key renamed across a checkpoint must still prove bounded")
+  }
+
+  test("an equality under OR / NOT is not a pin (round-9 ADVICE, low: conjunct-level matching)") {
+    val orPin = Tables.events(spark, sf)
+      .filter(col("value") === 1.0 || col("user_id") > 5)
+      .groupBy(col("value")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(orPin.queryExecution.optimizedPlan),
+      "value = 1 OR … admits every value — not a literal pin")
+    val notPk = Tables.embeddings(spark, sf)
+      .filter(!(col("vec_id") === 0))
+      .select(col("vec_id"), col("label"))
+    assert(!ScaleRules.boundedPhysical(notPk.queryExecution.executedPlan),
+      "NOT(vec_id = 0) keeps n−1 rows — not a 1-row PK fetch")
+  }
+
   test("checkpoint leaves stay transparent to the funnel sweep (expand) and to contractedLogical") {
     // a funnel hidden behind a lazy localCheckpoint: the truncated
     // plan itself shows only a LogicalRDD leaf, but the gates sweep

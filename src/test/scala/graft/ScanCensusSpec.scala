@@ -53,6 +53,43 @@ class ScanCensusSpec extends GraftSpecBase {
       "5 branches over one checkpoint leaf must count the interior scan once")
   }
 
+  test("two DISTINCT checkpoints with structurally-equal interiors count twice (round-9 ADVICE: dedupe by RDD id, not structure)") {
+    import CacheOps.CheckpointSyntax
+    def mk() = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .truncatedCheckpoint()
+    val a = mk()
+    val b = mk() // separate materialization: scans events again
+    val both = a.unionByName(b)
+    assert(census(both).getOrElse("events", 0) == 2,
+      "each distinct checkpoint is its own materialization — its interior " +
+        "scan must count even when another checkpoint's interior is " +
+        "structurally identical")
+  }
+
+  test("a scalar subquery's scan is visible to the census (round-9 ADVICE: subqueriesAll)") {
+    val e = Tables.events(spark, sf)
+    e.createOrReplaceTempView("__census_ev")
+    val df = spark.sql(
+      """SELECT event_id FROM __census_ev
+        |WHERE value > (SELECT avg(value) FROM __census_ev)""".stripMargin)
+    assert(census(df).getOrElse("events", 0) == 2,
+      "outer scan + the scalar subquery's scan must both count")
+  }
+
+  test("tableOfPaths matches a partitioned/multi-file layout by path segment (round-9 ADVICE)") {
+    import org.apache.hadoop.fs.Path
+    def of(s: String) = ScanCensus.tableOfPaths(Seq(new Path(s)))
+    // exact-leaf layout (the TESTDATA single-file shape)
+    assert(of("/data/sf1/lineitem.parquet").contains("lineitem"))
+    // directory layout: …/lineitem/… must still classify, including
+    // per-partition subdirs below the table directory
+    assert(of("/data/sf1/lineitem").contains("lineitem"))
+    assert(of("/data/sf1/orders/o_orderdate=1995-01-01").contains("orders"))
+    // partsupp-style substring must NOT false-positive onto `part`
+    assert(of("/data/sf1/partsupplier").isEmpty)
+  }
+
   test("scanFree recognizes checkpoint-leaf, local, and small-range frames — and nothing scanning a table") {
     import CacheOps.CheckpointSyntax
     val s = spark

@@ -31,7 +31,10 @@ for key in ("metric", "value", "unit", "queries", "sf",
             # indistinguishable from a plan regression; canary_end +
             # solo_failed (round 7) bracket the solo re-profile too
             "canary_pre", "canary_post", "canary_end",
-            "load0", "load1", "solo_max", "solo_failed"):
+            "load0", "load1", "solo_max", "solo_failed",
+            # round-9: canary-normalized headline + contended-window
+            # self-flag + launch-backoff wait (round-8 verdict #1)
+            "value_norm", "contended", "waited"):
     if key not in obj:
         sys.exit(f"TAILPARSE FAIL: parsed JSON missing key {key!r}: {last[:200]}")
 if len(last) > 1500:
