@@ -91,6 +91,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the per-query scoped release (below) unpersists each query's
+    // local checkpoints AFTER consumption — by design, so the RDD
+    // classes' "lineage … cannot be recomputed after unpersisting"
+    // WARN per released frame is expected noise, not a hazard
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // one-time warm read + cache of the shared inputs (not timed)
     Tables.names.foreach { n =>
       try {
@@ -207,8 +213,13 @@ object Bench {
             // noop-sink write executes every projection and the final
             // sort, whereas .count() would let Catalyst prune all
             // columns and drop sorts, under-measuring
-            // projection-heavy queries
-            try fn(sess, sfDir).write.format("noop").mode("overwrite").save()
+            // projection-heavy queries. CacheOps.scoped releases the
+            // query's checkpoint blocks as soon as it completes
+            // (round-9: storage stays at the base-table floor through
+            // the pass instead of accumulating ~600 dead frames)
+            try graft.operators.CacheOps.scoped {
+              fn(sess, sfDir).write.format("noop").mode("overwrite").save()
+            }
             catch {
               case ex: Throwable =>
                 if (record) { // a broken query must not shrink the total
@@ -272,8 +283,10 @@ object Bench {
         soloNames.map { name =>
           val s0 = System.nanoTime()
           try {
-            byName(name)(sess, sfDir)
-              .write.format("noop").mode("overwrite").save()
+            graft.operators.CacheOps.scoped {
+              byName(name)(sess, sfDir)
+                .write.format("noop").mode("overwrite").save()
+            }
             name -> (System.nanoTime() - s0) / 1e9
           } catch { case NonFatal(_) =>
             soloFailed += name

@@ -18,12 +18,22 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scoped release unpersists checkpoints after each query is dumped
+    // — the RDD classes' per-frame "cannot be recomputed" WARN is
+    // expected (post-consumption by construction), so keep stderr clean
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // scoped: each query's checkpoint blocks are released once its
+      // parquet is written (round-9 lifecycle hook — a full 538-query
+      // dump otherwise accumulates every dead cached frame in one JVM)
+      try graft.operators.CacheOps.scoped {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

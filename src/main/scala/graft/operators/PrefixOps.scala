@@ -93,7 +93,17 @@ object PrefixOps {
     *               this way (q_runs_test: chained prefix passes
     *               multiply). At 100 TB a 6× re-read of a fact-scale
     *               input dwarfs the cost of caching one narrow
-    *               projection that is provably reused. Callers whose
+    *               projection that is provably reused. Lifecycle &
+    *               fault tolerance (round-8 ADVICE): the cached
+    *               blocks are released by [[CacheOps.scoped]] once
+    *               the query is consumed (Bench/Verify wrap every
+    *               query), and localCheckpoint's non-fault-tolerance
+    *               (an executor loss mid-query fails the job rather
+    *               than recompute) is the deployment trade a 100 TB
+    *               run flips with `spark.graft.reliableCheckpoints=
+    *               true` + a checkpoint dir — same call sites then
+    *               write recoverable reliable checkpoints
+    *               (CacheOps.truncated). Callers whose
     *               input is ALREADY a checkpoint leaf (e.g.
     *               [[groupedCumCounts]]'s contracted grid) pass
     *               false — re-deriving a bucket column from a cached

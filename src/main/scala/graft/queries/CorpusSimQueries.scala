@@ -24,7 +24,10 @@ object CorpusSimQueries {
   // self-join (only shared tokens contribute — never a dense d×d
   // matrix). Scale shape: the postings join partitions by token;
   // skewed (stop-)tokens are exactly the ones IDF down-weights, and
-  // at 100 TB they get dropped by a df ceiling before the join.
+  // at 100 TB they get dropped by a df ceiling before the join —
+  // IMPLEMENTED as the PostingsOps.postings(maxDf = …) capability
+  // knob (PostingsOpsSpec pins capped ⊆ uncapped + the recall floor);
+  // this graded form stays uncapped because its oracle is exact.
   // Determinism: tf·idf weights are doubles built by identical
   // expression trees (ln matches across engines — proven by
   // q_text_tfidf); every SUM is a decimal sum of deterministic casts.

@@ -20,6 +20,17 @@ object GraftSpecBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Round-9 (verdict item 8): the suites drive ~1,100 tiny literal
+    // fixtures through single-partition windows ON PURPOSE (driver-
+    // side reference computations, ≤100-row frames), and WindowExec's
+    // "No Partition Defined" WARN per fixture buried any future real
+    // offender in noise. Silence that ONE logger in the TEST JVM
+    // only; real unpartitioned windows in graded plans stay build-
+    // failing via GlobalWindowSpec's structural sweep (which inspects
+    // plans, not logs), and product mains keep the logger at WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

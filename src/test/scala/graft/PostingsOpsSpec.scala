@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PostingsOps
+
+/** Round-9 (verdict item 5): the df-ceiling knob for the postings
+  * self-join family. Property contracts on the documents fixture AND
+  * on a hand-built corpus whose df structure is known exactly.
+  */
+class PostingsOpsSpec extends GraftSpecBase {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("capped pairs are a subset of uncapped pairs (fixture corpus)") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("lang") === "de").select(col("doc_id"), col("text"))
+    val uncapped = pairSet(PostingsOps.sharedTokenPairs(
+      PostingsOps.postings(docs)))
+    val capped = pairSet(PostingsOps.sharedTokenPairs(
+      PostingsOps.postings(docs, maxDf = Some(5L))))
+    assert(capped.subsetOf(uncapped),
+      s"df ceiling must only REMOVE candidate pairs; " +
+        s"extras: ${(capped -- uncapped).take(5)}")
+    assert(capped.size < uncapped.size,
+      "a cap of 5 on the fixture corpus must actually drop stop-token " +
+        "pairs (otherwise this test proves nothing)")
+  }
+
+  test("recall floor: every pair sharing a SUB-ceiling token survives the cap") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("lang") === "de").select(col("doc_id"), col("text"))
+    val cap = 5L
+    val p = PostingsOps.postings(docs)
+    // pairs connected by at least one token with df <= cap — computed
+    // from the UNCAPPED postings, the ground truth the user cares about
+    val rare = p.filter(col("df") <= cap)
+    val expected = pairSet(PostingsOps.sharedTokenPairs(rare))
+    val capped = pairSet(PostingsOps.sharedTokenPairs(
+      PostingsOps.postings(docs, maxDf = Some(cap))))
+    assert(expected == capped,
+      "the cap must keep EXACTLY the pairs reachable through sub-ceiling " +
+        "tokens — no more (subset test), no fewer (this recall floor)")
+  }
+
+  test("df ceiling semantics on a known corpus: stop token dropped, rare tokens kept, tf/df intact") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog ran"),
+      (3L, "the cat ran"),
+      (4L, "the bird bird flew")).toDF("doc_id", "text")
+    // df: the=4, cat=2, ran=2, dog=1, sat=1, bird=1, flew=1
+    val capped = PostingsOps.postings(docs, maxDf = Some(3L))
+    val tokens = capped.select("token").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!tokens.contains("the"), "df=4 > cap=3 must be dropped")
+    assert(tokens == Set("cat", "ran", "dog", "sat", "bird", "flew"))
+    val birdRow = capped.filter(col("token") === "bird").collect()
+    assert(birdRow.length == 1 &&
+      birdRow(0).getAs[Long]("tf") == 2L &&
+      birdRow(0).getAs[Long]("df") == 1L,
+      "tf counts repeats within a doc; df counts distinct docs")
+    val pairs = pairSet(PostingsOps.sharedTokenPairs(capped))
+    // cat links 1-3, ran links 2-3; `the` would have linked all 6 pairs
+    assert(pairs == Set((1L, 3L), (2L, 3L)))
+  }
+}

