@@ -174,7 +174,11 @@ object Bench {
       // alphabetical-tail order
       "q_mad", "q_rank_corr", "q_win_analytic", "q_mood_median",
       "q_percentile", "q_percentile_disc", "q_levene", "q_winsorize",
-      "q_hist_eqfreq", "q_outlier_iqr", "q_gini")
+      "q_hist_eqfreq", "q_outlier_iqr", "q_gini",
+      // round-9 refresh: the remaining >4.5 s in-concurrency entries
+      // that still sat in alphabetical order (q_feature_corr's moment
+      // row, the ABC Pareto windows, transfer entropy's lag joins)
+      "q_feature_corr", "q_abc_class", "q_transfer_entropy")
       .zipWithIndex.toMap
     // optional comma-separated subset (profiling aid: combined with
     // SPARK_GRAFT_STREAMS=1 it yields solo warm times free of queue

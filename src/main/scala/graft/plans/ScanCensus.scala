@@ -64,21 +64,61 @@ object ScanCensus {
     * Key "unknown" counts file relations matching no graded table.
     * Round-9 (ADVICE): also descends into subquery-expression plans
     * (`subqueriesAll`) — `LogicalPlan.foreach` alone leaves scalar
-    * subqueries' scans invisible to the census. */
+    * subqueries' scans invisible to the census. Round-9 (self-found,
+    * same class): `.persist()` plants an InMemoryRelation leaf whose
+    * interior only exists PHYSICALLY — its base scans were invisible
+    * to the census exactly the way checkpoint interiors were in
+    * round 7. Each DISTINCT cache (by CachedRDDBuilder identity — the
+    * CacheManager dedupes re-persists of the same frame) now counts
+    * its interior's file scans ONCE per census, matching the
+    * checkpoint convention: one materialization = one read, however
+    * many branches consume the cached frame. */
   def tableScanCounts(plans: Seq[LogicalPlan]): Map[String, Int] = {
     val counts = scala.collection.mutable.Map.empty[String, Int]
-    plans.iterator
-      .flatMap(p => Iterator(p) ++ p.subqueriesAll.iterator)
-      .foreach(_.foreach {
+    def add(name: Option[String]): Unit = {
+      val key = name.getOrElse("unknown")
+      counts(key) = counts.getOrElse(key, 0) + 1
+    }
+    val seenCaches =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    val seenCkpts = scala.collection.mutable.Set[Int]()
+    def goPhysical(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+      p.foreach {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          add(tableOfPaths(f.relation.location.rootPaths))
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          if (seenCaches.add(s.relation.cacheBuilder))
+            goPhysical(s.relation.cachedPlan)
+        case r: org.apache.spark.sql.execution.RDDScanExec =>
+          if (seenCkpts.add(r.rdd.id))
+            CheckpointRegistry.lookup(r.rdd.id).foreach(goLogical)
+        case _ => ()
+      }
+    def goLogical(plan: LogicalPlan): Unit =
+      (Iterator(plan) ++ plan.subqueriesAll.iterator).foreach(_.foreach {
         case lr: LogicalRelation =>
-          val name = lr.relation match {
+          add(lr.relation match {
             case fs: HadoopFsRelation => tableOf(fs)
             case _ => None
-          }
-          val key = name.getOrElse("unknown")
-          counts(key) = counts.getOrElse(key, 0) + 1
+          })
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          if (seenCaches.add(m.cacheBuilder)) goPhysical(m.cachedPlan)
         case _ => ()
       })
+    // the caller's list is typically CheckpointRegistry.expand output:
+    // LogicalRDD checkpoint leaves in it are already expanded (and
+    // id-deduped) there, so goLogical does not recurse into them —
+    // only interiors reached through a PHYSICAL cache do, guarded by
+    // the same seen-ids so nothing double-counts
+    plans.foreach { p =>
+      p.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          seenCkpts += l.rdd.id
+        case _ => ()
+      }
+    }
+    plans.foreach(goLogical)
     counts.toMap
   }
 

@@ -35,9 +35,11 @@ class GlobalScanSpec extends GraftSpecBase {
     * expanded plan fails the gate. 3 accommodates the legitimate
     * multi-pass shapes (self-joins = 2, three-stage funnels,
     * train/validate splits with a spine) without re-admitting the
-    * fixed N-fold class. The round-8 fix waves left the distribution
-    * at 0×15 / 1×313 / 2×164 / 3×45 across the 538-query surface,
-    * with only the allowlisted q_mmd demonstrator above. */
+    * fixed N-fold class. Round-9 distribution (with the honest
+    * counting: persist interiors once per cache, checkpoint interiors
+    * by RDD id, subqueries included): 0×3 / 1×321 / 2×169 / 3×45 over
+    * the 538-query surface — nothing above the gate, allowlist EMPTY
+    * (q_mmd's label-slice materialization took it 6 → 2). */
   private val MaxFactScans = 3
 
   /** Queries allowed to exceed [[MaxFactScans]], with the inherent

@@ -54,8 +54,38 @@ object GradedPlans {
     }
   }
 
+  /** Cache interiors reachable from `p` (nested included), deduped by
+    * CachedRDDBuilder identity: a `.persist()` interior only exists
+    * PHYSICALLY (the logical plan shows an InMemoryRelation leaf), so
+    * without this the physical gates — cartesian, BNLJ-build,
+    * shuffle-join funnel, window — never swept what runs inside a
+    * persisted subtree (round-9: the same materialization-opacity
+    * class as round 7's checkpoint leaves). */
+  private def cacheInteriors(p: SparkPlan): Seq[SparkPlan] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+    def go(q: SparkPlan): Unit = q.foreach {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+          if seen.add(s.relation.cacheBuilder) =>
+        out += s.relation.cachedPlan
+        go(s.relation.cachedPlan)
+      case _ => ()
+    }
+    go(p)
+    out.toSeq
+  }
+
+  /** Every graded query's executed plan, PLUS one entry per distinct
+    * cache interior under it (same query name, so allowlists keep
+    * working). Residual: the strategy-blind LOGICAL funnel gate (1b)
+    * cannot see into caches — interiors exist only physically — but
+    * the physical shuffle/BNLJ/cartesian gates now do. */
   lazy val atSf0001: Seq[(String, SparkPlan)] =
-    executions.map { case (n, qe) => n -> strip(qe.executedPlan) }
+    executions.flatMap { case (n, qe) =>
+      val top = strip(qe.executedPlan)
+      (n -> top) +: cacheInteriors(top).map(n -> _)
+    }
 
   /** Optimized LOGICAL plans from the same build pass — join hints
     * survive here (the physical plan no longer says which broadcasts

@@ -67,6 +67,25 @@ class ScanCensusSpec extends GraftSpecBase {
         "structurally identical")
   }
 
+  test("a persisted frame's interior scans are visible to the census, and count once per cache (round-9)") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).persist()
+    try {
+      // two branches over ONE cache: the interior's events scan counts
+      // once (one materialization), same convention as checkpoints
+      val fanned = e.filter(col("value") > 50)
+        .unionByName(e.filter(col("value") <= 50))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val c = census(fanned)
+      assert(c.getOrElse("events", 0) == 1,
+        s"persist interior must count its scan exactly once, got $c")
+      // and a cache-backed frame joined with a DIRECT scan counts both
+      val mixed = e.join(Tables.events(spark, sf)
+        .select(col("event_type")).distinct(), Seq("event_type"))
+      assert(census(mixed).getOrElse("events", 0) == 2)
+    } finally e.unpersist()
+  }
+
   test("a scalar subquery's scan is visible to the census (round-9 ADVICE: subqueriesAll)") {
     val e = Tables.events(spark, sf)
     e.createOrReplaceTempView("__census_ev")
