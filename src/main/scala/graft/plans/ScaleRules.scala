@@ -688,4 +688,23 @@ object ScaleRules {
       l.exists(lowCardNames.contains) || r.exists(lowCardNames.contains)
     } && !boundedLogical(j.left) && !boundedLogical(j.right)
   }
+
+  /** PHYSICAL twin of [[logicalJoinFunnel]], for plans whose logical
+    * form is gone (round-9: cache interiors — a `.persist()` interior
+    * only exists physically, so the strategy-blind LOGICAL gate could
+    * never sweep it). Same rule, physical proofs: an equi join whose
+    * key pairs each touch a bounded-domain name, between two sides
+    * neither provably bounded, funnels at scale REGARDLESS of the
+    * planned strategy (graded-SF stats typically plan it as a
+    * broadcast join — broadcasting a corpus-growing side is the
+    * 100 TB OOM). A non-attribute key is assumed high-cardinality,
+    * as in the logical rule. */
+  def physicalJoinFunnel(
+      j: org.apache.spark.sql.execution.joins.BaseJoinExec): Boolean = {
+    val pairs = j.leftKeys.zip(j.rightKeys)
+      .map { case (l, r) => (keyAttrName(l), keyAttrName(r)) }
+    pairs.nonEmpty && pairs.forall { case (l, r) =>
+      l.exists(lowCardNames.contains) || r.exists(lowCardNames.contains)
+    } && !boundedPhysical(j.left) && !boundedPhysical(j.right)
+  }
 }

@@ -104,6 +104,23 @@ class GlobalFunnelSpec extends GraftSpecBase {
       s"bounded-domain-keyed joins of two corpus-growing sides in: ${offenders.mkString(", ")}")
   }
 
+  test("no cache interior joins two corpus-growing sides on only low-cardinality equi keys (physical twin of gate 1b, round-9)") {
+    // a `.persist()` interior exists only PHYSICALLY, so gate 1b's
+    // logical sweep can never see it — the physical twin applies the
+    // same strategy-blind rule with the physical bounded-rows proofs
+    val offenders = GradedPlans.cacheInteriorPlans.flatMap {
+      case (name, plan) =>
+        val bad = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if graft.plans.ScaleRules.physicalJoinFunnel(j) => j
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }.distinct
+    assert(offenders.isEmpty,
+      s"bounded-domain-keyed joins of two corpus-growing sides inside " +
+        s"persisted interiors: ${offenders.mkString(", ")}")
+  }
+
   test("logicalJoinAllowed allowlist stays minimal (no stale entries)") {
     val stillNeeded = expanded
       .filter { case (name, _) => logicalJoinAllowed.contains(name) }

@@ -60,7 +60,9 @@ object GradedPlans {
     * without this the physical gates — cartesian, BNLJ-build,
     * shuffle-join funnel, window — never swept what runs inside a
     * persisted subtree (round-9: the same materialization-opacity
-    * class as round 7's checkpoint leaves). */
+    * class as round 7's checkpoint leaves). The strategy-blind rule
+    * is covered for these by physicalJoinFunnel (the logical form is
+    * gone), so no gate class is blind to cache interiors. */
   private def cacheInteriors(p: SparkPlan): Seq[SparkPlan] = {
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
@@ -76,16 +78,21 @@ object GradedPlans {
     out.toSeq
   }
 
-  /** Every graded query's executed plan, PLUS one entry per distinct
-    * cache interior under it (same query name, so allowlists keep
-    * working). Residual: the strategy-blind LOGICAL funnel gate (1b)
-    * cannot see into caches — interiors exist only physically — but
-    * the physical shuffle/BNLJ/cartesian gates now do. */
+  private lazy val topLevelAtSf0001: Seq[(String, SparkPlan)] =
+    executions.map { case (n, qe) => n -> strip(qe.executedPlan) }
+
+  /** One entry per distinct cache interior per query (same query
+    * name, so allowlists keep working). Swept by the physical gates
+    * via [[atSf0001]], and by the PHYSICAL join-funnel twin
+    * ([[graft.plans.ScaleRules.physicalJoinFunnel]]) — the logical
+    * gate 1b cannot see these (interiors exist only physically). */
+  lazy val cacheInteriorPlans: Seq[(String, SparkPlan)] =
+    topLevelAtSf0001.flatMap { case (n, top) =>
+      cacheInteriors(top).map(n -> _) }
+
+  /** Every graded query's executed plan, PLUS the cache interiors. */
   lazy val atSf0001: Seq[(String, SparkPlan)] =
-    executions.flatMap { case (n, qe) =>
-      val top = strip(qe.executedPlan)
-      (n -> top) +: cacheInteriors(top).map(n -> _)
-    }
+    topLevelAtSf0001 ++ cacheInteriorPlans
 
   /** Optimized LOGICAL plans from the same build pass — join hints
     * survive here (the physical plan no longer says which broadcasts

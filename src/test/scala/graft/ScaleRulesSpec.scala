@@ -185,6 +185,43 @@ class ScaleRulesSpec extends GraftSpecBase {
       "NOT(vec_id = 0) keeps n−1 rows — not a 1-row PK fetch")
   }
 
+  test("physicalJoinFunnel flags the pre-fix label-block shape and passes the salted/bounded forms (round-9 physical twin of gate 1b)") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def anyPhysFunnel(df: DataFrame): Boolean = {
+      // strip the AQE wrapper (no children — a bare collect sees
+      // nothing through it), as GradedPlans does for the gate sweeps
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      p.collect { case j: BaseJoinExec => j }
+        .exists(ScaleRules.physicalJoinFunnel)
+    }
+    // pre-fix q_lof shape: label-only embedding self-join — planned
+    // as a BROADCAST join at graded SF, which is exactly why the
+    // strategy-blind rule must flag it on the physical plan too
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.toDF("src", "label", "ea")
+    val b = e.toDF("dst", "labelb", "eb")
+    val funnel = a.join(b,
+      col("label") === col("labelb") && col("src") =!= col("dst"))
+    assert(anyPhysFunnel(funnel),
+      "the label-only block must be flagged on the PHYSICAL plan")
+    // tile-salted: the salt key restores parallelism → not flagged
+    val at = a.withColumn("tile", pmod(hash(col("src")), lit(8)))
+    val bt = b.crossJoin(spark.range(8L)
+      .select(col("id").cast("int").as("tileb")))
+    val salted = at.join(bt, col("label") === col("labelb")
+      && col("tile") === col("tileb") && col("src") =!= col("dst"))
+    assert(!anyPhysFunnel(salted))
+    // bounded-grid side exempts: fact × lang-grid broadcast is correct
+    val docs = Tables.documents(spark, sf)
+    val grid = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    assert(!anyPhysFunnel(Tables.documents(spark, sf).join(grid, "lang")))
+  }
+
   test("checkpoint leaves stay transparent to the funnel sweep (expand) and to contractedLogical") {
     // a funnel hidden behind a lazy localCheckpoint: the truncated
     // plan itself shows only a LogicalRDD leaf, but the gates sweep
