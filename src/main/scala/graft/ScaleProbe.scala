@@ -143,14 +143,17 @@ object ScaleProbe {
                       case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
                       case _ => false
                     }
-                    val sfTables = Seq("customer", "part", "supplier",
-                      "orders", "lineitem", "events", "documents", "embeddings")
+                    // round-9: exact-segment matching via the census's
+                    // tableOfPaths (the old substring `path.contains`
+                    // needed the hand-written partsupp exclusion and
+                    // still false-positived on any path CONTAINING a
+                    // table name)
                     val scansSf = side.exists {
                       case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
                         rel.relation match {
                           case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                            val path = hfs.location.rootPaths.mkString(",")
-                            sfTables.exists(t => path.contains(t)) && !path.contains("partsupp")
+                            graft.plans.ScanCensus.tableOf(hfs)
+                              .exists(graft.plans.ScanCensus.factTables.contains)
                           case _ => false
                         }
                       case _ => false

@@ -120,14 +120,25 @@ object GovernanceQueries {
     * schema (anti-join per relationship; includes the documents ↔
     * embeddings link, which is intentionally NOT 1:1 at sf0.1). */
   def referentialCheck(s: SparkSession, d: String): DataFrame = {
+    // One child scan per relationship (round-9; was two — a full-table
+    // countDistinct AND a distinct+anti-join): the distinct-keys frame
+    // left-joins the parent's distinct keys, and ONE aggregate folds
+    // both outputs — count(ck) = distinct child keys (NULL-skipping,
+    // matching countDistinct), unmatched rows = orphans (a NULL child
+    // key matches nothing, so it counts as an orphan, exactly the
+    // anti-join/NOT EXISTS semantics). Parent keys are distinct-ed so
+    // a duplicated parent key can never multiply the left side. 14
+    // fact scans → 9 in the plan census — at 100 TB each child table
+    // is read once, not twice.
     def check(name: String, child: DataFrame, ck: String,
-        parent: DataFrame, pk: String): DataFrame = {
-      val orphans = child.select(col(ck)).distinct()
-        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
-      child.agg(lit(name).as("relationship"),
-          countDistinct(col(ck)).as("n_child_keys"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_keys")))
-    }
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck)).distinct()
+        .join(parent.select(col(pk)).distinct(),
+          col(ck) === col(pk), "left")
+        .agg(lit(name).as("relationship"),
+          count(col(ck)).as("n_child_keys"),
+          coalesce(sum(when(col(pk).isNull, 1L)), lit(0L))
+            .as("n_orphan_keys"))
     check("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
         orders(s, d), "o_orderkey")
       .unionByName(check("orders.o_custkey->customer", orders(s, d),
