@@ -146,10 +146,16 @@ object Multimodal {
     * buckets, hence one representative — MultimodalSpec pins the full
     * chain with a deterministic expected cluster. */
   def lshDedup(media: Dataset[MediaRecord], bits: Int = 12): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
     val feats = extractFeatures(media).toDF()
     val planes = graft.functions.Ann.hyperplanes(bits, FakeCodec.FeatureDim)
+    // the bucketed frame feeds BOTH the representative aggregate and
+    // the join-back — materialize once, or the decode+featurize stage
+    // (the dominant cost with a real codec) runs twice per record
+    // (round-9 review; the repo's materialize-once convention)
     val bucketed = feats.withColumn("bucket",
       graft.functions.Ann.bucketCol(col("features"), planes))
+      .truncatedCheckpoint()
     val reps = bucketed.groupBy(col("bucket"))
       .agg(min(col("mediaId")).as("representative"))
     bucketed.join(reps, "bucket")

@@ -83,10 +83,19 @@ object ScanCensus {
       java.util.Collections.newSetFromMap(
         new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     val seenCkpts = scala.collection.mutable.Set[Int]()
+    // NOTE (round-9 review): a cachedPlan with any exchange is an
+    // AdaptiveSparkPlanExec LEAF on Spark 4.1.2 — `foreach` alone sees
+    // nothing inside it, which would make the persist-interior count
+    // vacuous for exactly the join/aggregate interiors that matter.
+    // Unwrap it (and query stages) explicitly.
     def goPhysical(p: org.apache.spark.sql.execution.SparkPlan): Unit =
       p.foreach {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           add(tableOfPaths(f.relation.location.rootPaths))
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          goPhysical(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          goPhysical(q.plan)
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
           if (seenCaches.add(s.relation.cacheBuilder))
             goPhysical(s.relation.cachedPlan)
@@ -104,19 +113,28 @@ object ScanCensus {
           })
         case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
           if (seenCaches.add(m.cacheBuilder)) goPhysical(m.cachedPlan)
+        // a checkpoint interior reached through a PHYSICAL cache gets a
+        // plain goLogical walk (it is not in the caller's expanded
+        // list) — recurse into ITS nested checkpoint leaves too, or a
+        // chained-iteration interior under a persisted subtree would
+        // stop counting at the first leaf (round-9 review)
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          if (seenCkpts.add(l.rdd.id))
+            CheckpointRegistry.lookup(l.rdd.id).foreach(goLogical)
         case _ => ()
       })
-    // the caller's list is typically CheckpointRegistry.expand output:
-    // LogicalRDD checkpoint leaves in it are already expanded (and
-    // id-deduped) there, so goLogical does not recurse into them —
-    // only interiors reached through a PHYSICAL cache do, guarded by
-    // the same seen-ids so nothing double-counts
+    // Pre-seed the checkpoint ids that the caller's list already
+    // covers: the list is typically CheckpointRegistry.expand output,
+    // whose interiors are appended and id-deduped there — goLogical
+    // must not re-count them when the same checkpoint is also
+    // reachable through a cache interior. Subquery plans included
+    // (expand descends into them, so the pre-seed must too).
     plans.foreach { p =>
-      p.foreach {
+      (Iterator(p) ++ p.subqueriesAll.iterator).foreach(_.foreach {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
           seenCkpts += l.rdd.id
         case _ => ()
-      }
+      })
     }
     plans.foreach(goLogical)
     counts.toMap

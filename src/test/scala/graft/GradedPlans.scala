@@ -63,15 +63,27 @@ object GradedPlans {
     * class as round 7's checkpoint leaves). The strategy-blind rule
     * is covered for these by physicalJoinFunnel (the logical form is
     * gone), so no gate class is blind to cache interiors. */
-  private def cacheInteriors(p: SparkPlan): Seq[SparkPlan] = {
+  private[graft] def cacheInteriors(p: SparkPlan): Seq[SparkPlan] = {
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+    // round-9 review: a cachedPlan containing any exchange is an
+    // AdaptiveSparkPlanExec LEAF on Spark 4.1.2 — without unwrapping,
+    // collect-based gates over the interior are vacuous for exactly
+    // the join/aggregate interiors this sweep exists to cover
+    def unwrap(q: SparkPlan): SparkPlan = q match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case other => other
+    }
     def go(q: SparkPlan): Unit = q.foreach {
       case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
           if seen.add(s.relation.cacheBuilder) =>
-        out += s.relation.cachedPlan
-        go(s.relation.cachedPlan)
+        val inner = unwrap(s.relation.cachedPlan)
+        out += inner
+        go(inner)
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case q2: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        go(q2.plan)
       case _ => ()
     }
     go(p)

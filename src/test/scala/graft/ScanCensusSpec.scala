@@ -86,6 +86,57 @@ class ScanCensusSpec extends GraftSpecBase {
     } finally e.unpersist()
   }
 
+  test("an EXCHANGE-BEARING persisted interior (AQE-wrapped cachedPlan) still counts its scans (round-9 review)") {
+    // on Spark 4.1.2 a cachedPlan containing any exchange is an
+    // AdaptiveSparkPlanExec LEAF — the census must unwrap it, or
+    // join/aggregate interiors (exactly the expensive ones) count 0
+    val e = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).persist()
+    try {
+      assert(e.queryExecution.optimizedPlan.collectLeaves().exists {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          m.cachedPlan.isInstanceOf[
+            org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]
+        case _ => false
+      }, "precondition: this fixture must produce an AQE-wrapped cachedPlan " +
+        "(if Spark stops wrapping, this test needs a new fixture)")
+      val c = census(e.select(col("event_type"), col("n")))
+      assert(c.getOrElse("events", 0) == 1,
+        s"the aggregate interior's events scan must count through AQE, got $c")
+      // a persisted JOIN of two facts counts both interiors' scans
+      val j = Tables.events(spark, sf).select(col("user_id"))
+        .join(Tables.customer(spark, sf).select(
+          col("c_custkey").as("user_id")), Seq("user_id")).persist()
+      try {
+        val cj = census(j.select(col("user_id")))
+        assert(cj.getOrElse("events", 0) == 1 &&
+          cj.getOrElse("customer", 0) == 1,
+          s"join interior scans must count through AQE, got $cj")
+      } finally j.unpersist()
+    } finally e.unpersist()
+  }
+
+  test("cacheInteriors exposes a BaseJoinExec inside an AQE-wrapped persisted interior (round-9 review: the gate sweep is not vacuous)") {
+    val j = Tables.events(spark, sf).select(col("user_id"))
+      .join(Tables.customer(spark, sf).select(
+        col("c_custkey").as("user_id")), Seq("user_id")).persist()
+    try {
+      val consumer = j.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val top = consumer.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      val interiors = GradedPlans.cacheInteriors(top)
+      assert(interiors.nonEmpty, "the persisted interior must be swept")
+      val joins = interiors.flatMap(_.collect {
+        case b: org.apache.spark.sql.execution.joins.BaseJoinExec => b })
+      assert(joins.nonEmpty,
+        "a join inside the persisted interior must be visible to " +
+          "collect-based gates (AQE unwrapped)")
+    } finally j.unpersist()
+  }
+
   test("a scalar subquery's scan is visible to the census (round-9 ADVICE: subqueriesAll)") {
     val e = Tables.events(spark, sf)
     e.createOrReplaceTempView("__census_ev")
