@@ -27,38 +27,46 @@ class CacheLifecycleSpec extends GraftSpecBase {
     "q_ordinal_gamma", "q_win_analytic")
 
   test("a sequential query sweep under scoped() returns storage to the floor") {
-    val floor = persistedCount
+    // assert NO NEW persisted RDDs survive each scope. (Not exact-count
+    // equality: in the full shared-session suite the ContextCleaner
+    // reclaims other suites' dead frames asynchronously, so the
+    // baseline can legitimately SHRINK mid-test — observed once as
+    // 241 != 244 in a full run while the isolated run passed.)
     sweep.foreach { name =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       CacheOps.scoped {
         SparkEntry.queries(name)(spark, sf)
           .write.format("noop").mode("overwrite").save()
       }
-      assert(persistedCount == floor,
-        s"after $name: persisted RDDs ${persistedCount} != floor $floor — " +
-          "the scope failed to release the query's checkpoint blocks")
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty,
+        s"after $name: ${leaked.size} new persisted RDDs survived the " +
+          s"scope (ids ${leaked.take(5)}) — the scope failed to release " +
+          "the query's checkpoint blocks")
     }
   }
 
+  private def ckptId(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      case _ => fail("expected a LogicalRDD checkpoint leaf")
+    }
+
   test("without scoped(), an executed checkpoint DOES persist blocks (the hook is load-bearing)") {
-    val floor = persistedCount
     val ck = Tables.events(spark, sf)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .truncatedCheckpoint()
     ck.write.format("noop").mode("overwrite").save()
-    assert(persistedCount > floor,
+    val id = ckptId(ck)
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
       "an executed lazy checkpoint outside any scope must show up in storage " +
-        "(otherwise the floor assertion above proves nothing)")
+        "(otherwise the leak assertion above proves nothing)")
     // manual cleanup to restore the shared session's floor
-    ck.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = true)
-      case _ => fail("expected a LogicalRDD checkpoint leaf")
-    }
-    assert(persistedCount == floor)
+    spark.sparkContext.getPersistentRDDs(id).unpersist(blocking = true)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id))
   }
 
   test("scoped() releases only THIS thread's checkpoints (concurrent streams stay isolated)") {
-    val floor = persistedCount
     // an un-scoped checkpoint created on another thread, executed and
     // still alive while this thread's scope opens and closes
     @volatile var other: org.apache.spark.sql.DataFrame = null
@@ -69,20 +77,16 @@ class CacheLifecycleSpec extends GraftSpecBase {
       other.write.format("noop").mode("overwrite").save()
     })
     t.start(); t.join()
-    val withOther = persistedCount
-    assert(withOther > floor)
+    val otherId = ckptId(other)
+    assert(spark.sparkContext.getPersistentRDDs.contains(otherId))
     CacheOps.scoped {
       SparkEntry.queries("q_runs_test")(spark, sf)
         .write.format("noop").mode("overwrite").save()
     }
-    assert(persistedCount == withOther,
+    assert(spark.sparkContext.getPersistentRDDs.contains(otherId),
       "a scope must not release another thread's live frame")
-    other.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = true)
-      case _ => fail("expected a LogicalRDD checkpoint leaf")
-    }
-    assert(persistedCount == floor)
+    spark.sparkContext.getPersistentRDDs(otherId).unpersist(blocking = true)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(otherId))
   }
 
   test("reliable-checkpoint dial: same values, reliable files on disk, registry still sees the interior") {
