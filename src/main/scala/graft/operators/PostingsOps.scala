@@ -35,11 +35,16 @@ object PostingsOps {
     * no broadcast hint — token-keyed shuffle join at scale,
     * stats-chosen broadcast at graded SF. */
   def postings(docs: DataFrame, maxDf: Option[Long] = None): DataFrame = {
+    import CacheOps.CheckpointSyntax
+    // the token frame feeds BOTH the df aggregate and the join output
+    // — materialize once (house scan-gate convention; without it the
+    // text scan + explode re-embed per branch)
     val tok = docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .truncatedCheckpoint()
     val df = tok.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val kept = maxDf match {
@@ -52,10 +57,16 @@ object PostingsOps {
 
   /** Distinct candidate document pairs sharing ≥1 (surviving) token —
     * the frame every sparse-similarity scorer starts from. Pair
-    * fan-out per token is bounded by the postings' df ceiling. */
+    * fan-out per token is bounded by the postings' df ceiling. The
+    * input feeds both self-join sides — materialized once unless it
+    * is already scan-free (a caller-checkpointed frame). */
   def sharedTokenPairs(postings: DataFrame): DataFrame = {
-    val a = postings.select(col("doc_id").as("doc_a"), col("token"))
-    val b = postings.select(col("doc_id").as("doc_b"), col("token"))
+    import CacheOps.CheckpointSyntax
+    val p =
+      if (CacheOps.scanFree(postings)) postings
+      else postings.truncatedCheckpoint()
+    val a = p.select(col("doc_id").as("doc_a"), col("token"))
+    val b = p.select(col("doc_id").as("doc_b"), col("token"))
     a.join(b, Seq("token"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))

@@ -37,8 +37,8 @@ class GlobalScanSpec extends GraftSpecBase {
     * train/validate splits with a spine) without re-admitting the
     * fixed N-fold class. Round-9 distribution (with the honest
     * counting: persist interiors once per cache, checkpoint interiors
-    * by RDD id, subqueries included): 0×3 / 1×321 / 2×170 / 3×44 over
-    * the 538-query surface — nothing above the gate, allowlist EMPTY
+    * by RDD id, subqueries included): 0×3 / 1×322 / 2×170 / 3×44 over
+    * the 539-query surface — nothing above the gate, allowlist EMPTY
     * (q_mmd's label-slice materialization took it 6 → 2). */
   private val MaxFactScans = 3
 
