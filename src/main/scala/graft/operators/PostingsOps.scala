@@ -51,19 +51,41 @@ object PostingsOps {
       case Some(cap) => df.filter(col("df") <= cap)
       case None => df
     }
+    // the OUTPUT is checkpointed too: every consumer fans postings out
+    // (self-join sides, norms + dots, …), and a merely scan-FREE frame
+    // still re-runs the vocabulary aggregate + join per reference
+    // (round-9 review, second pass) — one cached tok (docs scanned
+    // once) + one cached postings (df/join computed once)
     tok.join(kept, "token")
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
+      .truncatedCheckpoint()
   }
+
+  /** True when the frame IS a materialization leaf (checkpointed RDD /
+    * local rows) — not merely scan-free: a scan-free frame can still
+    * carry arbitrary recompute above its cached leaves. */
+  private def isBareLeaf(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) &&
+          (p.child.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] ||
+            p.child.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      case _ => false
+    }
 
   /** Distinct candidate document pairs sharing ≥1 (surviving) token —
     * the frame every sparse-similarity scorer starts from. Pair
     * fan-out per token is bounded by the postings' df ceiling. The
     * input feeds both self-join sides — materialized once unless it
-    * is already scan-free (a caller-checkpointed frame). */
+    * already IS a bare materialization leaf ([[postings]] output). */
   def sharedTokenPairs(postings: DataFrame): DataFrame = {
     import CacheOps.CheckpointSyntax
     val p =
-      if (CacheOps.scanFree(postings)) postings
+      if (isBareLeaf(postings)) postings
       else postings.truncatedCheckpoint()
     val a = p.select(col("doc_id").as("doc_a"), col("token"))
     val b = p.select(col("doc_id").as("doc_b"), col("token"))

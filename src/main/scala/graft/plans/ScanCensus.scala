@@ -88,8 +88,10 @@ object ScanCensus {
     // nothing inside it, which would make the persist-interior count
     // vacuous for exactly the join/aggregate interiors that matter.
     // Unwrap it (and query stages) explicitly.
+    // physical subquery plans included, mirroring goLogical — a
+    // scalar-subquery scan inside a persisted interior must count too
     def goPhysical(p: org.apache.spark.sql.execution.SparkPlan): Unit =
-      p.foreach {
+      (Iterator(p) ++ p.subqueriesAll.iterator).foreach(_.foreach {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           add(tableOfPaths(f.relation.location.rootPaths))
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -103,7 +105,7 @@ object ScanCensus {
           if (seenCkpts.add(r.rdd.id))
             CheckpointRegistry.lookup(r.rdd.id).foreach(goLogical)
         case _ => ()
-      }
+      })
     def goLogical(plan: LogicalPlan): Unit =
       (Iterator(plan) ++ plan.subqueriesAll.iterator).foreach(_.foreach {
         case lr: LogicalRelation =>

@@ -75,11 +75,24 @@ object GradedPlans {
       case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
       case other => other
     }
+    // expose: add a plan AND every query-stage sub-plan under it as
+    // separate sweep entries — an EXECUTED cache (materialized during
+    // the shared build pass by an eager checkpoint) finalizes with
+    // QueryStageExec LEAVES, below which plan.collect in the gates
+    // cannot see (round-9 review, second pass)
+    def expose(q: SparkPlan): Unit = {
+      out += q
+      q.foreach {
+        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          expose(unwrap(st.plan))
+        case _ => ()
+      }
+    }
     def go(q: SparkPlan): Unit = q.foreach {
       case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
           if seen.add(s.relation.cacheBuilder) =>
         val inner = unwrap(s.relation.cachedPlan)
-        out += inner
+        expose(inner)
         go(inner)
       case a: AdaptiveSparkPlanExec => go(a.executedPlan)
       case q2: org.apache.spark.sql.execution.adaptive.QueryStageExec =>

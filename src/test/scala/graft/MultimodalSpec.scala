@@ -50,7 +50,7 @@ class MultimodalSpec extends GraftSpecBase {
     assert(frames.collect().forall(_.modality == "image"))
   }
 
-  test("end-to-end flow: decode → features → sign-LSH dedup, deterministic expected clusters (round-9, verdict item 7)") {
+  test("end-to-end flow: decode → features → sign-LSH dedup, deterministic expected clusters (round-9, verdict item 7)") { graft.operators.CacheOps.scoped {
     // byte-identical copies under new ids: identical payload →
     // identical FakeCodec features → identical sign-LSH bucket →
     // one cluster with the ORIGINAL as representative
@@ -82,7 +82,7 @@ class MultimodalSpec extends GraftSpecBase {
       .map(r => r.getAs[Long]("mediaId") -> r.getAs[Long]("representative"))
       .toMap
     assert(rep2 === rep)
-  }
+  } }
 
   test("extracted features feed the similarity kernel (compose with ANN)") {
     val feats = extractFeatures(corpus)

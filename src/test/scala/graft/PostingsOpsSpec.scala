@@ -2,18 +2,21 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.PostingsOps
+import graft.operators.{CacheOps, PostingsOps}
 
 /** Round-9 (verdict item 5): the df-ceiling knob for the postings
   * self-join family. Property contracts on the documents fixture AND
   * on a hand-built corpus whose df structure is known exactly.
+  * Bodies run under [[CacheOps.scoped]]: postings()/sharedTokenPairs
+  * create lazy checkpoints, and the shared 60-suite JVM must not
+  * accumulate their blocks (the repo's own lifecycle discipline).
   */
 class PostingsOpsSpec extends GraftSpecBase {
 
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("capped pairs are a subset of uncapped pairs (fixture corpus)") {
+  test("capped pairs are a subset of uncapped pairs (fixture corpus)") { CacheOps.scoped {
     val docs = Tables.documents(spark, sf)
       .filter(col("lang") === "de").select(col("doc_id"), col("text"))
     val uncapped = pairSet(PostingsOps.sharedTokenPairs(
@@ -26,9 +29,9 @@ class PostingsOpsSpec extends GraftSpecBase {
     assert(capped.size < uncapped.size,
       "a cap of 5 on the fixture corpus must actually drop stop-token " +
         "pairs (otherwise this test proves nothing)")
-  }
+  } }
 
-  test("recall floor: every pair sharing a SUB-ceiling token survives the cap") {
+  test("recall floor: every pair sharing a SUB-ceiling token survives the cap") { CacheOps.scoped {
     val docs = Tables.documents(spark, sf)
       .filter(col("lang") === "de").select(col("doc_id"), col("text"))
     val cap = 5L
@@ -42,9 +45,9 @@ class PostingsOpsSpec extends GraftSpecBase {
     assert(expected == capped,
       "the cap must keep EXACTLY the pairs reachable through sub-ceiling " +
         "tokens — no more (subset test), no fewer (this recall floor)")
-  }
+  } }
 
-  test("df ceiling semantics on a known corpus: stop token dropped, rare tokens kept, tf/df intact") {
+  test("df ceiling semantics on a known corpus: stop token dropped, rare tokens kept, tf/df intact") { CacheOps.scoped {
     val s = spark
     import s.implicits._
     val docs = Seq(
@@ -66,5 +69,5 @@ class PostingsOpsSpec extends GraftSpecBase {
     val pairs = pairSet(PostingsOps.sharedTokenPairs(capped))
     // cat links 1-3, ran links 2-3; `the` would have linked all 6 pairs
     assert(pairs == Set((1L, 3L), (2L, 3L)))
-  }
+  } }
 }
