@@ -33,8 +33,10 @@ for key in ("metric", "value", "unit", "queries", "sf",
             "canary_pre", "canary_post", "canary_end",
             "load0", "load1", "solo_max", "solo_failed",
             # round-9: canary-normalized headline + contended-window
-            # self-flag + launch-backoff wait (round-8 verdict #1)
-            "value_norm", "contended", "waited"):
+            # self-flag + launch-backoff wait (round-8 verdict #1),
+            # and the min-of-N timed-pass vector (scheduler-noise
+            # robustness: value = min(passes))
+            "value_norm", "contended", "waited", "passes"):
     if key not in obj:
         sys.exit(f"TAILPARSE FAIL: parsed JSON missing key {key!r}: {last[:200]}")
 if len(last) > 1500:
