@@ -119,6 +119,33 @@ object CacheOps {
       case _ => false
     }
 
+  /** True when the frame IS a materialization leaf — a checkpointed
+    * RDD / local relation, possibly under a column-pruning Project —
+    * i.e. re-referencing it N times costs N cache READS and nothing
+    * else. STRONGER than [[scanFree]] (round-9 review): a scan-free
+    * frame can still carry arbitrary recompute (aggregates, joins,
+    * windows) above its cached leaves, and an operator that skips its
+    * materialize-once step for such a frame re-runs that compute per
+    * branch. WHICH predicate to use is a measured trade, not a rule:
+    * PostingsOps uses THIS one (its recompute is a full vocabulary
+    * aggregate, far dearer than caching the small postings frame);
+    * PrefixOps keeps [[scanFree]] after a round-9 sf0.1 A/B showed
+    * the swap cost +12 s (~17%) — its fan-out branches are
+    * column-pruned, so their per-branch recompute is cheaper than a
+    * full-width cached copy of the chained frame. */
+  def materializationLeaf(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) &&
+          (p.child.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] ||
+            p.child.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      case _ => false
+    }
+
   /** Chain-friendly forms of [[truncated]]/[[finalized]]'s
     * registration, so call sites keep their method-chain shape. */
   implicit class CheckpointSyntax(private val df: DataFrame)

@@ -61,31 +61,16 @@ object PostingsOps {
       .truncatedCheckpoint()
   }
 
-  /** True when the frame IS a materialization leaf (checkpointed RDD /
-    * local rows) — not merely scan-free: a scan-free frame can still
-    * carry arbitrary recompute above its cached leaves. */
-  private def isBareLeaf(df: DataFrame): Boolean =
-    df.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-        p.projectList.forall(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) &&
-          (p.child.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] ||
-            p.child.isInstanceOf[
-              org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-      case _ => false
-    }
-
   /** Distinct candidate document pairs sharing ≥1 (surviving) token —
     * the frame every sparse-similarity scorer starts from. Pair
     * fan-out per token is bounded by the postings' df ceiling. The
     * input feeds both self-join sides — materialized once unless it
-    * already IS a bare materialization leaf ([[postings]] output). */
+    * already IS a bare materialization leaf ([[postings]] output;
+    * the shared [[CacheOps.materializationLeaf]] predicate). */
   def sharedTokenPairs(postings: DataFrame): DataFrame = {
     import CacheOps.CheckpointSyntax
     val p =
-      if (isBareLeaf(postings)) postings
+      if (CacheOps.materializationLeaf(postings)) postings
       else postings.truncatedCheckpoint()
     val a = p.select(col("doc_id").as("doc_a"), col("token"))
     val b = p.select(col("doc_id").as("doc_b"), col("token"))

@@ -122,7 +122,19 @@ object PrefixOps {
     val withP0 = partitionBy.zipWithIndex.foldLeft(df) {
       case (acc, (c, i)) => acc.withColumn(s"__pfx_p$i", c) }
     // skip the materialization when the input is already scan-free
-    // (e.g. a caller-checkpointed grid) — see CacheOps.scanFree
+    // (e.g. a caller-checkpointed grid) — see CacheOps.scanFree.
+    // Round-9 note: a scan-free-but-COMPUTE-BEARING input (a chained
+    // prefix pass's windows over checkpointed leaves) re-runs that
+    // compute per fan-out branch. Tightening this guard to
+    // CacheOps.materializationLeaf was A/B-MEASURED tonight at +12 s
+    // (~17%) on the 14-stream sf0.1 suite and REVERTED: the branches
+    // are column-pruned, so the per-branch "recompute" is narrower
+    // and cheaper than writing + holding a full-width cached copy of
+    // the chained frame. I/O is already materialize-once (the chain's
+    // FIRST pass checkpoints its fact-scale input; everything above
+    // is cached-leaf compute); at 100 TB the same trade holds unless
+    // the chained compute dominates, in which case the caller can
+    // checkpoint explicitly between passes.
     val withP =
       if (materialize && !CacheOps.scanFree(withP0))
         withP0.truncatedCheckpoint()
@@ -302,7 +314,8 @@ object PrefixOps {
     import CacheOps.CheckpointSyntax
     // same fan-out as runningSums (bounds / within / totals all
     // reference the input) — materialize it once (round-8 scan gate),
-    // unless it is already scan-free (CacheOps.scanFree)
+    // unless it is already scan-free (CacheOps.scanFree; see
+    // runningSums for the round-9 A/B that kept this guard)
     val dfM = if (CacheOps.scanFree(df)) df else df.truncatedCheckpoint()
     val k = key.cast("double")
     val bounds = dfM.agg(min(k).as("__pfx_lo"), max(k).as("__pfx_hi"))

@@ -80,10 +80,15 @@ object GradedPlans {
     // the shared build pass by an eager checkpoint) finalizes with
     // QueryStageExec LEAVES, below which plan.collect in the gates
     // cannot see (round-9 review, second pass)
+    val seenStages = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     def expose(q: SparkPlan): Unit = {
       out += q
       q.foreach {
-        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        // dedup by stage instance: AQE stage REUSE places the same
+        // QueryStageExec at multiple tree positions (round-9 review)
+        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec
+            if seenStages.add(st) =>
           expose(unwrap(st.plan))
         case _ => ()
       }
