@@ -12,9 +12,14 @@ import scala.util.control.NonFatal
   *    every engine in this comparison scans the same ~100 MB, so the
   *    bench measures operator compute, not repeated cold reads (the
   *    memoized Tables plans make one persist serve all queries);
-  *  - `value` = MIN of N identical timed passes (default 2, env
+  *  - `value` = MIN of N identical CLEAN timed passes (default 2, env
   *    SPARK_GRAFT_TIMED_PASSES; all raw pass totals in `passes`):
-  *    deterministic work ⇒ pass-to-pass deltas are scheduler noise;
+  *    deterministic work ⇒ pass-to-pass deltas are scheduler noise.
+  *    When the clean passes disagree by >15% of the min, ONE bounded
+  *    extra pass runs (round-10: two passes straddling a noise spike
+  *    leave the min poorly attested). With no clean pass at all, the
+  *    headline is the LARGEST total among the fewest-failures passes
+  *    — a crash-shortened pass can never become the reported value;
   *  - AQE off / shuffle=4 by DEFAULT at this data size (measured:
   *    single-digit-MB shuffles make AQE's per-stage re-planning and
   *    wide task scheduling pure overhead, 72 s → 54 s total) — both
@@ -281,7 +286,7 @@ object Bench {
     case class Pass(v: Double, failedQs: Seq[String],
         qTimes: Map[String, Double], cBefore: Double, cAfter: Double)
     var cPrev = canarySec() // post-warm, pre-pass-1 host reading
-    val passes = (1 to timedPasses).map { _ =>
+    def onePass(): Pass = {
       times.clear()
       failed.clear()
       val t0 = System.nanoTime()
@@ -296,9 +301,38 @@ object Bench {
       cPrev = cAfter
       p
     }
+    val basePasses = (1 to timedPasses).map(_ => onePass())
+    // Round-10 (verdict item 6): ADAPTIVE third pass. Two clean passes
+    // that straddle a noise spike (observed doubles [65.5, 86.3] and
+    // [74.3, 71.3] on identical plans) leave the min poorly attested;
+    // when the clean passes disagree by >15% of the min, ONE bounded
+    // extra pass is run so the headline rests on at least two
+    // mutually-consistent readings (or self-evidences as a noisy
+    // evening via three scattered values in `passes`).
+    def spreadOver(ps: Seq[Pass]): Double = {
+      val vs = ps.map(_.v)
+      if (vs.size < 2 || vs.min <= 0) 0.0 else (vs.max - vs.min) / vs.min
+    }
+    val passes = {
+      val cleanBase = basePasses.filter(_.failedQs.isEmpty)
+      val judge = if (cleanBase.nonEmpty) cleanBase else basePasses
+      if (timedPasses >= 2 && judge.size >= 2 && spreadOver(judge) > 0.15)
+        basePasses :+ onePass()
+      else basePasses
+    }
     val cleanPasses = passes.filter(_.failedQs.isEmpty)
-    val best = (if (cleanPasses.nonEmpty) cleanPasses else passes)
-      .minBy(_.v)
+    // Failure-aware headline (round-9 ADVICE, low): with NO clean pass,
+    // min over dirty passes could crown a pass SHORTENED by an
+    // early-crashing query (the exact "broken query must not shrink
+    // the total" hazard). Fall back to the passes with the FEWEST
+    // failures and take the LARGEST total among them — conservative in
+    // the honest direction; `failed` (the union) flags the run anyway.
+    val best =
+      if (cleanPasses.nonEmpty) cleanPasses.minBy(_.v)
+      else {
+        val fewest = passes.map(_.failedQs.size).min
+        passes.filter(_.failedQs.size == fewest).maxBy(_.v)
+      }
     val total = best.v
     val bestTimes = best.qTimes
     val passVals = passes.map(_.v)

@@ -96,6 +96,10 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // ground the bounded-domain proofs in measured column facts, as
+    // the gate JVM does (round-10, verdict item 1) — without this the
+    // probe's proofs fall back to origin-structure + name vocabulary
+    graft.plans.ColumnFacts.ensureLoaded(spark, sfDir)
     var nJoin, nCollect, nSort, nBcast, nFallback = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }

@@ -18,6 +18,19 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Round-10 (verdict item 3): surface-wide certification dial for
+    // the RELIABLE-checkpoint mode (CacheOps.truncated switches every
+    // localCheckpoint site to recoverable checkpoint files when the
+    // conf + a checkpoint dir are set — the 100 TB fault-tolerance
+    // posture). SPARK_GRAFT_RELIABLE_CKPT=true runs the whole dump
+    // under it; the driver's DuckDB compare then certifies the dial
+    // changes no value anywhere.
+    if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").contains("true")) {
+      spark.conf.set("spark.graft.reliableCheckpoints", "true")
+      spark.sparkContext.setCheckpointDir(sys.env.getOrElse(
+        "SPARK_GRAFT_CKPT_DIR",
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
+    }
     // scoped release unpersists checkpoints after each query is dumped
     // — the RDD classes' per-frame "cannot be recomputed" WARN is
     // expected (post-consumption by construction), so keep stderr clean

@@ -70,7 +70,16 @@ object CacheOps {
     finally {
       if (prev == null) ledger.remove() else ledger.set(prev)
       buf.foreach { r =>
-        try r.unpersist(blocking = false)
+        try {
+          r.unpersist(blocking = false)
+          // release the driver-side provenance too (round-9 ADVICE):
+          // the registry entry exists for gate sweeps over LIVE
+          // frames; once the blocks are gone the plan is dead weight
+          // — one retained optimized LogicalPlan per checkpoint is a
+          // real leak in a job-server session running thousands of
+          // queries (Bench triples it via warm + N timed passes)
+          CheckpointRegistry.deregister(r.id)
+        }
         catch { case scala.util.control.NonFatal(_) => }
       }
     }

@@ -44,6 +44,21 @@ object CheckpointRegistry {
 
   def lookup(rddId: Int): Option[LogicalPlan] = Option(plans.get(rddId))
 
+  /** Drop a checkpoint's provenance entry. Called by
+    * [[graft.operators.CacheOps.scoped]] when a scope releases its
+    * checkpoint blocks (round-9 ADVICE: without this, a long-lived
+    * job-server session retains one optimized LogicalPlan per
+    * checkpoint FOREVER — the lifecycle hook released the executor
+    * blocks but leaked the driver-side plan). The gate suites build
+    * their plans OUTSIDE any scope, so gate transparency is
+    * unaffected: a registered interior lives exactly as long as the
+    * checkpointed frame it describes is live. */
+  def deregister(rddId: Int): Unit = { plans.remove(rddId); () }
+
+  /** Live entry count — lifecycle specs pin that a scoped run returns
+    * the registry to its pre-scope size (no driver-plan leak). */
+  def size: Int = plans.size()
+
   /** All registered plans reachable from `p`'s checkpoint leaves,
     * transitively — lets whole-plan sweeps (hint audits, funnel
     * gates) cover checkpointed interiors instead of stopping at the

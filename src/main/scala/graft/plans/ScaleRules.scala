@@ -178,10 +178,11 @@ object ScaleRules {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical.Window
     val rankAttrs: Set[ExprId] = f.child.collect {
+      // partition keys grounded through the window's own child
+      // (round-10): a resolvable key proves by its physical column,
+      // a derived key keeps the alias-name convention
       case w: Window if w.partitionSpec.forall {
-          case att: Attribute =>
-            lowCardNames.contains(att.name) ||
-              boundedAliasNames.contains(att.name)
+          case att: Attribute => boundedDomainAttr(att, resolveL(w.child))
           case _ => false
         } =>
         w.windowExpressions.collect {
@@ -253,6 +254,189 @@ object ScaleRules {
 
   private type Ids = Set[org.apache.spark.sql.catalyst.expressions.ExprId]
 
+  // ------------------------------------------------------------------
+  // Round-10 (verdict item 1): ORIGIN-GROUNDED vocabulary trust.
+  //
+  // The bounded-domain / non-negativity / fixture-PK vocabularies
+  // previously accepted by bare column NAME — a user column aliased
+  // onto `o_totalprice` made `least(k, floor(x/c))` "provably" bounded
+  // even over negative data (the documented spoof caveat). The proofs
+  // now trace the attribute through the plan's own lineage to the
+  // PHYSICAL fixture column it copies ([[originOfL]]/[[originOfP]]):
+  // trust attaches to that column's name, and — when the gate JVM has
+  // loaded [[ColumnFacts]] from the graded parquet — the column's
+  // MEASURED facts must corroborate the claim (min ≥ 0 for the
+  // non-negativity contract, NDV ≤ cap for low cardinality, NDV = rows
+  // for PK uniqueness). The vocabularies remain as scale knowledge
+  // (graded-SF data cannot prove a domain stays constant at 100 TB),
+  // but they are a cross-checked claim, not the proof. Residual name
+  // trust survives ONLY for attributes with no base origin (computed /
+  // hoisted grouping keys, whose alias vocabulary exists precisely for
+  // derived columns) — documented, and spoof-pinned in ScaleRulesSpec.
+  // ------------------------------------------------------------------
+
+  private type Origin = (String, String) // (fixture table, column)
+  private type Resolver = Attribute => Option[Origin]
+
+  /** The graded-fixture origin of attribute `id` within `plan`'s own
+    * lineage: Some((table, column)) when the attribute is a renamed /
+    * cast-wrapped copy of a column scanned from a graded parquet
+    * table — traced through Project/Aggregate aliases, positionally
+    * through checkpoint leaves (via [[CheckpointRegistry]]) and cached
+    * subtrees, per-branch through unions (all branches must agree on
+    * the same origin), and only into the child that outputs the id.
+    * A computed expression (no single source attribute) has no
+    * origin; an ambiguous trace returns None. Cast / NaN-normalize
+    * wrappers are looked through ([[attrIdOf]]) — they preserve the
+    * facts the gates consult (sign, cardinality-no-greater-than,
+    * and uniqueness for the integral PK keys). */
+  private[graft] def originOfL(
+      id: org.apache.spark.sql.catalyst.expressions.ExprId,
+      plan: LogicalPlan): Option[Origin] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project, Union}
+    plan match {
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        rel.output.find(_.exprId == id).flatMap { att =>
+          rel.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              ScanCensus.tableOfPaths(fs.location.rootPaths).map(t => (t, att.name))
+            case _ => None
+          }
+        }
+      case p: Project =>
+        p.projectList.find(_.exprId == id) match {
+          case Some(al: Alias) => attrIdOf(al.child).flatMap(originOfL(_, p.child))
+          case Some(att: Attribute) => originOfL(att.exprId, p.child)
+          case _ => None
+        }
+      case a: Aggregate =>
+        a.aggregateExpressions.find(_.exprId == id) match {
+          case Some(al: Alias) => attrIdOf(al.child).flatMap(originOfL(_, a.child))
+          case Some(att: Attribute) => originOfL(att.exprId, a.child)
+          case _ => None
+        }
+      case u: Union =>
+        val pos = u.output.indexWhere(_.exprId == id)
+        if (pos < 0) None
+        else {
+          val os = u.children.map(c =>
+            if (pos < c.output.size) originOfL(c.output(pos).exprId, c) else None)
+          if (os.nonEmpty && os.head.isDefined && os.forall(_ == os.head)) os.head
+          else None
+        }
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        CheckpointRegistry.lookup(l.rdd.id).flatMap { interior =>
+          val pos = l.output.indexWhere(_.exprId == id)
+          if (pos >= 0 && pos < interior.output.size)
+            originOfL(interior.output(pos).exprId, interior)
+          else None
+        }
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        val pos = m.output.indexWhere(_.exprId == id)
+        if (pos >= 0 && pos < m.cachedPlan.output.size)
+          originOfP(m.cachedPlan.output(pos).exprId, m.cachedPlan)
+        else None
+      case other =>
+        other.children.find(_.outputSet.exists(_.exprId == id))
+          .flatMap(originOfL(id, _))
+    }
+  }
+
+  /** PHYSICAL twin of [[originOfL]]. */
+  private[graft] def originOfP(
+      id: org.apache.spark.sql.catalyst.expressions.ExprId,
+      p: SparkPlan): Option[Origin] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.output.find(_.exprId == id).flatMap(att =>
+          ScanCensus.tableOfPaths(f.relation.location.rootPaths)
+            .map(t => (t, att.name)))
+      case pr: org.apache.spark.sql.execution.ProjectExec =>
+        pr.projectList.find(_.exprId == id) match {
+          case Some(al: Alias) => attrIdOf(al.child).flatMap(originOfP(_, pr.child))
+          case Some(att: Attribute) => originOfP(att.exprId, pr.child)
+          case _ => None
+        }
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.resultExpressions.find(_.exprId == id) match {
+          case Some(al: Alias) => attrIdOf(al.child).flatMap(originOfP(_, a.child))
+          case Some(att: Attribute) => originOfP(att.exprId, a.child)
+          case _ => None
+        }
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        CheckpointRegistry.lookup(r.rdd.id).flatMap { interior =>
+          val pos = r.output.indexWhere(_.exprId == id)
+          if (pos >= 0 && pos < interior.output.size)
+            originOfL(interior.output(pos).exprId, interior)
+          else None
+        }
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        val pos = s.relation.output.indexWhere(_.exprId == id)
+        if (pos >= 0 && pos < s.relation.cachedPlan.output.size)
+          originOfP(s.relation.cachedPlan.output(pos).exprId,
+            s.relation.cachedPlan)
+        else None
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        originOfP(id, a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        originOfP(id, q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        val pos = r.output.indexWhere(_.exprId == id)
+        if (pos >= 0 && pos < r.child.output.size)
+          originOfP(r.child.output(pos).exprId, r.child)
+        else None
+      case u: org.apache.spark.sql.execution.UnionExec =>
+        val pos = u.output.indexWhere(_.exprId == id)
+        if (pos < 0) None
+        else {
+          val os = u.children.map(c =>
+            if (pos < c.output.size) originOfP(c.output(pos).exprId, c) else None)
+          if (os.nonEmpty && os.head.isDefined && os.forall(_ == os.head)) os.head
+          else None
+        }
+      case other =>
+        other.children.find(_.outputSet.exists(_.exprId == id))
+          .flatMap(originOfP(id, _))
+    }
+  }
+
+  private def resolveL(p: LogicalPlan): Resolver = att => originOfL(att.exprId, p)
+  private def resolveP(p: SparkPlan): Resolver = att => originOfP(att.exprId, p)
+
+  private def vocabName(n: String): Boolean =
+    lowCardNames.contains(n) || boundedAliasNames.contains(n)
+
+  /** Bounded-domain verdict for a grouping / window-partition
+    * attribute. Origin resolved → trust attaches to the PHYSICAL
+    * column (vocabulary membership of its real name, and measured
+    * NDV ≤ [[ColumnFacts.LowCardCap]] when facts are loaded — a
+    * vocabulary claim the data contradicts REJECTS). No origin
+    * (computed / hoisted key) → residual name trust over the
+    * attribute's own name plus `fallbackNames` (the agg-list aliases
+    * a hoisted grouping expression answers to). */
+  private def boundedDomainAttr(att: Attribute, resolve: Resolver,
+      fallbackNames: Seq[String] = Nil): Boolean =
+    resolve(att) match {
+      case Some((t, c)) =>
+        vocabName(c) &&
+          ColumnFacts.get(t, c).forall(_.lowCard(ColumnFacts.LowCardCap))
+      case None => (att.name +: fallbackNames).exists(vocabName)
+    }
+
+  /** Fixture unique-row-key names (TESTDATA contract): an equality pin
+    * on one is a 1-row fetch. A PK claim REQUIRES a resolved base
+    * origin (no name fallback — uniqueness is a fact about a physical
+    * column, never about an alias), cross-checked against measured
+    * NDV = rows when [[ColumnFacts]] is loaded. */
+  private val fixturePkNames = Set("vec_id", "doc_id", "event_id")
+
+  private def fixturePkAttr(att: Attribute, resolve: Resolver): Boolean =
+    resolve(att).exists { case (t, c) =>
+      fixturePkNames.contains(c) && ColumnFacts.get(t, c).forall(_.unique)
+    }
+
   /** A top-level conjunct pinning one of `ids` to a literal domain. */
   private def literalPin(ids: Ids, cond: Expression): Boolean =
     conjunctsOf(cond).exists {
@@ -269,35 +453,50 @@ object ScaleRules {
     * −999.99). Feeds [[boundedValueExpr]]'s least-rule: the only
     * reason `least(4, floor(o_totalprice/1e5))` has a finite image is
     * that prices cannot go below 0 — previously a prose argument
-    * carried by two allowlist entries (round-8 verdict item 4). */
+    * carried by two allowlist entries (round-8 verdict item 4).
+    * Round-10 (verdict item 1): membership here is no longer
+    * sufficient — the claiming attribute must RESOLVE to the physical
+    * fixture column ([[originOfL]]/[[originOfP]]) and the loaded
+    * [[ColumnFacts]] must show parquet min ≥ 0. This set is the SPEC
+    * half of the proof (graded-SF data cannot promise 100 TB sign
+    * behavior); the data is the cross-check. */
   val nonNegativeNames: Set[String] = Set(
     "o_totalprice", "l_quantity", "l_extendedprice", "l_discount",
     "l_tax", "p_retailprice", "p_size")
 
   /** Provably ≥ 0: non-negative literals, contract-non-negative
     * fixture columns, and closure under floor/cast/abs/+/·/÷ (every
-    * operand must be non-negative — division keeps sign). */
-  private def nonNegativeExpr(e: Expression): Boolean = e match {
-    case Literal(v: Number, _) => v.doubleValue >= 0
-    case Literal(v: java.math.BigDecimal, _) => v.signum >= 0
-    case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
-      v.toBigDecimal.signum >= 0
-    case att: Attribute => nonNegativeNames.contains(att.name)
-    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-      nonNegativeExpr(c.child)
-    case f: org.apache.spark.sql.catalyst.expressions.Floor =>
-      nonNegativeExpr(f.child)
-    case c: org.apache.spark.sql.catalyst.expressions.Ceil =>
-      nonNegativeExpr(c.child)
-    case _: org.apache.spark.sql.catalyst.expressions.Abs => true
-    case m: org.apache.spark.sql.catalyst.expressions.Multiply =>
-      nonNegativeExpr(m.left) && nonNegativeExpr(m.right)
-    case d: org.apache.spark.sql.catalyst.expressions.Divide =>
-      nonNegativeExpr(d.left) && nonNegativeExpr(d.right)
-    case a: org.apache.spark.sql.catalyst.expressions.Add =>
-      nonNegativeExpr(a.left) && nonNegativeExpr(a.right)
-    case _ => false
-  }
+    * operand must be non-negative — division keeps sign).
+    * Round-10 (verdict item 1): an attribute claim must RESOLVE to a
+    * physical fixture column carrying the contract ([[originOfL]]),
+    * and the loaded [[ColumnFacts]] must corroborate (parquet
+    * min ≥ 0) — an alias onto `o_totalprice` proves nothing now. */
+  private def nonNegativeExpr(e: Expression, resolve: Resolver): Boolean =
+    e match {
+      case Literal(v: Number, _) => v.doubleValue >= 0
+      case Literal(v: java.math.BigDecimal, _) => v.signum >= 0
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+        v.toBigDecimal.signum >= 0
+      case att: Attribute =>
+        resolve(att).exists { case (t, c) =>
+          nonNegativeNames.contains(c) &&
+            ColumnFacts.get(t, c).forall(_.nonNegative)
+        }
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        nonNegativeExpr(c.child, resolve)
+      case f: org.apache.spark.sql.catalyst.expressions.Floor =>
+        nonNegativeExpr(f.child, resolve)
+      case c: org.apache.spark.sql.catalyst.expressions.Ceil =>
+        nonNegativeExpr(c.child, resolve)
+      case _: org.apache.spark.sql.catalyst.expressions.Abs => true
+      case m: org.apache.spark.sql.catalyst.expressions.Multiply =>
+        nonNegativeExpr(m.left, resolve) && nonNegativeExpr(m.right, resolve)
+      case d: org.apache.spark.sql.catalyst.expressions.Divide =>
+        nonNegativeExpr(d.left, resolve) && nonNegativeExpr(d.right, resolve)
+      case a: org.apache.spark.sql.catalyst.expressions.Add =>
+        nonNegativeExpr(a.left, resolve) && nonNegativeExpr(a.right, resolve)
+      case _ => false
+    }
 
   private def smallIntLiteral(e: Expression): Boolean = e match {
     case Literal(v: Int, _) => v >= 0 && v <= 65536
@@ -316,30 +515,31 @@ object ScaleRules {
     * `least(k, e₁…)` where k is a small non-negative integer literal
     * and every operand is provably non-negative integer-valued —
     * image ⊆ {0..k}, the ordinal-grid price-band key. */
-  private def boundedValueExpr(e: Expression): Boolean = e match {
-    case _: Literal => true
-    case c: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
-      c.branches.forall { case (_, v) => boundedValueExpr(v) } &&
-        c.elseValue.forall(boundedValueExpr)
-    case att: Attribute =>
-      lowCardNames.contains(att.name) || boundedAliasNames.contains(att.name) ||
-        att.dataType == org.apache.spark.sql.types.DateType
-    case l: org.apache.spark.sql.catalyst.expressions.Least
-        if Set[org.apache.spark.sql.types.DataType](
-            org.apache.spark.sql.types.ByteType,
-            org.apache.spark.sql.types.ShortType,
-            org.apache.spark.sql.types.IntegerType,
-            org.apache.spark.sql.types.LongType).contains(l.dataType) &&
-          l.children.exists(smallIntLiteral) &&
-          l.children.forall(nonNegativeExpr) => true
-    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
-      boundedValueExpr(c.child)
-    case other =>
-      other.deterministic && other.references.nonEmpty &&
-        other.references.forall(r =>
-          lowCardNames.contains(r.name) || boundedAliasNames.contains(r.name) ||
-            r.dataType == org.apache.spark.sql.types.DateType)
-  }
+  private def boundedValueExpr(e: Expression, resolve: Resolver): Boolean =
+    e match {
+      case _: Literal => true
+      case c: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
+        c.branches.forall { case (_, v) => boundedValueExpr(v, resolve) } &&
+          c.elseValue.forall(boundedValueExpr(_, resolve))
+      case att: Attribute =>
+        boundedDomainAttr(att, resolve) ||
+          att.dataType == org.apache.spark.sql.types.DateType
+      case l: org.apache.spark.sql.catalyst.expressions.Least
+          if Set[org.apache.spark.sql.types.DataType](
+              org.apache.spark.sql.types.ByteType,
+              org.apache.spark.sql.types.ShortType,
+              org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.LongType).contains(l.dataType) &&
+            l.children.exists(smallIntLiteral) &&
+            l.children.forall(nonNegativeExpr(_, resolve)) => true
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        boundedValueExpr(c.child, resolve)
+      case other =>
+        other.deterministic && other.references.nonEmpty &&
+          other.references.forall(r =>
+            boundedDomainAttr(r, resolve) ||
+              r.dataType == org.apache.spark.sql.types.DateType)
+    }
 
   /** LOGICAL lineage walker: does a literal-domain Filter pin, or a
     * bounded-value alias, prove one of `ids` bounded in `plan`'s own
@@ -347,13 +547,13 @@ object ScaleRules {
   private def boundedKeyL(ids: Ids, plan: LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     if (ids.isEmpty) return false
-    def remap(exprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
-        : (Boolean, Ids) = {
+    def remap(exprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+        below: LogicalPlan): (Boolean, Ids) = {
       var hit = false
       val extra = exprs.flatMap {
         case al: org.apache.spark.sql.catalyst.expressions.Alias
             if ids(al.exprId) =>
-          if (boundedValueExpr(al.child)) { hit = true; None }
+          if (boundedValueExpr(al.child, resolveL(below))) { hit = true; None }
           else attrIdOf(al.child)
         case _ => None
       }
@@ -365,10 +565,10 @@ object ScaleRules {
       case f: Filter =>
         literalPin(ids, f.condition) || boundedKeyL(ids, f.child)
       case p: Project =>
-        val (hit, mapped) = remap(p.projectList)
+        val (hit, mapped) = remap(p.projectList, p.child)
         hit || boundedKeyL(mapped, p.child)
       case a: Aggregate =>
-        val (hit, mapped) = remap(a.aggregateExpressions)
+        val (hit, mapped) = remap(a.aggregateExpressions, a.child)
         hit || boundedKeyL(mapped, a.child)
       case u: Union =>
         val poss = u.output.zipWithIndex.collect {
@@ -407,7 +607,7 @@ object ScaleRules {
         val extra = pr.projectList.flatMap {
           case al: org.apache.spark.sql.catalyst.expressions.Alias
               if ids(al.exprId) =>
-            if (boundedValueExpr(al.child)) { hit = true; None }
+            if (boundedValueExpr(al.child, resolveP(pr.child))) { hit = true; None }
             else attrIdOf(al.child)
           case _ => None
         }
@@ -417,7 +617,7 @@ object ScaleRules {
         val extra = a.resultExpressions.flatMap {
           case al: org.apache.spark.sql.catalyst.expressions.Alias
               if ids(al.exprId) =>
-            if (boundedValueExpr(al.child)) { hit = true; None }
+            if (boundedValueExpr(al.child, resolveP(a.child))) { hit = true; None }
             else attrIdOf(al.child)
           case _ => None
         }
@@ -458,57 +658,71 @@ object ScaleRules {
     // the fixture tables' unique row keys (TESTDATA contract): an
     // equality pin on one is a 1-row fetch; a `< k` range is ≤ k rows
     // — matched at conjunct level only (round-9 ADVICE: an equality
-    // under OR / NOT is not a pin)
-    val fixturePks = Set("vec_id", "doc_id", "event_id")
-    def pkBounded(cond: Expression): Boolean =
+    // under OR / NOT is not a pin). Round-10 (verdict item 1): the key
+    // must RESOLVE through the filter's own child to the physical
+    // fixture PK column, uniqueness cross-checked against ColumnFacts
+    // — a column merely NAMED vec_id proves nothing.
+    def pkBounded(cond: Expression, below: LogicalPlan): Boolean = {
+      val resolve = resolveL(below)
       conjunctsOf(cond).exists {
-        case EqualTo(att: Attribute, _: Literal) => fixturePks(att.name)
-        case EqualTo(_: Literal, att: Attribute) => fixturePks(att.name)
+        case EqualTo(att: Attribute, _: Literal) => fixturePkAttr(att, resolve)
+        case EqualTo(_: Literal, att: Attribute) => fixturePkAttr(att, resolve)
         case org.apache.spark.sql.catalyst.expressions.LessThan(
           att: Attribute, Literal(v: Long, _)) =>
-          fixturePks(att.name) && v <= 65536L
+          fixturePkAttr(att, resolve) && v <= 65536L
         case org.apache.spark.sql.catalyst.expressions.LessThan(
           att: Attribute, Literal(v: Int, _)) =>
-          fixturePks(att.name) && v <= 65536
+          fixturePkAttr(att, resolve) && v <= 65536
         case _ => false
       }
+    }
     p match {
-      case f: Filter if pkBounded(f.condition) || rankLimitedFilter(f) => true
+      case f: Filter
+          if pkBounded(f.condition, f.child) || rankLimitedFilter(f) => true
       case a: Aggregate =>
         a.groupingExpressions.isEmpty || boundedLogical(a.child) ||
           a.groupingExpressions.forall { g =>
+            val resolve = resolveL(a.child)
             // a computed grouping key carries its user-facing name in
             // the aggregate list's Alias, not in the grouping
             // expression (the optimizer may even hoist the expression
             // into the child and group on an attribute literally
-            // named `_groupingexpression`) — collect every name the
-            // key answers to and accept if ANY is a bounded domain
-            val direct = g match {
-              case att: Attribute => Seq(att.name)
-              case al: org.apache.spark.sql.catalyst.expressions.Alias =>
-                Seq(al.name)
-              case _ => Nil
-            }
+            // named `_groupingexpression`) — those names remain the
+            // residual alias trust for keys with NO base origin; a
+            // key that RESOLVES is judged by its physical column only
+            // (round-10, verdict item 1)
             val aliased = a.aggregateExpressions.collect {
               case al: org.apache.spark.sql.catalyst.expressions.Alias
                 if al.child.semanticEquals(g) => al.name
             }
-            val names = direct ++ aliased
-            names.exists(name =>
-              lowCardNames.contains(name) ||
-                boundedAliasNames.contains(name) ||
-                // PrefixOps internals: partition-column copies are
-                // low-cardinality by the operator's documented
-                // contract; bucket keys are compile-time constants
-                name.startsWith("__pfx_p") ||
-                Set("__pfx_bucket", "__tb", "__eb").contains(name)) ||
+            val attrOk = g match {
+              case att: Attribute =>
+                boundedDomainAttr(att, resolve, aliased) ||
+                  att.name.startsWith("__pfx_p") ||
+                  Set("__pfx_bucket", "__tb", "__eb").contains(att.name)
+              case _ => false
+            }
+            val computedNames = g match {
+              case _: Attribute => Nil
+              case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+                al.name +: aliased
+              case _ => aliased
+            }
+            attrOk ||
+              computedNames.exists(name =>
+                vocabName(name) ||
+                  // PrefixOps internals: partition-column copies are
+                  // low-cardinality by the operator's documented
+                  // contract; bucket keys are compile-time constants
+                  name.startsWith("__pfx_p") ||
+                  Set("__pfx_bucket", "__tb", "__eb").contains(name)) ||
               // a DATE-typed grouping key is calendar-bounded by TYPE,
               // whatever its alias: the daily/monthly series frames
               // (day→lday/day1…, month m) are |horizon|-row grids —
               // the round-6 promotion already treats calendar names as
               // bounded; this closes the renamed-alias gap (round-7)
               g.dataType == org.apache.spark.sql.types.DateType ||
-              boundedValueExpr(g) ||
+              boundedValueExpr(g, resolve) ||
               (g match {
                 case att: Attribute => boundedKeyL(Set(att.exprId), a.child)
                 case _ => false
@@ -563,14 +777,13 @@ object ScaleRules {
         (a.groupingExpressions.nonEmpty && a.groupingExpressions.forall { g =>
           (g match {
             case att: Attribute =>
-              lowCardNames.contains(att.name) ||
-                boundedAliasNames.contains(att.name) ||
+              boundedDomainAttr(att, resolveP(a.child)) ||
                 att.name.startsWith("__pfx_p") ||
                 Set("__pfx_bucket", "__tb", "__eb").contains(att.name) ||
                 boundedKeyP(Set(att.exprId), a.child)
             case _ => false
           }) || g.dataType == org.apache.spark.sql.types.DateType ||
-            boundedValueExpr(g)
+            boundedValueExpr(g, resolveP(a.child))
         })
     case _: org.apache.spark.sql.execution.GlobalLimitExec |
          _: org.apache.spark.sql.execution.LocalLimitExec |
@@ -580,13 +793,14 @@ object ScaleRules {
     // pin on a unique row key is a 1-row fetch (the q_sim_cosine /
     // q_knn_classify "query vector by vec_id = 0" probes) — round-9
     // ADVICE: matched at TOP-LEVEL CONJUNCT only (an equality under
-    // OR / NOT is not a 1-row fetch)
+    // OR / NOT is not a 1-row fetch); round-10: the key must RESOLVE
+    // to the physical PK column, uniqueness facts-checked
     case f: org.apache.spark.sql.execution.FilterExec
         if conjunctsOf(f.condition).exists {
           case EqualTo(att: Attribute, _: Literal) =>
-            Set("vec_id", "doc_id", "event_id").contains(att.name)
+            fixturePkAttr(att, resolveP(f.child))
           case EqualTo(_: Literal, att: Attribute) =>
-            Set("vec_id", "doc_id", "event_id").contains(att.name)
+            fixturePkAttr(att, resolveP(f.child))
           case _ => false
         } => true
     case _: org.apache.spark.sql.execution.LocalTableScanExec => true

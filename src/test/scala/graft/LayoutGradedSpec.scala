@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.Layout
+
+/** Round-10 (verdict item 4): graded queries executed over the
+  * PRODUCTION [[Layout]] — not toy frames. [[LayoutSpec]] proves the
+  * bucketed no-shuffle join and DPP on purpose-built tables; this
+  * suite writes the graded sf fixtures through
+  * `Layout.writeBucketed` into the session catalog and runs a
+  * representative graded subset (flagship star join, as-of join,
+  * sessionization, exact dedup, multimodal join) against it via the
+  * `catalog:<prefix>` dir scheme ([[Tables.table]]). Asserts:
+  *
+  *  1. results are IDENTICAL to the parquet run — the 100 TB layout
+  *     is a physical choice, never a semantics change;
+  *  2. the flagship's lineitem⋈orders join is EXCHANGE-FREE over the
+  *     bucketed tables (broadcast disabled to force the join the
+  *     cluster posture would plan) — the single biggest shuffle
+  *     eliminated by the layout, proven on a graded query rather
+  *     than a demo frame.
+  */
+class LayoutGradedSpec extends GraftSpecBase {
+
+  private val prefix = "g10"
+  private val dir = s"catalog:$prefix"
+
+  private def resetTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+  }
+
+  /** One-time write of the full fixture set through the production
+    * layout: facts bucketed by their dominant join key (SURVEY §7.6.5
+    * recommendation), dims as plain catalog tables. */
+  private lazy val written: Unit = {
+    def w(name: String, df: DataFrame, bucketKey: Option[String]): Unit = {
+      val t = s"${prefix}_$name"
+      resetTable(t)
+      bucketKey match {
+        case Some(k) => Layout.writeBucketed(df, t, 8, k)
+        case None => df.write.mode("overwrite").saveAsTable(t)
+      }
+    }
+    w("region", Tables.region(spark, sf), None)
+    w("nation", Tables.nation(spark, sf), None)
+    w("customer", Tables.customer(spark, sf), Some("c_custkey"))
+    w("supplier", Tables.supplier(spark, sf), Some("s_suppkey"))
+    w("part", Tables.part(spark, sf), Some("p_partkey"))
+    w("orders", Tables.orders(spark, sf), Some("o_orderkey"))
+    w("lineitem", Tables.lineitem(spark, sf), Some("l_orderkey"))
+    // events goes through the decode (ts2/ts_nanos) BEFORE the write —
+    // the layout stores query-ready frames, bucketed by user_id
+    // (sessionization / as-of joins co-locate per user)
+    w("events", Tables.events(spark, sf), Some("user_id"))
+    w("documents", Tables.documents(spark, sf), Some("doc_id"))
+    w("embeddings", Tables.embeddings(spark, sf), Some("vec_id"))
+  }
+
+  private val subset = Seq("q_join_star", "q_join_asof", "q_win_session",
+    "q_dedup_exact", "q_multimodal_join")
+
+  test("graded queries over the bucketed Layout catalog are value-identical to the parquet run") {
+    written
+    subset.foreach { name =>
+      val fromParquet = SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val fromLayout = SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(fromLayout == fromParquet,
+        s"$name over the Layout catalog differs from the parquet run")
+      assert(fromLayout.nonEmpty, s"$name returned no rows — vacuous")
+    }
+  }
+
+  test("the flagship's lineitem⋈orders is exchange-free over the bucketed layout") {
+    written
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the cluster-posture plan: at 100 TB neither fact side
+      // broadcasts, so the orderkey join must ride the bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = SparkEntry.queries("q_join_star")(spark, dir)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+        "bucketed lineitem must not shuffle on its join key:\n" + p.take(3000))
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+        "bucketed orders must not shuffle on its join key:\n" + p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

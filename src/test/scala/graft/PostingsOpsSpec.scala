@@ -47,6 +47,26 @@ class PostingsOpsSpec extends GraftSpecBase {
         "tokens — no more (subset test), no fewer (this recall floor)")
   } }
 
+  test("q_dfcap_cosine scores exactly the q_dfcap_pairs candidate set, in the capped feature space (round-10, verdict item 5)") { CacheOps.scoped {
+    // the graded end-to-end scale path: same PostingsOps postings
+    // (df ≤ 60), scored — its pair set must be EXACTLY the graded
+    // candidate set (scoring adds no pairs and a shared-token pair
+    // always has a positive dot, so none are lost), and every score
+    // must be a valid cosine
+    val scored = graft.queries.CorpusSimQueries.dfcapCosine(spark, sf)
+      .collect()
+    val scoredPairs = scored.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = pairSet(
+      graft.queries.CorpusSimQueries.dfcapPairs(spark, sf))
+    assert(scoredPairs == candidates,
+      "capped cosine must score exactly the capped candidate pairs")
+    scored.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c > 0.0 && c <= 1.0 + 1e-9,
+        s"cosine of a shared-token pair must be in (0, 1]: $r")
+    }
+  } }
+
   test("df ceiling semantics on a known corpus: stop token dropped, rare tokens kept, tf/df intact") { CacheOps.scoped {
     val s = spark
     import s.implicits._

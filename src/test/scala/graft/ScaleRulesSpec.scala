@@ -222,6 +222,104 @@ class ScaleRulesSpec extends GraftSpecBase {
     assert(!anyPhysFunnel(Tables.documents(spark, sf).join(grid, "lang")))
   }
 
+  // ----- round-10 pins (verdict item 1): ORIGIN-GROUNDED vocabulary
+  // trust. The bounded-domain / non-negativity / fixture-PK proofs
+  // trace the claiming attribute to its PHYSICAL fixture column and
+  // cross-check the loaded ColumnFacts — the documented spoof (a user
+  // column aliased onto a trusted name) flips from caveat to failing
+  // pin here.
+
+  test("SPOOF KILLED: c_acctbal aliased onto 'o_totalprice' does NOT prove the least-grid bounded") {
+    // the exact shape the round-9 caveat documented: the attribute
+    // WEARS the trusted name but its lineage is a sign-indefinite
+    // column (c_acctbal reaches −999.99) — name trust would accept,
+    // the origin-grounded proof must reject
+    val spoofed = Tables.customer(spark, sf)
+      .select(col("c_acctbal").as("o_totalprice"))
+      .select(least(lit(4), floor(col("o_totalprice") / 10.0).cast("int")).as("y"))
+      .groupBy(col("y")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(spoofed.queryExecution.optimizedPlan),
+      "an alias onto a trusted non-negative name must prove NOTHING")
+    assert(!ScaleRules.boundedPhysical(spoofed.queryExecution.executedPlan))
+  }
+
+  test("origin carries the trust, not the surface name: o_totalprice renamed arbitrarily still proves the least-grid") {
+    // the positive dual: the physical column IS the contract column;
+    // whatever the query calls it, the lineage walker finds it
+    val renamed = Tables.orders(spark, sf)
+      .select(col("o_totalprice").as("spend_usd"))
+      .select(least(lit(4), floor(col("spend_usd") / 100000.0).cast("int")).as("y"))
+      .groupBy(col("y")).agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(renamed.queryExecution.optimizedPlan),
+      "a renamed copy of the contract column must still prove (origin, not name)")
+    assert(ScaleRules.boundedPhysical(renamed.queryExecution.executedPlan))
+  }
+
+  test("SPOOF KILLED: a non-unique column aliased onto 'vec_id' is not a 1-row PK fetch") {
+    // events.value (a double with heavy repeats) wearing the PK name:
+    // the physical FilterExec rule must reject — PK trust requires
+    // the lineage to reach the real unique fixture column
+    val spoofed = Tables.events(spark, sf)
+      .select(col("user_id"), col("value").as("vec_id"))
+      .filter(col("vec_id") === 1.0)
+    assert(!ScaleRules.boundedPhysical(spoofed.queryExecution.executedPlan),
+      "a value column named vec_id must not prove a 1-row fetch")
+    // and the genuine PK pin still proves, renamed or not
+    val genuine = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("query_vec"), col("label"))
+      .filter(col("query_vec") === 0L)
+    assert(ScaleRules.boundedPhysical(genuine.queryExecution.executedPlan),
+      "the real embeddings PK must keep proving through a rename")
+  }
+
+  test("SPOOF KILLED: a corpus-growing key aliased onto a lowCard name does NOT prove a grouping bounded") {
+    // c_custkey (1500 distinct at sf0.001, corpus-growing) wearing
+    // 'label': name trust accepted this; the NDV cross-check rejects
+    val spoofed = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(spoofed.queryExecution.optimizedPlan),
+      "a growing key named 'label' must not prove bounded (measured NDV)")
+    assert(!ScaleRules.boundedPhysical(spoofed.queryExecution.executedPlan))
+    // positive dual: a genuinely bounded fixture column under an
+    // arbitrary alias proves via origin + facts
+    val renamed = Tables.customer(spark, sf)
+      .select(col("c_mktsegment").as("segment_x"))
+      .groupBy(col("segment_x")).agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(renamed.queryExecution.optimizedPlan),
+      "a renamed bounded fixture column must prove via its origin")
+    assert(ScaleRules.boundedPhysical(renamed.queryExecution.executedPlan))
+  }
+
+  test("ColumnFacts corroborate the vocabularies against the graded parquet (the data cross-check is loaded and real)") {
+    import graft.plans.ColumnFacts
+    assert(ColumnFacts.loaded, "the gate JVM must load ColumnFacts")
+    // every nonNegativeNames entry that IS a base column: min >= 0
+    val tables = Tables.names
+    def factsOf(c: String) = tables.flatMap(t => ColumnFacts.get(t, c))
+    ScaleRules.nonNegativeNames.foreach { c =>
+      val fs = factsOf(c)
+      assert(fs.nonEmpty, s"$c: vocabulary entry with no base column")
+      fs.foreach(f => assert(f.nonNegative,
+        s"$c claims non-negative but parquet min = ${f.min}"))
+    }
+    // the documented counter-example the negative pins rely on
+    assert(ColumnFacts.get("customer", "c_acctbal").exists(!_.nonNegative),
+      "c_acctbal must measure negative (the sign-indefinite fixture)")
+    // every lowCardNames entry that IS a base column: NDV <= cap
+    ScaleRules.lowCardNames.foreach { c =>
+      factsOf(c).foreach(f =>
+        assert(f.lowCard(ColumnFacts.LowCardCap),
+          s"$c claims low-card but measured NDV = ${f.ndv}"))
+    }
+    // fixture PKs measure unique; a non-key column does not
+    Seq("embeddings" -> "vec_id", "documents" -> "doc_id",
+      "events" -> "event_id").foreach { case (t, c) =>
+      assert(ColumnFacts.get(t, c).exists(_.unique), s"$t.$c must be unique")
+    }
+    assert(ColumnFacts.get("events", "user_id").exists(!_.unique))
+  }
+
   test("checkpoint leaves stay transparent to the funnel sweep (expand) and to contractedLogical") {
     // a funnel hidden behind a lazy localCheckpoint: the truncated
     // plan itself shows only a LogicalRDD leaf, but the gates sweep
