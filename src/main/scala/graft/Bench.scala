@@ -59,6 +59,77 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** LPT scheduling: start the known-heavy queries first so the
+    * concurrent streams drain into a short tail (a slow query picked
+    * last would extend the wall-clock by its full duration). The
+    * list is the measured top tier at sf0.1; unlisted queries keep
+    * alphabetical order after it. Object-level so BenchSurfaceSpec
+    * can pin every entry to a live query name (a rename would
+    * silently degrade the schedule otherwise). */
+  private[graft] val heavyFirstList: Seq[String] = Seq("q_lsh_exact", "q_kmeans_step",
+    "q_tfidf_cosine", "q_minhash_est", "q_rfm",
+    "q_elasticity", "q_boilerplate", "q_cohort_ltv",
+    "q_kmeans_assign", "q_math_funcs", "q_cte_recursive",
+    "q_dedup_cluster", "q_contamination", "q_dedup_ngram",
+    "q_dedup_minhash", "q_text_jaccard", "q_join_skew", "q_covar",
+    "q_text_tfidf", "q_corr", "q_copurchase", "q_dedup_editdist",
+    "q_shortest_path", "q_agg_cube", "q_approx_kmv", "q_unpivot",
+    "q_lang_id", "q_pagerank", "q_triangles", "q_vocab_growth",
+    "q_try_arith", "q_dedup_simhash", "q_regr", "q_rolling_median",
+    "q_ewma", "q_interpolate", "q_linreg2", "q_theil_sen",
+    "q_dau_wau", "q_emb_quantize",
+    // round-4 360-entry refresh: the alphabetical tail (p–s) had
+    // clustered the newer heavy aggregates into one contended wave;
+    // front-loading them spreads the load (measured clean run-3)
+    "q_partial_corr", "q_regr_metrics", "q_ship_latency", "q_sax",
+    "q_reorder_rate", "q_simpsons", "q_seasonal_strength",
+    "q_seasonal_decomp", "q_seq_trigram", "q_shapley", "q_scd2",
+    "q_sample_hash", "q_weighted_median", "q_silhouette",
+    "q_session_stats", "q_seq_adjacent", "q_backlog",
+    "q_weighted_quantile", "q_share_of_parent", "q_lorenz",
+    "q_runs_test", "q_jaccard_link", "q_cronbach",
+    "q_referential_check", "q_zscore_roll", "q_vocab_bandpass",
+    "q_ipf_rake", "q_graph_degree", "q_gains",
+    // round-4 427-entry refresh: the new iterative/corpus-heavy
+    // families front-load too (token self-joins, power iterations,
+    // BFS closure, greedy MMR rounds, TPC-H 5-way trees)
+    "q_containment", "q_yule_k", "q_heaps_fit", "q_hurst",
+    "q_mmr_select", "q_tpch_q9", "q_tpch_q8", "q_tpch_q7",
+    "q_closeness", "q_eigenvector", "q_jonckheere", "q_logrank",
+    "q_t_closeness", "q_growth_acct", "q_markov_stationary",
+    "q_cooks_d", "q_isotonic", "q_modularity", "q_assortativity",
+    // round-4 490-entry refresh: the session's corpus/token-heavy
+    // additions (winnowing gram windows, FS blocked self-join,
+    // Q21's triple lineitem tree, retrieval LM token explodes,
+    // MACD's 52 lag terms, the threshold/Dunn value contractions)
+    "q_tpch_q21", "q_fs_linkage", "q_winnow_sim", "q_winnow",
+    "q_tpch_q17", "q_tpch_q13", "q_query_likelihood",
+    "q_jelinek_mercer", "q_term_dispersion", "q_macd", "q_dunn",
+    "q_learning_curve", "q_good_turing", "q_chao1", "q_kde_epan",
+    "q_best_f1", "q_youden_j", "q_pr_auc", "q_hampel",
+    // 513-entry refresh: LOF's blocked vector pairs, the winnow
+    // fingerprint pipeline, the iterative fits (Huber IRLS, GMM EM,
+    // Weiszfeld), the 5-scan Box-Cox grid, and the multi-join CCF
+    "q_lof", "q_huber", "q_boxcox", "q_gmm_em", "q_geomedian",
+    "q_cross_corr", "q_walk_forward", "q_adstock", "q_mi_ranking",
+    "q_keyness", "q_burrows_delta", "q_segmented", "q_anova2",
+    "q_cca", "q_source_emb_sim", "q_periodogram", "q_gof_poisson",
+    "q_negbin_fit", "q_zip_fit",
+    // round-7 refresh: the round-6 OrderStats/prefix rewrites moved
+    // these into the solo top tier (scale-safe shapes pay a fixed
+    // multi-stage cost at toy scale), but they still sat in
+    // alphabetical-tail order
+    "q_mad", "q_rank_corr", "q_win_analytic", "q_mood_median",
+    "q_percentile", "q_percentile_disc", "q_levene", "q_winsorize",
+    "q_hist_eqfreq", "q_outlier_iqr", "q_gini",
+    // round-9 refresh: the remaining >4.5 s in-concurrency entries
+    // that still sat in alphabetical order (q_feature_corr's moment
+    // row, the ABC Pareto windows, transfer entropy's lag joins)
+    "q_feature_corr", "q_abc_class", "q_transfer_entropy",
+    // round-10: the new capped-cosine entry joins its family's tier
+    // (postings self-join + norms — q_tfidf_cosine's capped twin)
+    "q_dfcap_cosine")
+
   def main(args: Array[String]): Unit = {
     // canary + loadavg BEFORE Spark spins up: measures what the HOST
     // is doing around this run, not our own 32 threads.
@@ -122,72 +193,7 @@ object Bench {
     // not so much that shuffle stages thrash the core budget.
     val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "14").toInt
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "true").toBoolean
-    // LPT scheduling: start the known-heavy queries first so the
-    // concurrent streams drain into a short tail (a slow query picked
-    // last would extend the wall-clock by its full duration). The
-    // list is the measured top tier at sf0.1; unlisted queries keep
-    // alphabetical order after it.
-    val heavyFirst = Seq("q_lsh_exact", "q_kmeans_step",
-      "q_tfidf_cosine", "q_minhash_est", "q_rfm",
-      "q_elasticity", "q_boilerplate", "q_cohort_ltv",
-      "q_kmeans_assign", "q_math_funcs", "q_cte_recursive",
-      "q_dedup_cluster", "q_contamination", "q_dedup_ngram",
-      "q_dedup_minhash", "q_text_jaccard", "q_join_skew", "q_covar",
-      "q_text_tfidf", "q_corr", "q_copurchase", "q_dedup_editdist",
-      "q_shortest_path", "q_agg_cube", "q_approx_kmv", "q_unpivot",
-      "q_lang_id", "q_pagerank", "q_triangles", "q_vocab_growth",
-      "q_try_arith", "q_dedup_simhash", "q_regr", "q_rolling_median",
-      "q_ewma", "q_interpolate", "q_linreg2", "q_theil_sen",
-      "q_dau_wau", "q_emb_quantize",
-      // round-4 360-entry refresh: the alphabetical tail (p–s) had
-      // clustered the newer heavy aggregates into one contended wave;
-      // front-loading them spreads the load (measured clean run-3)
-      "q_partial_corr", "q_regr_metrics", "q_ship_latency", "q_sax",
-      "q_reorder_rate", "q_simpsons", "q_seasonal_strength",
-      "q_seasonal_decomp", "q_seq_trigram", "q_shapley", "q_scd2",
-      "q_sample_hash", "q_weighted_median", "q_silhouette",
-      "q_session_stats", "q_seq_adjacent", "q_backlog",
-      "q_weighted_quantile", "q_share_of_parent", "q_lorenz",
-      "q_runs_test", "q_jaccard_link", "q_cronbach",
-      "q_referential_check", "q_zscore_roll", "q_vocab_bandpass",
-      "q_ipf_rake", "q_graph_degree", "q_gains",
-      // round-4 427-entry refresh: the new iterative/corpus-heavy
-      // families front-load too (token self-joins, power iterations,
-      // BFS closure, greedy MMR rounds, TPC-H 5-way trees)
-      "q_containment", "q_yule_k", "q_heaps_fit", "q_hurst",
-      "q_mmr_select", "q_tpch_q9", "q_tpch_q8", "q_tpch_q7",
-      "q_closeness", "q_eigenvector", "q_jonckheere", "q_logrank",
-      "q_t_closeness", "q_growth_acct", "q_markov_stationary",
-      "q_cooks_d", "q_isotonic", "q_modularity", "q_assortativity",
-      // round-4 490-entry refresh: the session's corpus/token-heavy
-      // additions (winnowing gram windows, FS blocked self-join,
-      // Q21's triple lineitem tree, retrieval LM token explodes,
-      // MACD's 52 lag terms, the threshold/Dunn value contractions)
-      "q_tpch_q21", "q_fs_linkage", "q_winnow_sim", "q_winnow",
-      "q_tpch_q17", "q_tpch_q13", "q_query_likelihood",
-      "q_jelinek_mercer", "q_term_dispersion", "q_macd", "q_dunn",
-      "q_learning_curve", "q_good_turing", "q_chao1", "q_kde_epan",
-      "q_best_f1", "q_youden_j", "q_pr_auc", "q_hampel",
-      // 513-entry refresh: LOF's blocked vector pairs, the winnow
-      // fingerprint pipeline, the iterative fits (Huber IRLS, GMM EM,
-      // Weiszfeld), the 5-scan Box-Cox grid, and the multi-join CCF
-      "q_lof", "q_huber", "q_boxcox", "q_gmm_em", "q_geomedian",
-      "q_cross_corr", "q_walk_forward", "q_adstock", "q_mi_ranking",
-      "q_keyness", "q_burrows_delta", "q_segmented", "q_anova2",
-      "q_cca", "q_source_emb_sim", "q_periodogram", "q_gof_poisson",
-      "q_negbin_fit", "q_zip_fit",
-      // round-7 refresh: the round-6 OrderStats/prefix rewrites moved
-      // these into the solo top tier (scale-safe shapes pay a fixed
-      // multi-stage cost at toy scale), but they still sat in
-      // alphabetical-tail order
-      "q_mad", "q_rank_corr", "q_win_analytic", "q_mood_median",
-      "q_percentile", "q_percentile_disc", "q_levene", "q_winsorize",
-      "q_hist_eqfreq", "q_outlier_iqr", "q_gini",
-      // round-9 refresh: the remaining >4.5 s in-concurrency entries
-      // that still sat in alphabetical order (q_feature_corr's moment
-      // row, the ABC Pareto windows, transfer entropy's lag joins)
-      "q_feature_corr", "q_abc_class", "q_transfer_entropy")
-      .zipWithIndex.toMap
+    val heavyFirst = Bench.heavyFirstList.zipWithIndex.toMap
     // optional comma-separated subset (profiling aid: combined with
     // SPARK_GRAFT_STREAMS=1 it yields solo warm times free of queue
     // contention — the number to read before calling a query slow)

@@ -60,11 +60,17 @@ object ScanCensus {
       val names = graft.Tables.names.toSet
       paths.iterator.flatMap { p =>
         p.toString.split('/').reverseIterator.flatMap { seg =>
-          if (names.contains(seg)) Some(seg)
-          else if (seg.endsWith(".parquet") &&
-              names.contains(seg.stripSuffix(".parquet")))
-            Some(seg.stripSuffix(".parquet"))
-          else None
+          val base = if (seg.endsWith(".parquet"))
+            seg.stripSuffix(".parquet") else seg
+          if (names.contains(base)) Some(base)
+          else {
+            // catalog-layout tables (Tables' `catalog:<prefix>` dirs /
+            // Layout.writeBucketed) live at warehouse/<prefix>_<name> —
+            // classify them too so a bucketed deployment keeps census
+            // coverage (round-10; suffix match is exact-on-underscore,
+            // so e.g. `notlineitem` cannot false-positive)
+            names.find(t => base.endsWith(s"_$t"))
+          }
         }.take(1)
       }.toSeq.headOption
     }

@@ -29,6 +29,23 @@ class ScanCensusSpec extends GraftSpecBase {
     assert(census(self).getOrElse("events", 0) == 2)
   }
 
+  test("tableOfPaths: innermost segment wins (leaf-to-root) and catalog-layout tables classify (round-10 ADVICE + Layout census)") {
+    def of(p: String) = ScanCensus.tableOfPaths(
+      Seq(new org.apache.hadoop.fs.Path(p)))
+    // the ADVICE shape: a path containing TWO table-name segments must
+    // classify by the innermost (declaration order said 'part')
+    assert(of("/data/part/lineitem/part-00001.parquet") == Some("lineitem"))
+    assert(of("/data/lineitem/part/part-00001.parquet") == Some("part"))
+    // plain graded layout unchanged
+    assert(of("/root/testdata/sf0.001/orders.parquet") == Some("orders"))
+    // the Layout/catalog layout: warehouse/<prefix>_<table>/bucket files
+    assert(of("spark-warehouse/g10_lineitem/part-00000-abc.c000.snappy.parquet")
+      == Some("lineitem"))
+    assert(of("spark-warehouse/g10_events/part-00000.parquet") == Some("events"))
+    // no false positives from part-file names or unrelated segments
+    assert(of("/data/misc/notatable/part-00000.parquet").isEmpty)
+  }
+
   test("factOffenders flags only fact tables above the limit, never dims") {
     val n = Tables.nation(spark, sf).select(col("n_nationkey"))
     val manyDims = (1 to 6).map(_ => n).reduce(_ unionByName _)
