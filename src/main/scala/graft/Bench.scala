@@ -63,9 +63,9 @@ object Bench {
     * concurrent streams drain into a short tail (a slow query picked
     * last would extend the wall-clock by its full duration). The
     * list is the measured top tier at sf0.1; unlisted queries keep
-    * alphabetical order after it. Object-level so BenchSurfaceSpec
-    * can pin every entry to a live query name (a rename would
-    * silently degrade the schedule otherwise). */
+    * alphabetical order after it. Object-level so the hygiene pin in
+    * WideSurfaceSpec can check every entry against a live query name
+    * (a rename would silently degrade the schedule otherwise). */
   private[graft] val heavyFirstList: Seq[String] = Seq("q_lsh_exact", "q_kmeans_step",
     "q_tfidf_cosine", "q_minhash_est", "q_rfm",
     "q_elasticity", "q_boilerplate", "q_cohort_ltv",
@@ -322,7 +322,13 @@ object Bench {
     val passes = {
       val cleanBase = basePasses.filter(_.failedQs.isEmpty)
       val judge = if (cleanBase.nonEmpty) cleanBase else basePasses
-      if (timedPasses >= 2 && judge.size >= 2 && spreadOver(judge) > 0.15)
+      // also rerun when multiple passes left only ONE clean reading
+      // (round-10 review: a lone clean pass is exactly as poorly
+      // attested as a divergent pair — there is nothing to
+      // corroborate the headline against)
+      val lonely = basePasses.size >= 2 && cleanBase.size == 1
+      if (timedPasses >= 2 &&
+          (lonely || (judge.size >= 2 && spreadOver(judge) > 0.15)))
         basePasses :+ onePass()
       else basePasses
     }

@@ -27,9 +27,22 @@ object Verify {
     // changes no value anywhere.
     if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").contains("true")) {
       spark.conf.set("spark.graft.reliableCheckpoints", "true")
-      spark.sparkContext.setCheckpointDir(sys.env.getOrElse(
-        "SPARK_GRAFT_CKPT_DIR",
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
+      val ckptDir = sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR",
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      spark.sparkContext.setCheckpointDir(ckptDir)
+      // reliable checkpoint FILES are not released by unpersist (the
+      // round-10 review: a sweep leaves data-proportional files on
+      // disk past JVM exit) — delete the dir when the dump finishes;
+      // a real deployment instead sets
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true in the
+      // initial SparkConf so the ContextCleaner removes each frame's
+      // files when its scope releases it
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(ckptDir))
+      }))
     }
     // scoped release unpersists checkpoints after each query is dumped
     // — the RDD classes' per-frame "cannot be recomputed" WARN is

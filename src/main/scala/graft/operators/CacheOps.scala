@@ -70,16 +70,16 @@ object CacheOps {
     finally {
       if (prev == null) ledger.remove() else ledger.set(prev)
       buf.foreach { r =>
-        try {
-          r.unpersist(blocking = false)
-          // release the driver-side provenance too (round-9 ADVICE):
-          // the registry entry exists for gate sweeps over LIVE
-          // frames; once the blocks are gone the plan is dead weight
-          // — one retained optimized LogicalPlan per checkpoint is a
-          // real leak in a job-server session running thousands of
-          // queries (Bench triples it via warm + N timed passes)
-          CheckpointRegistry.deregister(r.id)
-        }
+        // release the driver-side provenance FIRST (round-9 ADVICE +
+        // round-10 review): the registry entry exists for gate sweeps
+        // over LIVE frames; once the scope closes the plan is dead
+        // weight — one retained optimized LogicalPlan per checkpoint
+        // is a real leak in a job-server session running thousands of
+        // queries. Ordered before unpersist so a throwing unpersist
+        // (stopped context, shutdown race) cannot leak the plan the
+        // hook exists to release.
+        CheckpointRegistry.deregister(r.id)
+        try r.unpersist(blocking = false)
         catch { case scala.util.control.NonFatal(_) => }
       }
     }

@@ -290,9 +290,47 @@ object ScaleRules {
     * wrappers are looked through ([[attrIdOf]]) — they preserve the
     * facts the gates consult (sign, cardinality-no-greater-than,
     * and uniqueness for the integral PK keys). */
+  /** Operators a UNIQUENESS trace may cross (round-10 review): value
+    * facts (sign, domain-no-wider-than) survive any operator the
+    * origin walkers traverse, but uniqueness does NOT survive
+    * row-MULTIPLYING operators — a PK column fanned out by a join or
+    * a generate repeats, so an equality pin above it is no 1-row
+    * fetch. `rowSafe` = the operator can only KEEP or DROP input rows
+    * (filter/sort/limit/window/repartition/dedup/alias), never copy
+    * them. Joins, generates, unions, expands, and aggregates (a
+    * multi-key grouping repeats a single key's values) are excluded;
+    * unknown operators conservatively excluded. */
+  private def rowSafeL(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Filter | _: Sort | _: GlobalLimit | _: LocalLimit |
+           _: Window | _: SubqueryAlias | _: Deduplicate |
+           _: Repartition | _: RepartitionOperation | _: Sample => true
+      case _ => false
+    }
+  }
+
+  private def rowSafeP(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.FilterExec |
+         _: org.apache.spark.sql.execution.SortExec |
+         _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+         _: org.apache.spark.sql.execution.window.WindowExec |
+         _: org.apache.spark.sql.execution.window.WindowGroupLimitExec |
+         _: org.apache.spark.sql.execution.SampleExec |
+         _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+         _: org.apache.spark.sql.execution.InputAdapter |
+         _: org.apache.spark.sql.execution.ColumnarToRowExec |
+         _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec |
+         _: org.apache.spark.sql.execution.CoalesceExec => true
+    case _ => false
+  }
+
   private[graft] def originOfL(
       id: org.apache.spark.sql.catalyst.expressions.ExprId,
-      plan: LogicalPlan): Option[Origin] = {
+      plan: LogicalPlan,
+      unique: Boolean = false): Option[Origin] = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project, Union}
     plan match {
@@ -306,17 +344,19 @@ object ScaleRules {
         }
       case p: Project =>
         p.projectList.find(_.exprId == id) match {
-          case Some(al: Alias) => attrIdOf(al.child).flatMap(originOfL(_, p.child))
-          case Some(att: Attribute) => originOfL(att.exprId, p.child)
+          case Some(al: Alias) =>
+            attrIdOf(al.child).flatMap(originOfL(_, p.child, unique))
+          case Some(att: Attribute) => originOfL(att.exprId, p.child, unique)
           case _ => None
         }
-      case a: Aggregate =>
+      case a: Aggregate if !unique =>
         a.aggregateExpressions.find(_.exprId == id) match {
-          case Some(al: Alias) => attrIdOf(al.child).flatMap(originOfL(_, a.child))
+          case Some(al: Alias) =>
+            attrIdOf(al.child).flatMap(originOfL(_, a.child))
           case Some(att: Attribute) => originOfL(att.exprId, a.child)
           case _ => None
         }
-      case u: Union =>
+      case u: Union if !unique =>
         val pos = u.output.indexWhere(_.exprId == id)
         if (pos < 0) None
         else {
@@ -329,24 +369,32 @@ object ScaleRules {
         CheckpointRegistry.lookup(l.rdd.id).flatMap { interior =>
           val pos = l.output.indexWhere(_.exprId == id)
           if (pos >= 0 && pos < interior.output.size)
-            originOfL(interior.output(pos).exprId, interior)
+            originOfL(interior.output(pos).exprId, interior, unique)
           else None
         }
       case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
         val pos = m.output.indexWhere(_.exprId == id)
         if (pos >= 0 && pos < m.cachedPlan.output.size)
-          originOfP(m.cachedPlan.output(pos).exprId, m.cachedPlan)
+          originOfP(m.cachedPlan.output(pos).exprId, m.cachedPlan, unique)
         else None
-      case other =>
+      // a unique-mode trace may only cross row-KEEP/DROP operators
+      // (round-10 review: a join/generate above the base scan copies
+      // PK values, so an equality pin above the fan-out is NOT a
+      // 1-row fetch; a multi-key aggregate repeats a single key's
+      // values; union branches collide) — value-fact traces cross
+      // anything that outputs the id
+      case other if !unique || rowSafeL(other) =>
         other.children.find(_.outputSet.exists(_.exprId == id))
-          .flatMap(originOfL(id, _))
+          .flatMap(originOfL(id, _, unique))
+      case _ => None
     }
   }
 
   /** PHYSICAL twin of [[originOfL]]. */
   private[graft] def originOfP(
       id: org.apache.spark.sql.catalyst.expressions.ExprId,
-      p: SparkPlan): Option[Origin] = {
+      p: SparkPlan,
+      unique: Boolean = false): Option[Origin] = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     p match {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
@@ -355,11 +403,13 @@ object ScaleRules {
             .map(t => (t, att.name)))
       case pr: org.apache.spark.sql.execution.ProjectExec =>
         pr.projectList.find(_.exprId == id) match {
-          case Some(al: Alias) => attrIdOf(al.child).flatMap(originOfP(_, pr.child))
-          case Some(att: Attribute) => originOfP(att.exprId, pr.child)
+          case Some(al: Alias) =>
+            attrIdOf(al.child).flatMap(originOfP(_, pr.child, unique))
+          case Some(att: Attribute) => originOfP(att.exprId, pr.child, unique)
           case _ => None
         }
-      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if !unique =>
         a.resultExpressions.find(_.exprId == id) match {
           case Some(al: Alias) => attrIdOf(al.child).flatMap(originOfP(_, a.child))
           case Some(att: Attribute) => originOfP(att.exprId, a.child)
@@ -369,25 +419,25 @@ object ScaleRules {
         CheckpointRegistry.lookup(r.rdd.id).flatMap { interior =>
           val pos = r.output.indexWhere(_.exprId == id)
           if (pos >= 0 && pos < interior.output.size)
-            originOfL(interior.output(pos).exprId, interior)
+            originOfL(interior.output(pos).exprId, interior, unique)
           else None
         }
       case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         val pos = s.relation.output.indexWhere(_.exprId == id)
         if (pos >= 0 && pos < s.relation.cachedPlan.output.size)
           originOfP(s.relation.cachedPlan.output(pos).exprId,
-            s.relation.cachedPlan)
+            s.relation.cachedPlan, unique)
         else None
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        originOfP(id, a.executedPlan)
+        originOfP(id, a.executedPlan, unique)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        originOfP(id, q.plan)
+        originOfP(id, q.plan, unique)
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         val pos = r.output.indexWhere(_.exprId == id)
         if (pos >= 0 && pos < r.child.output.size)
-          originOfP(r.child.output(pos).exprId, r.child)
+          originOfP(r.child.output(pos).exprId, r.child, unique)
         else None
-      case u: org.apache.spark.sql.execution.UnionExec =>
+      case u: org.apache.spark.sql.execution.UnionExec if !unique =>
         val pos = u.output.indexWhere(_.exprId == id)
         if (pos < 0) None
         else {
@@ -396,14 +446,21 @@ object ScaleRules {
           if (os.nonEmpty && os.head.isDefined && os.forall(_ == os.head)) os.head
           else None
         }
-      case other =>
+      case other if !unique || rowSafeP(other) =>
         other.children.find(_.outputSet.exists(_.exprId == id))
-          .flatMap(originOfP(id, _))
+          .flatMap(originOfP(id, _, unique))
+      case _ => None
     }
   }
 
   private def resolveL(p: LogicalPlan): Resolver = att => originOfL(att.exprId, p)
   private def resolveP(p: SparkPlan): Resolver = att => originOfP(att.exprId, p)
+  // uniqueness-preserving traces for the PK rules (round-10 review:
+  // value facts survive joins/generates, uniqueness does not)
+  private def uniqueResolveL(p: LogicalPlan): Resolver =
+    att => originOfL(att.exprId, p, unique = true)
+  private def uniqueResolveP(p: SparkPlan): Resolver =
+    att => originOfP(att.exprId, p, unique = true)
 
   private def vocabName(n: String): Boolean =
     lowCardNames.contains(n) || boundedAliasNames.contains(n)
@@ -663,7 +720,7 @@ object ScaleRules {
     // fixture PK column, uniqueness cross-checked against ColumnFacts
     // — a column merely NAMED vec_id proves nothing.
     def pkBounded(cond: Expression, below: LogicalPlan): Boolean = {
-      val resolve = resolveL(below)
+      val resolve = uniqueResolveL(below)
       conjunctsOf(cond).exists {
         case EqualTo(att: Attribute, _: Literal) => fixturePkAttr(att, resolve)
         case EqualTo(_: Literal, att: Attribute) => fixturePkAttr(att, resolve)
@@ -798,9 +855,9 @@ object ScaleRules {
     case f: org.apache.spark.sql.execution.FilterExec
         if conjunctsOf(f.condition).exists {
           case EqualTo(att: Attribute, _: Literal) =>
-            fixturePkAttr(att, resolveP(f.child))
+            fixturePkAttr(att, uniqueResolveP(f.child))
           case EqualTo(_: Literal, att: Attribute) =>
-            fixturePkAttr(att, resolveP(f.child))
+            fixturePkAttr(att, uniqueResolveP(f.child))
           case _ => false
         } => true
     case _: org.apache.spark.sql.execution.LocalTableScanExec => true

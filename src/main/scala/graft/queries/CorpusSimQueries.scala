@@ -230,6 +230,13 @@ object CorpusSimQueries {
       .select(col("doc_id"), col("token"),
         (col("tf").cast(dbl) * log(col("n_docs").cast(dbl) / col("df").cast(dbl)))
           .as("w"))
+      // drop zero weights (a token with df = n_docs has idf ln(1) = 0:
+      // contributes nothing to any dot OR norm, but a doc whose
+      // surviving tokens are ALL zero-weight would otherwise make
+      // nrm = 0 and the score 0/0 — NaN, engine-divergent). Possible
+      // only when the slice has ≤ maxDf docs; the guard keeps the
+      // query total on any corpus slice (round-10 review).
+      .filter(col("w") =!= 0.0)
       .truncatedCheckpoint() // feeds norms + both self-join sides
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(dec30(col("w") * col("w"))).cast(dbl).as("nrm"))
@@ -259,9 +266,10 @@ object CorpusSimQueries {
       |p AS (SELECT tok.doc_id, tok.token, tok.tf, df.df
       |  FROM tok JOIN df USING (token) WHERE df.df <= 60),
       |w AS (
-      |  SELECT doc_id, token,
-      |    CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
-      |  FROM p CROSS JOIN n),
+      |  SELECT doc_id, token, w FROM (
+      |    SELECT doc_id, token,
+      |      CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+      |    FROM p CROSS JOIN n) raw WHERE w <> 0.0),
       |norms AS (
       |  SELECT doc_id,
       |    CAST(SUM(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE) AS nrm

@@ -51,9 +51,18 @@ object KmeansStepQueries {
         .select(col("vec_id"), col("m.cluster").as("cluster"),
           col("m.d2").as("d2"))
     }
-    val cent0 = ex.filter(col("vec_id") < K)
+    // round-10: filter the K seed vectors BEFORE the explode, directly
+    // on the base scan — the PK range pin pushes into the parquet read
+    // (K rows touched) and the bounded-frame proof holds structurally:
+    // the unique-mode origin trace correctly refuses to cross the
+    // Generate in the old ex.filter(...) shape (vec_id repeats per
+    // dim there — the "≤ K rows" reading was never true of the
+    // exploded frame; K·|dims| is bounded, but for the explode-of-a-
+    // pinned-frame reason this shape now states explicitly)
+    val cent0 = embeddings(s, d).filter(col("vec_id") < K)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id").cast("int").as("cluster"), col("pos"),
-        col("x").as("c"))
+        col("v").cast("double").as("c"))
     val a0 = assign(cent0).truncatedCheckpoint()
     val cent1 = a0.select(col("vec_id"), col("cluster"))
       .join(ex, "vec_id")

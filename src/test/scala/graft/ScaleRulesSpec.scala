@@ -291,6 +291,28 @@ class ScaleRulesSpec extends GraftSpecBase {
     assert(ScaleRules.boundedPhysical(renamed.queryExecution.executedPlan))
   }
 
+  test("a uniqueness trace refuses to cross row-multiplying operators; a value trace crosses them (round-10 review)") {
+    // doc_id IS unique in documents — but a join/cross fan-out copies
+    // it per matching row, so an equality pin above the fan-out is NOT
+    // a 1-row fetch. Value facts (sign, domain) survive the same
+    // operators, so the plain trace keeps resolving.
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val em = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val fanned = docs.crossJoin(em)
+    val plan = fanned.queryExecution.analyzed
+    val id = plan.output.find(_.name == "doc_id").get.exprId
+    assert(ScaleRules.originOfL(id, plan) == Some(("documents", "doc_id")),
+      "the VALUE trace must resolve through the join")
+    assert(ScaleRules.originOfL(id, plan, unique = true).isEmpty,
+      "the UNIQUENESS trace must refuse the join — copies repeat the PK")
+    // row-keep/drop operators preserve uniqueness: filter + sort pass
+    val kept = docs.filter(col("lang") === "de").orderBy(col("doc_id"))
+    val kPlan = kept.queryExecution.analyzed
+    val kId = kPlan.output.find(_.name == "doc_id").get.exprId
+    assert(ScaleRules.originOfL(kId, kPlan, unique = true)
+      == Some(("documents", "doc_id")))
+  }
+
   test("ColumnFacts corroborate the vocabularies against the graded parquet (the data cross-check is loaded and real)") {
     import graft.plans.ColumnFacts
     assert(ColumnFacts.loaded, "the gate JVM must load ColumnFacts")
