@@ -572,9 +572,29 @@ object ScaleRules {
     * `least(k, e₁…)` where k is a small non-negative integer literal
     * and every operand is provably non-negative integer-valued —
     * image ⊆ {0..k}, the ordinal-grid price-band key. */
+  /** Literal trunc units whose image is calendar-bounded: a
+    * day-or-coarser truncation of ANY timestamp/date has at most
+    * |horizon in days| distinct values — fixed by the time horizon,
+    * not the corpus, the same argument the DATE-typed-key rule
+    * already encodes (round-10: closes the timestamp_ntz vintage gap
+    * — `date_trunc("day", o_orderdate)` groups a TIMESTAMP key the
+    * DateType rule could never see; structurally grounded, no name
+    * trust). Hour/minute/second stay excluded: sub-day grids multiply
+    * the horizon by 24-86400×. */
+  private def truncUnitBounded(fmt: Expression): Boolean = fmt match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+      Set("year", "yyyy", "yy", "quarter", "month", "mon", "mm",
+        "week", "day", "dd").contains(s.toString.toLowerCase)
+    case _ => false
+  }
+
   private def boundedValueExpr(e: Expression, resolve: Resolver): Boolean =
     e match {
       case _: Literal => true
+      case t: org.apache.spark.sql.catalyst.expressions.TruncTimestamp
+          if truncUnitBounded(t.format) => true
+      case t: org.apache.spark.sql.catalyst.expressions.TruncDate
+          if truncUnitBounded(t.format) => true
       case c: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
         c.branches.forall { case (_, v) => boundedValueExpr(v, resolve) } &&
           c.elseValue.forall(boundedValueExpr(_, resolve))

@@ -43,9 +43,13 @@ class GlobalJoinSpec extends GraftSpecBase {
   // (ScaleRules.boundedValueExpr's least-rule over the
   // nonNegativeNames fixture contract: least(4, floor(o_totalprice/
   // 1e5)) has image ⊆ {0..4}).
+  // Round-10: 3 → 2 — q_kendall_tau's daily pair panel proves
+  // structurally via the calendar-trunc rule (ScaleRules
+  // .truncUnitBounded: a day-or-coarser date_trunc key is
+  // calendar-bounded whatever the input's type vintage — the
+  // timestamp_ntz o_orderdate never hit the DateType rule).
   private val boundedBuilds: Map[String, String] = Map(
     "q_join_theta" -> "graded theta-join demonstrator: supplier is the dim side; the scale path is q_join_range's sweep-line plan",
-    "q_kendall_tau" -> "daily pair panel: calendar-bounded",
     "q_mmd" -> "exact MMD^2 is inherently pairwise (the two label blocks GROW with the corpus, so this build is SF-proportional, not constant): the graded artifact is the exact statistic; deployment posture at 100 TB = the linear-time estimator, IMPLEMENTED as EmbAggQueries.mmdLinear (O(n), no pair join, MmdLinearSpec-pinned), or subsampling; since round 8 declared in the surface as q_mmd_linear")
 
   /** One shared plan-build pass for ALL whole-surface gate suites

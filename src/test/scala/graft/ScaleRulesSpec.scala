@@ -291,6 +291,25 @@ class ScaleRulesSpec extends GraftSpecBase {
     assert(ScaleRules.boundedPhysical(renamed.queryExecution.executedPlan))
   }
 
+  test("a day-truncated TIMESTAMP grouping key is calendar-bounded; a minute-truncated one is not (round-10 trunc rule)") {
+    // the q_kendall_tau daily frame: o_orderdate reads as
+    // timestamp_ntz in this vintage, so the DateType rule never sees
+    // it — the trunc rule grounds the bound structurally (literal
+    // day-or-coarser unit), no name trust, allowlist entry retired
+    val daily = Tables.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("bucket_x"))
+      .agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(daily.queryExecution.optimizedPlan),
+      "a day-trunc key must prove calendar-bounded (any alias)")
+    assert(ScaleRules.boundedPhysical(daily.queryExecution.executedPlan))
+    val minutely = Tables.events(spark, sf)
+      .groupBy(date_trunc("minute", col("ts2")).as("bucket_x"))
+      .agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(minutely.queryExecution.optimizedPlan),
+      "a sub-day trunc multiplies the horizon 1440x — stays unbounded")
+    assert(!ScaleRules.boundedPhysical(minutely.queryExecution.executedPlan))
+  }
+
   test("a uniqueness trace refuses to cross row-multiplying operators; a value trace crosses them (round-10 review)") {
     // doc_id IS unique in documents — but a join/cross fan-out copies
     // it per matching row, so an equality pin above the fan-out is NOT
