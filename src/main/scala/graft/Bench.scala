@@ -15,11 +15,12 @@ import scala.util.control.NonFatal
   *  - `value` = MIN of N identical CLEAN timed passes (default 2, env
   *    SPARK_GRAFT_TIMED_PASSES; all raw pass totals in `passes`):
   *    deterministic work ⇒ pass-to-pass deltas are scheduler noise.
-  *    When the clean passes disagree by >15% of the min, ONE bounded
-  *    extra pass runs (round-10: two passes straddling a noise spike
-  *    leave the min poorly attested). With no clean pass at all, the
-  *    headline is the LARGEST total among the fewest-failures passes
-  *    — a crash-shortened pass can never become the reported value;
+  *    The min must be ATTESTED by a second clean reading within 15%;
+  *    until it is, up to 2 extra passes run, the condition
+  *    re-evaluated after each (round-10). With no clean pass at all,
+  *    the headline is the LARGEST total among the fewest-failures
+  *    passes — a crash-shortened pass can never become the reported
+  *    value;
   *  - AQE off / shuffle=4 by DEFAULT at this data size (measured:
   *    single-digit-MB shuffles make AQE's per-stage re-planning and
   *    wide task scheduling pure overhead, 72 s → 54 s total) — both
@@ -308,29 +309,31 @@ object Bench {
       p
     }
     val basePasses = (1 to timedPasses).map(_ => onePass())
-    // Round-10 (verdict item 6): ADAPTIVE third pass. Two clean passes
-    // that straddle a noise spike (observed doubles [65.5, 86.3] and
-    // [74.3, 71.3] on identical plans) leave the min poorly attested;
-    // when the clean passes disagree by >15% of the min, ONE bounded
-    // extra pass is run so the headline rests on at least two
-    // mutually-consistent readings (or self-evidences as a noisy
-    // evening via three scattered values in `passes`).
-    def spreadOver(ps: Seq[Pass]): Double = {
-      val vs = ps.map(_.v)
-      if (vs.size < 2 || vs.min <= 0) 0.0 else (vs.max - vs.min) / vs.min
-    }
+    // Round-10 (verdict item 6): ADAPTIVE extra passes. Two clean
+    // passes that straddle a noise spike (observed doubles
+    // [65.5, 86.3] and [74.3, 71.3] on identical plans) leave the min
+    // poorly attested.
+    // The headline (min over clean passes) must be ATTESTED
+    // by a second clean reading within 15% of it; until it is, run
+    // bounded extra passes (≤2 — the condition is RE-EVALUATED after
+    // each, round-10 second review: a single unconditional retry could
+    // itself fail a query or land >15% out and leave the lone reading
+    // deciding). Covers all three under-attested shapes: divergent
+    // clean pair, a lone clean pass among dirty ones, and no clean
+    // pass at all. If the budget runs out still unattested, the
+    // passes/failed fields self-describe it.
     val passes = {
-      val cleanBase = basePasses.filter(_.failedQs.isEmpty)
-      val judge = if (cleanBase.nonEmpty) cleanBase else basePasses
-      // also rerun when multiple passes left only ONE clean reading
-      // (round-10 review: a lone clean pass is exactly as poorly
-      // attested as a divergent pair — there is nothing to
-      // corroborate the headline against)
-      val lonely = basePasses.size >= 2 && cleanBase.size == 1
-      if (timedPasses >= 2 &&
-          (lonely || (judge.size >= 2 && spreadOver(judge) > 0.15)))
-        basePasses :+ onePass()
-      else basePasses
+      def attested(ps: Seq[Pass]): Boolean = {
+        val clean = ps.filter(_.failedQs.isEmpty).map(_.v).sorted
+        clean.size >= 2 && (clean(1) - clean(0)) / clean(0) <= 0.15
+      }
+      var acc = basePasses
+      var extras = 0
+      while (timedPasses >= 2 && extras < 2 && !attested(acc)) {
+        acc = acc :+ onePass()
+        extras += 1
+      }
+      acc
     }
     val cleanPasses = passes.filter(_.failedQs.isEmpty)
     // Failure-aware headline (round-9 ADVICE, low): with NO clean pass,

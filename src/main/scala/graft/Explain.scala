@@ -28,6 +28,11 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = Seq("Exchange", "Join", "Broadcast", "HashAggregate",
       "WindowGroupLimit", "TakeOrderedAndProject", "PushedFilters", "Window")
+    // whole-surface census accumulators (round-10: the per-round
+    // distribution previously needed ad-hoc log post-processing)
+    val distribution = scala.collection.mutable.Map[Int, Int]()
+    var totalFactScans = 0
+    var totalUnknown = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>
@@ -62,6 +67,14 @@ object Explain {
             .map { case (t, c) => s"$t=$c" }
             .++(scans.get("unknown").filter(_ > 0).map(n => s"unknown=$n"))
             .mkString(",")
+          val factMax = scans.collect {
+            case (t, c) if graft.plans.ScanCensus.factTables.contains(t) => c
+          }.maxOption.getOrElse(0)
+          distribution(factMax) = distribution.getOrElse(factMax, 0) + 1
+          totalFactScans += scans.collect {
+            case (t, c) if graft.plans.ScanCensus.factTables.contains(t) => c
+          }.sum
+          totalUnknown += scans.getOrElse("unknown", 0)
           println(s"===== $name  (exchanges: $nEx, reused: $nRe, scans: $scanStr)")
           p.linesIterator
             .filter(l => interesting.exists(l.contains))
@@ -70,6 +83,11 @@ object Explain {
           println(s"===== $name FAILED: ${e.getMessage.take(200)}")
         }
       }
+    // the SURVEY §9 census line, computed instead of post-processed
+    println("===== CENSUS max-per-fact distribution: " +
+      distribution.toSeq.sorted.map { case (k, n) => s"${k}x$n" }
+        .mkString(" / ") +
+      s"; total fact-scan occurrences $totalFactScans; unknown $totalUnknown")
     spark.stop()
   }
 }

@@ -25,25 +25,25 @@ object Verify {
     // posture). SPARK_GRAFT_RELIABLE_CKPT=true runs the whole dump
     // under it; the driver's DuckDB compare then certifies the dial
     // changes no value anywhere.
-    if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").contains("true")) {
-      spark.conf.set("spark.graft.reliableCheckpoints", "true")
-      val ckptDir = sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR",
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-      spark.sparkContext.setCheckpointDir(ckptDir)
-      // reliable checkpoint FILES are not released by unpersist (the
-      // round-10 review: a sweep leaves data-proportional files on
-      // disk past JVM exit) — delete the dir when the dump finishes;
-      // a real deployment instead sets
-      // spark.cleaner.referenceTracking.cleanCheckpoints=true in the
-      // initial SparkConf so the ContextCleaner removes each frame's
-      // files when its scope releases it
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(ckptDir))
-      }))
-    }
+    // reliable checkpoint FILES are not released by unpersist (round-10
+    // review: a sweep leaves data-proportional files on disk past JVM
+    // exit) — when WE created the dir (no SPARK_GRAFT_CKPT_DIR), delete
+    // it after spark.stop() below. NEVER delete a user-supplied dir
+    // (it may pre-exist with unrelated contents, or be shared by a
+    // concurrent sweep), and no shutdown hook (it would race Spark's
+    // own ordered hooks mid-stop). A real deployment instead sets
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true in the
+    // initial SparkConf so the ContextCleaner removes each frame's
+    // files when its scope releases it.
+    val ownCkptDir: Option[String] =
+      if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").contains("true")) {
+        spark.conf.set("spark.graft.reliableCheckpoints", "true")
+        val supplied = sys.env.get("SPARK_GRAFT_CKPT_DIR")
+        val dir = supplied.getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        spark.sparkContext.setCheckpointDir(dir)
+        if (supplied.isEmpty) Some(dir) else None
+      } else None
     // scoped release unpersists checkpoints after each query is dumped
     // — the RDD classes' per-frame "cannot be recomputed" WARN is
     // expected (post-consumption by construction), so keep stderr clean
@@ -80,5 +80,16 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // normal-path cleanup of the SELF-created checkpoint temp dir (a
+    // hard kill leaks it to /tmp, which the OS owns — acceptable)
+    ownCkptDir.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        // do not follow symlinks out of the tree
+        if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }
   }
 }

@@ -287,9 +287,11 @@ object ScaleRules {
     * the same origin), and only into the child that outputs the id.
     * A computed expression (no single source attribute) has no
     * origin; an ambiguous trace returns None. Cast / NaN-normalize
-    * wrappers are looked through ([[attrIdOf]]) — they preserve the
-    * facts the gates consult (sign, cardinality-no-greater-than,
-    * and uniqueness for the integral PK keys). */
+    * wrappers are looked through ([[attrIdOf]]) for VALUE facts (sign,
+    * cardinality-no-greater-than) — a `unique = true` trace uses
+    * [[attrIdOfStrict]] instead, refusing them (a narrowing cast or
+    * NaN/−0.0 normalization collapses distinct keys) and refusing
+    * every row-multiplying operator ([[rowSafeL]]/[[rowSafeP]]). */
   /** Operators a UNIQUENESS trace may cross (round-10 review): value
     * facts (sign, domain-no-wider-than) survive any operator the
     * origin walkers traverse, but uniqueness does NOT survive
@@ -305,7 +307,10 @@ object ScaleRules {
     p match {
       case _: Filter | _: Sort | _: GlobalLimit | _: LocalLimit |
            _: Window | _: SubqueryAlias | _: Deduplicate |
-           _: Repartition | _: RepartitionOperation | _: Sample => true
+           _: RepartitionOperation => true
+      // sample WITH replacement duplicates rows — row-multiplying
+      // (round-10 second review); without replacement it only drops
+      case s: Sample => !s.withReplacement
       case _ => false
     }
   }
@@ -318,13 +323,27 @@ object ScaleRules {
          _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
          _: org.apache.spark.sql.execution.window.WindowExec |
          _: org.apache.spark.sql.execution.window.WindowGroupLimitExec |
-         _: org.apache.spark.sql.execution.SampleExec |
          _: org.apache.spark.sql.execution.WholeStageCodegenExec |
          _: org.apache.spark.sql.execution.InputAdapter |
          _: org.apache.spark.sql.execution.ColumnarToRowExec |
          _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec |
          _: org.apache.spark.sql.execution.CoalesceExec => true
+    case s: org.apache.spark.sql.execution.SampleExec => !s.withReplacement
     case _ => false
+  }
+
+  /** Alias-only id chase for UNIQUENESS traces: [[attrIdOf]] looks
+    * through Cast and NaN-normalization wrappers, which preserve the
+    * value facts (sign, domain-no-wider) but NOT uniqueness — a
+    * narrowing cast collapses distinct PK values (tinyint wraparound
+    * maps every 256th id together) and NaN/−0.0 normalization merges
+    * distinct doubles (round-10 second review). */
+  private def attrIdOfStrict(e: Expression)
+      : Option[org.apache.spark.sql.catalyst.expressions.ExprId] = e match {
+    case a: Attribute => Some(a.exprId)
+    case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+      attrIdOfStrict(al.child)
+    case _ => None
   }
 
   private[graft] def originOfL(
@@ -343,9 +362,10 @@ object ScaleRules {
           }
         }
       case p: Project =>
+        val idOf = if (unique) attrIdOfStrict _ else attrIdOf _
         p.projectList.find(_.exprId == id) match {
           case Some(al: Alias) =>
-            attrIdOf(al.child).flatMap(originOfL(_, p.child, unique))
+            idOf(al.child).flatMap(originOfL(_, p.child, unique))
           case Some(att: Attribute) => originOfL(att.exprId, p.child, unique)
           case _ => None
         }
@@ -402,9 +422,10 @@ object ScaleRules {
           ScanCensus.tableOfPaths(f.relation.location.rootPaths)
             .map(t => (t, att.name)))
       case pr: org.apache.spark.sql.execution.ProjectExec =>
+        val idOf = if (unique) attrIdOfStrict _ else attrIdOf _
         pr.projectList.find(_.exprId == id) match {
           case Some(al: Alias) =>
-            attrIdOf(al.child).flatMap(originOfP(_, pr.child, unique))
+            idOf(al.child).flatMap(originOfP(_, pr.child, unique))
           case Some(att: Attribute) => originOfP(att.exprId, pr.child, unique)
           case _ => None
         }
@@ -489,9 +510,16 @@ object ScaleRules {
     * NDV = rows when [[ColumnFacts]] is loaded. */
   private val fixturePkNames = Set("vec_id", "doc_id", "event_id")
 
-  private def fixturePkAttr(att: Attribute, resolve: Resolver): Boolean =
+  /** `requireNonNeg`: the `< k` RANGE form of the PK rule bounds rows
+    * at k only when the key cannot be negative (`key < 65536` admits
+    * every negative id) — cross-checked against measured parquet min
+    * (round-10 second review); the equality form needs no sign. */
+  private def fixturePkAttr(att: Attribute, resolve: Resolver,
+      requireNonNeg: Boolean = false): Boolean =
     resolve(att).exists { case (t, c) =>
-      fixturePkNames.contains(c) && ColumnFacts.get(t, c).forall(_.unique)
+      fixturePkNames.contains(c) &&
+        ColumnFacts.get(t, c).forall(f =>
+          f.unique && (!requireNonNeg || f.nonNegative))
     }
 
   /** A top-level conjunct pinning one of `ids` to a literal domain. */
@@ -746,10 +774,10 @@ object ScaleRules {
         case EqualTo(_: Literal, att: Attribute) => fixturePkAttr(att, resolve)
         case org.apache.spark.sql.catalyst.expressions.LessThan(
           att: Attribute, Literal(v: Long, _)) =>
-          fixturePkAttr(att, resolve) && v <= 65536L
+          fixturePkAttr(att, resolve, requireNonNeg = true) && v <= 65536L
         case org.apache.spark.sql.catalyst.expressions.LessThan(
           att: Attribute, Literal(v: Int, _)) =>
-          fixturePkAttr(att, resolve) && v <= 65536
+          fixturePkAttr(att, resolve, requireNonNeg = true) && v <= 65536
         case _ => false
       }
     }

@@ -332,6 +332,32 @@ class ScaleRulesSpec extends GraftSpecBase {
       == Some(("documents", "doc_id")))
   }
 
+  test("uniqueness trace also refuses with-replacement sampling and narrowing casts (round-10 second review)") {
+    // sample(withReplacement = true) DUPLICATES rows — vec_id repeats
+    val dup = Tables.embeddings(spark, sf).sample(withReplacement = true, 2.0)
+    val dp = dup.queryExecution.analyzed
+    val dupId = dp.output.find(_.name == "vec_id").get.exprId
+    assert(ScaleRules.originOfL(dupId, dp).isDefined,
+      "value trace crosses the sample")
+    assert(ScaleRules.originOfL(dupId, dp, unique = true).isEmpty,
+      "with-replacement sample copies rows — uniqueness trace must refuse")
+    // without replacement: rows only drop — uniqueness survives
+    val thin = Tables.embeddings(spark, sf).sample(withReplacement = false, 0.5)
+    val tp = thin.queryExecution.analyzed
+    val thinId = tp.output.find(_.name == "vec_id").get.exprId
+    assert(ScaleRules.originOfL(thinId, tp, unique = true)
+      == Some(("embeddings", "vec_id")))
+    // a narrowing cast collapses distinct keys (tinyint wraparound)
+    val cast = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("tinyint").as("vid"))
+    val cp = cast.queryExecution.analyzed
+    val castId = cp.output.find(_.name == "vid").get.exprId
+    assert(ScaleRules.originOfL(castId, cp).isDefined,
+      "value trace looks through the cast (sign/domain survive)")
+    assert(ScaleRules.originOfL(castId, cp, unique = true).isEmpty,
+      "uniqueness trace must refuse a cast — narrowing collapses keys")
+  }
+
   test("ColumnFacts corroborate the vocabularies against the graded parquet (the data cross-check is loaded and real)") {
     import graft.plans.ColumnFacts
     assert(ColumnFacts.loaded, "the gate JVM must load ColumnFacts")
