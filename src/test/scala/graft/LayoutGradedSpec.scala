@@ -81,6 +81,21 @@ class LayoutGradedSpec extends GraftSpecBase {
     }
   }
 
+  test("the census classifies catalog-layout scans (no unknowns over the bucketed catalog)") {
+    written
+    // the round-10 tableOfPaths suffix matcher on REAL bucketed-table
+    // plans: a deployment that adopts the Layout write path keeps
+    // full scan-census coverage — fact-gate decisions would otherwise
+    // silently stop firing for every bucketed table
+    val q = SparkEntry.queries("q_join_star")(spark, dir)
+    val counts = graft.plans.ScanCensus.tableScanCounts(
+      graft.plans.CheckpointRegistry.expand(q.queryExecution.optimizedPlan))
+    assert(counts.getOrElse("unknown", 0) == 0,
+      s"catalog scans must classify, got $counts")
+    assert(counts.getOrElse("lineitem", 0) == 1 &&
+      counts.getOrElse("orders", 0) == 1, counts.toString)
+  }
+
   test("the flagship's lineitem⋈orders is exchange-free over the bucketed layout") {
     written
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
