@@ -60,6 +60,38 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  // ------------------------------------------------------------------
+  // Headline / attestation rules, kept PURE and object-level so
+  // BenchLogicSpec can pin them (round-10: the artifact-selection
+  // logic grew non-trivial — min-of-clean, fewest-failures-max
+  // fallback, attestation-driven reruns — and lived un-unit-tested
+  // inside main).
+  // ------------------------------------------------------------------
+
+  private[graft] final case class PassStat(v: Double, nFailed: Int)
+
+  /** True when the headline (min over CLEAN passes) is corroborated
+    * by a SECOND clean reading within `tol` of it. False with <2
+    * clean passes — a lone clean reading attests nothing. */
+  private[graft] def attested(ps: Seq[PassStat], tol: Double = 0.15): Boolean = {
+    val clean = ps.filter(_.nFailed == 0).map(_.v).sorted
+    clean.size >= 2 && (clean(1) - clean(0)) / clean(0) <= tol
+  }
+
+  /** Index of the pass whose total becomes `value`: the MIN over
+    * clean passes; with NO clean pass, the LARGEST total among the
+    * fewest-failures passes (round-9 ADVICE: a pass SHORTENED by an
+    * early-crashing query must never become the headline — "a broken
+    * query must not shrink the total"). */
+  private[graft] def headlineIndex(ps: Seq[PassStat]): Int = {
+    val clean = ps.zipWithIndex.filter(_._1.nFailed == 0)
+    if (clean.nonEmpty) clean.minBy(_._1.v)._2
+    else {
+      val fewest = ps.map(_.nFailed).min
+      ps.zipWithIndex.filter(_._1.nFailed == fewest).maxBy(_._1.v)._2
+    }
+  }
+
   /** LPT scheduling: start the known-heavy queries first so the
     * concurrent streams drain into a short tail (a slow query picked
     * last would extend the wall-clock by its full duration). The
@@ -322,32 +354,18 @@ object Bench {
     // clean pair, a lone clean pass among dirty ones, and no clean
     // pass at all. If the budget runs out still unattested, the
     // passes/failed fields self-describe it.
+    def stats(ps: Seq[Pass]): Seq[Bench.PassStat] =
+      ps.map(p => Bench.PassStat(p.v, p.failedQs.size))
     val passes = {
-      def attested(ps: Seq[Pass]): Boolean = {
-        val clean = ps.filter(_.failedQs.isEmpty).map(_.v).sorted
-        clean.size >= 2 && (clean(1) - clean(0)) / clean(0) <= 0.15
-      }
       var acc = basePasses
       var extras = 0
-      while (timedPasses >= 2 && extras < 2 && !attested(acc)) {
+      while (timedPasses >= 2 && extras < 2 && !Bench.attested(stats(acc))) {
         acc = acc :+ onePass()
         extras += 1
       }
       acc
     }
-    val cleanPasses = passes.filter(_.failedQs.isEmpty)
-    // Failure-aware headline (round-9 ADVICE, low): with NO clean pass,
-    // min over dirty passes could crown a pass SHORTENED by an
-    // early-crashing query (the exact "broken query must not shrink
-    // the total" hazard). Fall back to the passes with the FEWEST
-    // failures and take the LARGEST total among them — conservative in
-    // the honest direction; `failed` (the union) flags the run anyway.
-    val best =
-      if (cleanPasses.nonEmpty) cleanPasses.minBy(_.v)
-      else {
-        val fewest = passes.map(_.failedQs.size).min
-        passes.filter(_.failedQs.size == fewest).maxBy(_.v)
-      }
+    val best = passes(Bench.headlineIndex(stats(passes)))
     val total = best.v
     val bestTimes = best.qTimes
     val passVals = passes.map(_.v)

@@ -71,6 +71,12 @@ object ColumnFacts {
     if (loadedDir.contains(sfDir)) return
     val out = scala.collection.mutable.Map[(String, String), Facts]()
     graft.Tables.names.foreach { t =>
+      // a missing/unreadable table yields NO facts for its columns
+      // (proofs fall back per the documented convention) instead of
+      // killing every suite at session init — the gate that NEEDS the
+      // facts (ScaleRulesSpec's corroboration sweep) still fails
+      // loudly on absent entries
+      try {
       val df =
         if (t == "events") graft.Tables.events(spark, sfDir)
         else graft.Tables.table(spark, sfDir, t)
@@ -98,6 +104,7 @@ object ColumnFacts {
           dbl(s"min__${f.name}"), dbl(s"max__${f.name}"),
           row.getLong(row.fieldIndex(s"ndv__${f.name}")), rows)
       }
+      } catch { case scala.util.control.NonFatal(_) => }
     }
     factsMap = out.toMap
     loadedDir = Some(sfDir)

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Bench.{attested, headlineIndex, PassStat}
+
+/** Unit pins for the bench artifact's headline-selection and
+  * attestation rules (round-10) — pure logic, no Spark. These encode
+  * the three honesty contracts the JSON artifact rests on:
+  *  1. `value` = min over CLEAN passes only;
+  *  2. with no clean pass, a crash-shortened pass can never become
+  *     the headline (fewest failures, then LARGEST total);
+  *  3. the min must be attested by a second clean reading within 15%
+  *     or the harness keeps running bounded extra passes.
+  */
+class BenchLogicSpec extends AnyFunSuite {
+
+  private def clean(v: Double) = PassStat(v, 0)
+  private def dirty(v: Double, n: Int = 1) = PassStat(v, n)
+
+  test("attested: two clean readings within 15% of the min") {
+    assert(attested(Seq(clean(70), clean(72))))
+    assert(attested(Seq(clean(72), clean(70)))) // order-free
+    assert(!attested(Seq(clean(70), clean(90))), "28% spread")
+    assert(attested(Seq(clean(70), clean(90), clean(73))),
+      "a third reading can attest the min the pair could not")
+  }
+
+  test("attested: a lone clean pass (or none) attests nothing") {
+    assert(!attested(Seq(clean(70))))
+    assert(!attested(Seq.empty))
+    assert(!attested(Seq(clean(70), dirty(71))),
+      "a dirty pass cannot corroborate — its total is untrustworthy")
+    assert(!attested(Seq(dirty(70), dirty(71))))
+  }
+
+  test("headline: min over clean passes, ignoring dirty totals entirely") {
+    assert(headlineIndex(Seq(clean(80), clean(70), clean(90))) == 1)
+    // a SMALLER dirty total must not win — it may be crash-shortened
+    assert(headlineIndex(Seq(dirty(40), clean(80))) == 1)
+  }
+
+  test("headline with no clean pass: fewest failures, then LARGEST total (crash-shortened passes can never win)") {
+    // the round-9 ADVICE shape: every pass dirty, one shortened by an
+    // early crash — min would crown the 50 s pass
+    assert(headlineIndex(Seq(dirty(50), dirty(80))) == 1)
+    // fewest-failures tier first, then max within it
+    assert(headlineIndex(Seq(dirty(95, 3), dirty(60, 1), dirty(75, 1))) == 2)
+  }
+}
