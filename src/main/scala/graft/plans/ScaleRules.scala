@@ -62,15 +62,16 @@ object ScaleRules {
     *  - mask: the 2^4 coalition bitmask domain;
     *  - b0-b2 / p0-p2: sketch bucket indices (CMS width 1024, bloom
     *    m = 4096 — compile-time constants);
-    *  - bal / dig: q_fs_linkage's comparison-field grid axes —
-    *    floor(c_acctbal/1000) is spec-bounded to [-1, 9] (CBAL in
-    *    [-999.99, 9999.99]) and the 2-char name suffix has ≤100
-    *    values, so the (nk, seg, bal, dig) pattern grid is a
-    *    constant-size frame at every SF. */
+    *  - dig: q_fs_linkage's 2-char name-suffix grid axis (≤100
+    *    values — string-derived, so no measured interval can carry
+    *    it). Its sibling axis `bal` = floor(c_acctbal/1000) was
+    *    RETIRED from this vocabulary in round 10: the measured-
+    *    interval rule proves it structurally (CBAL ∈ [−999.99,
+    *    9999.99] → image ⊆ {−1..9}), no name needed. */
   val boundedAliasNames: Set[String] = Set(
     "mask", "lang_p",
     "b0", "b1", "b2", "p0", "p1", "p2",
-    "bal", "dig")
+    "dig")
 
   /** Column names whose cardinality GROWS with the corpus/SF (vocab
     * tokens, document/user/part identities): a per-one-of-these map is
@@ -616,8 +617,117 @@ object ScaleRules {
     case _ => false
   }
 
+  /** VALUE columns whose [min, max] is SF-INDEPENDENT by the TPC-H /
+    * TESTDATA generator contract (prices, quantities, balances,
+    * sizes). The SPEC half of the interval proof below — the measured
+    * parquet min/max is the DATA half. Identity/key columns are
+    * deliberately absent: their ranges grow with the corpus. */
+  val sfStableRangeNames: Set[String] = Set(
+    "o_totalprice", "l_quantity", "l_extendedprice", "l_discount",
+    "l_tax", "p_retailprice", "p_size", "c_acctbal", "s_acctbal")
+
+  /** Measured-interval evaluator (round-10): Some((lo, hi)) when
+    * every leaf of `e` is a numeric literal or an attribute whose
+    * PHYSICAL fixture column has measured parquet min/max
+    * (ColumnFacts — inert when facts are not loaded). Propagated
+    * through the monotone arithmetic the grid keys use. Why graded-SF
+    * intervals are valid scale proofs: TPC-H VALUE columns
+    * (prices, quantities, balances, sizes) have SF-INDEPENDENT ranges
+    * by spec construction — only identity columns grow, and their
+    * intervals are too wide to pass the cap anyway. Division only by
+    * a nonzero literal; casts only when the measured interval already
+    * fits the target type (a narrowing cast that would wrap rejects). */
+  private def valueInterval(e: Expression, resolve: Resolver)
+      : Option[(Double, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def fits(lo: Double, hi: Double, t: DataType): Boolean = t match {
+      case ByteType => lo >= Byte.MinValue && hi <= Byte.MaxValue
+      case ShortType => lo >= Short.MinValue && hi <= Short.MaxValue
+      case IntegerType => lo >= Int.MinValue && hi <= Int.MaxValue
+      case LongType => lo >= Long.MinValue && hi <= Long.MaxValue
+      case _: DecimalType | FloatType | DoubleType => true
+      case _ => false
+    }
+    e match {
+      case Literal(v: Number, _) => Some((v.doubleValue, v.doubleValue))
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) =>
+        Some((d.toDouble, d.toDouble))
+      case att: Attribute =>
+        // SPEC half: only VALUE columns whose [min, max] is
+        // SF-INDEPENDENT by generator contract may feed an interval —
+        // an IDENTITY column's interval is small at graded SF and
+        // unbounded at 100 TB (floor(o_orderkey/1000) would "prove"
+        // bounded from sf0.001 data and blow up in production)
+        resolve(att).flatMap { case (t, c) =>
+          if (!sfStableRangeNames.contains(c)) None
+          else ColumnFacts.get(t, c).flatMap(f =>
+            for { lo <- f.min; hi <- f.max } yield (lo, hi))
+        }
+      case c: Cast =>
+        valueInterval(c.child, resolve)
+          .filter { case (lo, hi) => fits(lo, hi, c.dataType) }
+      case f: Floor =>
+        valueInterval(f.child, resolve)
+          .map { case (lo, hi) => (math.floor(lo), math.floor(hi)) }
+      case c: Ceil =>
+        valueInterval(c.child, resolve)
+          .map { case (lo, hi) => (math.ceil(lo), math.ceil(hi)) }
+      case u: UnaryMinus =>
+        valueInterval(u.child, resolve).map { case (lo, hi) => (-hi, -lo) }
+      case a: Add =>
+        for { (l1, h1) <- valueInterval(a.left, resolve)
+              (l2, h2) <- valueInterval(a.right, resolve) }
+        yield (l1 + l2, h1 + h2)
+      case s: Subtract =>
+        for { (l1, h1) <- valueInterval(s.left, resolve)
+              (l2, h2) <- valueInterval(s.right, resolve) }
+        yield (l1 - h2, h1 - l2)
+      case m: Multiply =>
+        for { (l1, h1) <- valueInterval(m.left, resolve)
+              (l2, h2) <- valueInterval(m.right, resolve) }
+        yield {
+          val ps = Seq(l1 * l2, l1 * h2, h1 * l2, h1 * h2)
+          (ps.min, ps.max)
+        }
+      case d: Divide =>
+        (valueInterval(d.left, resolve), d.right) match {
+          case (Some((lo, hi)), Literal(v: Number, _)) if v.doubleValue != 0 =>
+            val c = v.doubleValue
+            Some(if (c > 0) (lo / c, hi / c) else (hi / c, lo / c))
+          case _ => None
+        }
+      case l: Least =>
+        l.children.map(valueInterval(_, resolve))
+          .reduce((a, b) => for { (l1, h1) <- a; (l2, h2) <- b }
+            yield (math.min(l1, l2), math.min(h1, h2)))
+      case g: Greatest =>
+        g.children.map(valueInterval(_, resolve))
+          .reduce((a, b) => for { (l1, h1) <- a; (l2, h2) <- b }
+            yield (math.max(l1, l2), math.max(h1, h2)))
+      case _ => None
+    }
+  }
+
+  /** An INTEGRAL-typed expression whose measured interval admits at
+    * most [[ColumnFacts.LowCardCap]] distinct values — the
+    * data-grounded grid-key proof (e.g. `floor(c_acctbal/1000)` over
+    * CBAL ∈ [−999.99, 9999.99] has image ⊆ {−1..9}). Integral type
+    * required: a fractional value with a small interval still has
+    * unboundedly many distinct values. */
+  private def intervalBounded(e: Expression, resolve: Resolver): Boolean =
+    Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(e.dataType) &&
+      valueInterval(e, resolve).exists { case (lo, hi) =>
+        hi - lo + 1 <= ColumnFacts.LowCardCap.toDouble
+      }
+
   private def boundedValueExpr(e: Expression, resolve: Resolver): Boolean =
     e match {
+      case _ if intervalBounded(e, resolve) => true
       case _: Literal => true
       case t: org.apache.spark.sql.catalyst.expressions.TruncTimestamp
           if truncUnitBounded(t.format) => true

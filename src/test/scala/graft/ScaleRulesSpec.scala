@@ -126,14 +126,22 @@ class ScaleRulesSpec extends GraftSpecBase {
     assert(ScaleRules.boundedLogical(priced.queryExecution.optimizedPlan),
       "the ordinal price-band grid must prove bounded (verdict item 4)")
     assert(ScaleRules.boundedPhysical(priced.queryExecution.executedPlan))
-    // c_acctbal reaches −999.99: least(4, floor(acctbal/10)) is
-    // unbounded BELOW — the non-negativity premise fails
+    // c_acctbal reaches −999.99, so the NON-NEGATIVITY premise fails —
+    // but round-10's measured-interval rule proves the /10 form anyway
+    // (true image ⊆ {−100..4}, 105 values — the data sees the spec
+    // floor the name rule could not). The shape only stays unbounded
+    // when the true image genuinely exceeds the cap:
     val signIndef = Tables.customer(spark, sf).select(
-      least(lit(4), floor(col("c_acctbal") / 10.0).cast("int")).as("y"))
+      least(lit(4), floor(col("c_acctbal") / 1.0).cast("int")).as("y"))
       .groupBy(col("y")).agg(count(lit(1)).as("n"))
     assert(!ScaleRules.boundedLogical(signIndef.queryExecution.optimizedPlan),
-      "least over a sign-indefinite column must stay unbounded")
+      "least over a wide sign-indefinite image (−1000..4) must stay unbounded")
     assert(!ScaleRules.boundedPhysical(signIndef.queryExecution.executedPlan))
+    val nowProvable = Tables.customer(spark, sf).select(
+      least(lit(4), floor(col("c_acctbal") / 10.0).cast("int")).as("y"))
+      .groupBy(col("y")).agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(nowProvable.queryExecution.optimizedPlan),
+      "the measured interval proves the /10 form: image ⊆ {−100..4}")
   }
 
   test("a same-named attribute filtered in ANOTHER join branch cannot prove a grouping key bounded (round-9 ADVICE, medium)") {
@@ -233,10 +241,14 @@ class ScaleRulesSpec extends GraftSpecBase {
     // the exact shape the round-9 caveat documented: the attribute
     // WEARS the trusted name but its lineage is a sign-indefinite
     // column (c_acctbal reaches −999.99) — name trust would accept,
-    // the origin-grounded proof must reject
+    // the origin-grounded proof judges by the TRUE column only.
+    // Divisor 1.0 keeps the true image wide (−1000..4), so neither
+    // the non-negativity path (origin not in the vocabulary) nor the
+    // measured-interval path (width 1005 > cap) can accept — the
+    // spoofed NAME is the only route, and it must count for nothing
     val spoofed = Tables.customer(spark, sf)
       .select(col("c_acctbal").as("o_totalprice"))
-      .select(least(lit(4), floor(col("o_totalprice") / 10.0).cast("int")).as("y"))
+      .select(least(lit(4), floor(col("o_totalprice") / 1.0).cast("int")).as("y"))
       .groupBy(col("y")).agg(count(lit(1)).as("n"))
     assert(!ScaleRules.boundedLogical(spoofed.queryExecution.optimizedPlan),
       "an alias onto a trusted non-negative name must prove NOTHING")
@@ -330,6 +342,71 @@ class ScaleRulesSpec extends GraftSpecBase {
     val kId = kPlan.output.find(_.name == "doc_id").get.exprId
     assert(ScaleRules.originOfL(kId, kPlan, unique = true)
       == Some(("documents", "doc_id")))
+  }
+
+  test("measured-interval grid proof: value-column bands prove bounded; wide bands and identity-column bands do NOT (round-10)") {
+    // floor(c_acctbal/1000): CBAL ∈ [−999.99, 9999.99] → image {−1..9}
+    // — the data-grounded proof for the q_fs_linkage 'bal' axis, no
+    // name trust anywhere (note c_acctbal is NOT non-negative, so the
+    // least-rule could never carry this; the interval does)
+    val band = Tables.customer(spark, sf)
+      .select(floor(col("c_acctbal") / 1000.0).cast("int").as("band_x"))
+      .groupBy(col("band_x")).agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(band.queryExecution.optimizedPlan),
+      "an SF-stable value band with a ≤128-wide integral image must prove")
+    assert(ScaleRules.boundedPhysical(band.queryExecution.executedPlan))
+    // same column, /10: image width ~1100 > cap — stays unbounded
+    val wide = Tables.customer(spark, sf)
+      .select(floor(col("c_acctbal") / 10.0).cast("int").as("band_x"))
+      .groupBy(col("band_x")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(wide.queryExecution.optimizedPlan))
+    // an IDENTITY column's interval is small at graded SF and
+    // unbounded at 100 TB — must never feed the interval proof
+    val ident = Tables.orders(spark, sf)
+      .select(floor(col("o_orderkey") / 100000.0).cast("int").as("band_x"))
+      .groupBy(col("band_x")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(ident.queryExecution.optimizedPlan),
+      "a key-column band proves nothing: its range grows with the corpus")
+    assert(!ScaleRules.boundedPhysical(ident.queryExecution.executedPlan))
+  }
+
+  test("origin traces: union branches must AGREE; caches and checkpoints stay transparent (round-10 walker pins)") {
+    // union of the SAME origin in both branches → resolves
+    val de = Tables.documents(spark, sf).filter(col("lang") === "de")
+      .select(col("lang"))
+    val en = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select(col("lang"))
+    val same = de.unionAll(en)
+    val sp = same.queryExecution.analyzed
+    assert(ScaleRules.originOfL(sp.output.head.exprId, sp)
+      == Some(("documents", "lang")))
+    // branches from DIFFERENT physical columns → ambiguous → None
+    val mixed = de.unionAll(Tables.customer(spark, sf)
+      .select(col("c_mktsegment").as("lang")))
+    val mp = mixed.queryExecution.analyzed
+    assert(ScaleRules.originOfL(mp.output.head.exprId, mp).isEmpty,
+      "disagreeing union branches must not resolve to either origin")
+    // a persisted subtree stays transparent (positional map into the
+    // cached physical plan)
+    val cached = Tables.customer(spark, sf)
+      .select(col("c_mktsegment").as("seg_x"), col("c_custkey")).persist()
+    try {
+      cached.count() // materialize so the InMemoryRelation leaf is real
+      val renamed = cached.select(col("seg_x").as("seg_y"))
+      val rp = renamed.queryExecution.optimizedPlan
+      assert(ScaleRules.originOfL(rp.output.head.exprId, rp)
+        == Some(("customer", "c_mktsegment")),
+        "the origin trace must cross the cache boundary positionally")
+    } finally cached.unpersist()
+    // a checkpoint leaf stays transparent via the registry
+    import graft.operators.CacheOps.CheckpointSyntax
+    val ck = Tables.customer(spark, sf)
+      .select(col("c_mktsegment").as("seg_x")).truncatedCheckpoint()
+      .select(col("seg_x").as("seg_z"))
+    val cp2 = ck.queryExecution.optimizedPlan
+    assert(ScaleRules.originOfL(cp2.output.head.exprId, cp2)
+      == Some(("customer", "c_mktsegment")),
+      "the origin trace must cross the checkpoint leaf via the registry")
   }
 
   test("uniqueness trace also refuses with-replacement sampling and narrowing casts (round-10 second review)") {
