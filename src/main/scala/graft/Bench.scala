@@ -60,6 +60,56 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** MULTI-thread canary (round-10): the same splitmix64 loop run on
+    * min(16, cores) threads at once; reported value = the SLOWEST
+    * thread's wall-clock. The single-thread canary measures delivered
+    * single-core speed and stayed flat (1.22-1.28 s) through an
+    * evening whose 14-stream suite totals swung 65-115 s on identical
+    * plans — multi-core co-tenancy is invisible to it. When external
+    * load eats cores, the mt canary's stragglers inflate while the
+    * 1-thread reading stays clean: the divergence CLASSIFIES the
+    * window (own-JVM-idle, host-cores-busy) in the artifact itself
+    * instead of in repo prose. Not yet wired into `contended` — the
+    * quiet-window reference depends on the container's SMT topology
+    * and is being calibrated across rounds in BASELINE.md. */
+  private def canaryMtSec(): Double = {
+    val n = math.min(16, Runtime.getRuntime.availableProcessors())
+    val times = new Array[Double](n)
+    val threads = (0 until n).map(i =>
+      new Thread(() => { times(i) = canarySec() }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    times.max
+  }
+
+  @volatile private var memSink: Long = 0L
+
+  /** MEMORY-STREAMING canary (round-10): sequential sum over a 256 MB
+    * long array, 4 passes (1 GiB traversed) — measures delivered
+    * DRAM/LLC stream rate. The third forensic axis: the ALU canaries
+    * are register-resident and BLIND to memory-bandwidth co-tenancy,
+    * while Spark scans/shuffles are bandwidth-bound — the observed
+    * window class where suite totals read 1.4× with both ALU canaries
+    * flat is exactly a bandwidth-squeezed host. Reference reading on
+    * this container (quiet): ~0.1-0.2 s (BASELINE.md round-10
+    * calibration). */
+  private def canaryMemSec(): Double = {
+    val n = 32 * 1024 * 1024
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    val t0 = System.nanoTime()
+    var pass = 0
+    var acc = memSink
+    while (pass < 4) {
+      var j = 0
+      while (j < n) { acc += arr(j); j += 1 }
+      pass += 1
+    }
+    memSink = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+
   // ------------------------------------------------------------------
   // Headline / attestation rules, kept PURE and object-level so
   // BenchLogicSpec can pin them (round-10: the artifact-selection
@@ -180,6 +230,8 @@ object Bench {
       load0 = loadAvg()
     }
     val canaryPre = canarySec()
+    val canaryMtPre = canaryMtSec()
+    val canaryMemPre = canaryMemSec()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(16, Runtime.getRuntime.availableProcessors()).toString)
@@ -420,6 +472,8 @@ object Bench {
     // window that went contended during solo — BENCH_r06's 68 s
     // q_runs_test — could not self-flag the way the timed pass does)
     val canaryEnd = canarySec()
+    val canaryMtEnd = canaryMtSec()
+    val canaryMemEnd = canaryMemSec()
 
     val fullQs = allTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
@@ -440,7 +494,7 @@ object Bench {
     val contended = load0 > 4.0 || canaryMean > 1.30 * 1.25 ||
       bestBracket > 1.30 * 1.25
     val passesJson = passVals.map(fmt).mkString("[", ",", "]")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","value_norm":${fmt(valueNorm)},"passes":$passesJson,"contended":$contended,"waited":$waitedSec,"qn":${allTimes.size},"failed":$failedJson,"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"canary_end":${fmt(canaryEnd)},"load0":${fmt(load0)},"load1":${fmt(load1)},"solo_max":${fmt(soloMax)},"solo_failed":$soloFailedJson,"sf":"$sfDir""""
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","value_norm":${fmt(valueNorm)},"passes":$passesJson,"contended":$contended,"waited":$waitedSec,"qn":${allTimes.size},"failed":$failedJson,"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"canary_end":${fmt(canaryEnd)},"canary_mt_pre":${fmt(canaryMtPre)},"canary_mt_end":${fmt(canaryMtEnd)},"canary_mem_pre":${fmt(canaryMemPre)},"canary_mem_end":${fmt(canaryMemEnd)},"load0":${fmt(load0)},"load1":${fmt(load1)},"solo_max":${fmt(soloMax)},"solo_failed":$soloFailedJson,"sf":"$sfDir""""
     // Full per-query detail, written to a file (and printed on its own
     // earlier line for humans).
     val fullJson = s"""{$head,"solo":$soloJson,"queries":$fullQs}"""

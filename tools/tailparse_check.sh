@@ -36,7 +36,12 @@ for key in ("metric", "value", "unit", "queries", "sf",
             # self-flag + launch-backoff wait (round-8 verdict #1),
             # and the min-of-N timed-pass vector (scheduler-noise
             # robustness: value = min(passes))
-            "value_norm", "contended", "waited", "passes"):
+            "value_norm", "contended", "waited", "passes",
+            # round-10: multi-thread + memory-stream canaries —
+            # classify multi-core and memory-bandwidth co-tenancy the
+            # single-thread ALU canary is blind to
+            "canary_mt_pre", "canary_mt_end",
+            "canary_mem_pre", "canary_mem_end"):
     if key not in obj:
         sys.exit(f"TAILPARSE FAIL: parsed JSON missing key {key!r}: {last[:200]}")
 if len(last) > 1500:
