@@ -93,6 +93,34 @@ object Bench {
     * flat is exactly a bandwidth-squeezed host. Reference reading on
     * this container (quiet): ~0.1-0.2 s (BASELINE.md round-10
     * calibration). */
+  /** (host busy jiffies, own process jiffies) — for the IN-RUN
+    * external-CPU accounting below. */
+  private def cpuJiffies(): (Long, Long) = {
+    val stat = scala.io.Source.fromFile("/proc/stat")
+    val parts =
+      try stat.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      finally stat.close()
+    val idle = parts(3) + (if (parts.length > 4) parts(4) else 0L)
+    val busy = parts.sum - idle
+    val selfStat = scala.io.Source.fromFile("/proc/self/stat")
+    val self = try selfStat.mkString.split(" ") finally selfStat.close()
+    (busy, self(13).toLong + self(14).toLong) // utime + stime
+  }
+
+  /** Fraction of the machine's CPU capacity consumed by processes
+    * OTHER than this JVM across a window of `elapsedSec` (round-10:
+    * the canaries BRACKET a pass but cannot see contention DURING it
+    * — an evening showed 1.4× suite totals with all three bracket
+    * canaries clean; this measures the co-tenant directly, inside
+    * the window that matters). USER_HZ is 100 on linux/amd64. */
+  private def externalCpuFrac(before: (Long, Long), after: (Long, Long),
+      elapsedSec: Double): Double = {
+    val ext = (after._1 - before._1) - (after._2 - before._2)
+    val capacity =
+      Runtime.getRuntime.availableProcessors() * 100.0 * elapsedSec
+    if (capacity <= 0) 0.0 else math.max(0.0, ext / capacity)
+  }
+
   private def canaryMemSec(): Double = {
     val n = 32 * 1024 * 1024
     val arr = new Array[Long](n)
@@ -375,20 +403,23 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_TIMED_PASSES", "2").toInt)
     import scala.jdk.CollectionConverters._
     case class Pass(v: Double, failedQs: Seq[String],
-        qTimes: Map[String, Double], cBefore: Double, cAfter: Double)
+        qTimes: Map[String, Double], cBefore: Double, cAfter: Double,
+        extCpu: Double)
     var cPrev = canarySec() // post-warm, pre-pass-1 host reading
     def onePass(): Pass = {
       times.clear()
       failed.clear()
+      val j0 = cpuJiffies()
       val t0 = System.nanoTime()
       runAll(record = true)
       val v = (System.nanoTime() - t0) / 1e9
+      val j1 = cpuJiffies()
       sweepToFloor()
       val cAfter = canarySec()
       val p = Pass(v, failed.asScala.toSeq.distinct.sorted,
         entries.map { case (k, _) =>
           k -> times.getOrDefault(k, -1.0) }.toMap,
-        cPrev, cAfter)
+        cPrev, cAfter, externalCpuFrac(j0, j1, v))
       cPrev = cAfter
       p
     }
@@ -494,7 +525,7 @@ object Bench {
     val contended = load0 > 4.0 || canaryMean > 1.30 * 1.25 ||
       bestBracket > 1.30 * 1.25
     val passesJson = passVals.map(fmt).mkString("[", ",", "]")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","value_norm":${fmt(valueNorm)},"passes":$passesJson,"contended":$contended,"waited":$waitedSec,"qn":${allTimes.size},"failed":$failedJson,"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"canary_end":${fmt(canaryEnd)},"canary_mt_pre":${fmt(canaryMtPre)},"canary_mt_end":${fmt(canaryMtEnd)},"canary_mem_pre":${fmt(canaryMemPre)},"canary_mem_end":${fmt(canaryMemEnd)},"load0":${fmt(load0)},"load1":${fmt(load1)},"solo_max":${fmt(soloMax)},"solo_failed":$soloFailedJson,"sf":"$sfDir""""
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","value_norm":${fmt(valueNorm)},"passes":$passesJson,"contended":$contended,"waited":$waitedSec,"qn":${allTimes.size},"failed":$failedJson,"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"canary_end":${fmt(canaryEnd)},"canary_mt_pre":${fmt(canaryMtPre)},"canary_mt_end":${fmt(canaryMtEnd)},"canary_mem_pre":${fmt(canaryMemPre)},"canary_mem_end":${fmt(canaryMemEnd)},"ext_cpu":${fmt(best.extCpu)},"ext_cpu_max":${fmt(passes.map(_.extCpu).max)},"load0":${fmt(load0)},"load1":${fmt(load1)},"solo_max":${fmt(soloMax)},"solo_failed":$soloFailedJson,"sf":"$sfDir""""
     // Full per-query detail, written to a file (and printed on its own
     // earlier line for humans).
     val fullJson = s"""{$head,"solo":$soloJson,"queries":$fullQs}"""

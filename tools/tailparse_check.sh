@@ -41,7 +41,12 @@ for key in ("metric", "value", "unit", "queries", "sf",
             # classify multi-core and memory-bandwidth co-tenancy the
             # single-thread ALU canary is blind to
             "canary_mt_pre", "canary_mt_end",
-            "canary_mem_pre", "canary_mem_end"):
+            "canary_mem_pre", "canary_mem_end",
+            # round-10: IN-RUN external-CPU accounting — the fraction
+            # of machine CPU other processes consumed DURING the
+            # winning pass (ext_cpu) and the worst pass (ext_cpu_max);
+            # bracket canaries cannot see mid-run co-tenancy
+            "ext_cpu", "ext_cpu_max"):
     if key not in obj:
         sys.exit(f"TAILPARSE FAIL: parsed JSON missing key {key!r}: {last[:200]}")
 if len(last) > 1500:
