@@ -84,43 +84,55 @@ object Bench {
 
   @volatile private var memSink: Long = 0L
 
+  /** (host busy jiffies, own process jiffies, host cpu count) — for
+    * the IN-RUN external-CPU accounting below. None on platforms
+    * without procfs (the metric degrades to its −1 sentinel; the
+    * bench itself must not depend on Linux). Busy excludes the
+    * guest/guest_nice columns (8-9): Linux already folds guest time
+    * into user/nice, so summing them double-counts VM workloads. */
+  private def cpuJiffies(): Option[(Long, Long, Int)] =
+    try {
+      val stat = scala.io.Source.fromFile("/proc/stat")
+      val (parts, nCpus) =
+        try {
+          val lines = stat.getLines().toList
+          val agg = lines.head.trim.split("\\s+").drop(1).map(_.toLong)
+          // host cpus = "cpuN" lines; /proc/stat is NOT cgroup-masked,
+          // so capacity must use the HOST width, not the JVM-visible
+          // (quota-derived) processor count
+          (agg, lines.count(l => l.startsWith("cpu") && !l.startsWith("cpu ")))
+        } finally stat.close()
+      val idle = parts(3) + (if (parts.length > 4) parts(4) else 0L)
+      val busy = parts.take(8).sum - idle // user..steal, no guest dup
+      val selfStat = scala.io.Source.fromFile("/proc/self/stat")
+      val self = try selfStat.mkString.split(" ") finally selfStat.close()
+      Some((busy, self(13).toLong + self(14).toLong, math.max(1, nCpus)))
+    } catch { case NonFatal(_) => None }
+
+  /** Fraction of the HOST's CPU capacity consumed by processes OTHER
+    * than this JVM across a window of `elapsedSec` (round-10: the
+    * canaries BRACKET a pass but cannot see contention DURING it —
+    * an evening showed 1.4× suite totals with all three bracket
+    * canaries clean; this measures the co-tenant directly, inside
+    * the window that matters). USER_HZ is 100 on linux. −1.0 when
+    * procfs is unavailable. */
+  private def externalCpuFrac(before: Option[(Long, Long, Int)],
+      after: Option[(Long, Long, Int)], elapsedSec: Double): Double =
+    (before, after) match {
+      case (Some((b0, o0, n)), Some((b1, o1, _))) =>
+        val ext = (b1 - b0) - (o1 - o0)
+        val capacity = n * 100.0 * elapsedSec
+        if (capacity <= 0) 0.0 else math.max(0.0, ext / capacity)
+      case _ => -1.0
+    }
+
   /** MEMORY-STREAMING canary (round-10): sequential sum over a 256 MB
     * long array, 4 passes (1 GiB traversed) — measures delivered
     * DRAM/LLC stream rate. The third forensic axis: the ALU canaries
     * are register-resident and BLIND to memory-bandwidth co-tenancy,
-    * while Spark scans/shuffles are bandwidth-bound — the observed
-    * window class where suite totals read 1.4× with both ALU canaries
-    * flat is exactly a bandwidth-squeezed host. Reference reading on
-    * this container (quiet): ~0.1-0.2 s (BASELINE.md round-10
-    * calibration). */
-  /** (host busy jiffies, own process jiffies) — for the IN-RUN
-    * external-CPU accounting below. */
-  private def cpuJiffies(): (Long, Long) = {
-    val stat = scala.io.Source.fromFile("/proc/stat")
-    val parts =
-      try stat.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-      finally stat.close()
-    val idle = parts(3) + (if (parts.length > 4) parts(4) else 0L)
-    val busy = parts.sum - idle
-    val selfStat = scala.io.Source.fromFile("/proc/self/stat")
-    val self = try selfStat.mkString.split(" ") finally selfStat.close()
-    (busy, self(13).toLong + self(14).toLong) // utime + stime
-  }
-
-  /** Fraction of the machine's CPU capacity consumed by processes
-    * OTHER than this JVM across a window of `elapsedSec` (round-10:
-    * the canaries BRACKET a pass but cannot see contention DURING it
-    * — an evening showed 1.4× suite totals with all three bracket
-    * canaries clean; this measures the co-tenant directly, inside
-    * the window that matters). USER_HZ is 100 on linux/amd64. */
-  private def externalCpuFrac(before: (Long, Long), after: (Long, Long),
-      elapsedSec: Double): Double = {
-    val ext = (after._1 - before._1) - (after._2 - before._2)
-    val capacity =
-      Runtime.getRuntime.availableProcessors() * 100.0 * elapsedSec
-    if (capacity <= 0) 0.0 else math.max(0.0, ext / capacity)
-  }
-
+    * while Spark scans/shuffles are bandwidth-bound. Reference
+    * reading on this container (quiet): ~0.18-0.20 s (BASELINE.md
+    * round-10 calibration). */
   private def canaryMemSec(): Double = {
     val n = 32 * 1024 * 1024
     val arr = new Array[Long](n)

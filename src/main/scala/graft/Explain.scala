@@ -67,13 +67,12 @@ object Explain {
             .map { case (t, c) => s"$t=$c" }
             .++(scans.get("unknown").filter(_ > 0).map(n => s"unknown=$n"))
             .mkString(",")
-          val factMax = scans.collect {
+          val factCounts = scans.collect {
             case (t, c) if graft.plans.ScanCensus.factTables.contains(t) => c
-          }.maxOption.getOrElse(0)
+          }
+          val factMax = factCounts.maxOption.getOrElse(0)
           distribution(factMax) = distribution.getOrElse(factMax, 0) + 1
-          totalFactScans += scans.collect {
-            case (t, c) if graft.plans.ScanCensus.factTables.contains(t) => c
-          }.sum
+          totalFactScans += factCounts.sum
           totalUnknown += scans.getOrElse("unknown", 0)
           println(s"===== $name  (exchanges: $nEx, reused: $nRe, scans: $scanStr)")
           p.linesIterator

@@ -78,18 +78,24 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
-    // normal-path cleanup of the SELF-created checkpoint temp dir (a
-    // hard kill leaks it to /tmp, which the OS owns — acceptable)
-    ownCkptDir.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        // do not follow symlinks out of the tree
-        if (!java.nio.file.Files.isSymbolicLink(f.toPath))
-          Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
+    try {
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+      spark.stop()
+    } finally {
+      // cleanup of the SELF-created checkpoint temp dir on EVERY
+      // in-process exit path, exceptional included (round-10 second
+      // review: a throwing writeString/stop must not leak
+      // data-proportional checkpoint files to /tmp — only a hard
+      // SIGKILL leaks now, and the OS owns /tmp)
+      ownCkptDir.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          // do not follow symlinks out of the tree
+          if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+            Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(d))
       }
-      rm(new java.io.File(d))
     }
   }
 }

@@ -58,11 +58,28 @@ object ColumnFacts {
 
   @volatile private var factsMap: Map[(String, String), Facts] = Map.empty
   @volatile private var loadedDir: Option[String] = None
+  @volatile private var failed: List[String] = Nil
 
   def loaded: Boolean = loadedDir.isDefined
 
+  /** Tables whose facts failed to load (corrupt/missing parquet) —
+    * the corroboration sweep pins this EMPTY, so a silently-degraded
+    * gate JVM cannot pass for a grounded one. */
+  def failedTables: Seq[String] = failed
+
   def get(table: String, column: String): Option[Facts] =
     factsMap.get((table, column))
+
+  /** The grounded-claim evaluator the proofs use: with facts NOT
+    * loaded (product mains — no data grounding intended) the claim
+    * passes to the structural/vocabulary fallback; with facts LOADED
+    * (gate JVMs) the claim must be CORROBORATED BY PRESENT DATA — a
+    * table whose load failed REJECTS instead of passing vacuously
+    * (round-10 review: `Option.forall` on a missing entry silently
+    * re-opened the exact trust hole the loading exists to close). */
+  def corroborated(table: String, column: String)(
+      pred: Facts => Boolean): Boolean =
+    if (!loaded) true else factsMap.get((table, column)).exists(pred)
 
   /** Compute facts for every atomic column of every graded table in
     * `sfDir` (one aggregate pass per table — seconds at gate SF).
@@ -104,7 +121,7 @@ object ColumnFacts {
           dbl(s"min__${f.name}"), dbl(s"max__${f.name}"),
           row.getLong(row.fieldIndex(s"ndv__${f.name}")), rows)
       }
-      } catch { case scala.util.control.NonFatal(_) => }
+      } catch { case scala.util.control.NonFatal(_) => failed ::= t }
     }
     factsMap = out.toMap
     loadedDir = Some(sfDir)

@@ -500,7 +500,7 @@ object ScaleRules {
     resolve(att) match {
       case Some((t, c)) =>
         vocabName(c) &&
-          ColumnFacts.get(t, c).forall(_.lowCard(ColumnFacts.LowCardCap))
+          ColumnFacts.corroborated(t, c)(_.lowCard(ColumnFacts.LowCardCap))
       case None => (att.name +: fallbackNames).exists(vocabName)
     }
 
@@ -519,7 +519,7 @@ object ScaleRules {
       requireNonNeg: Boolean = false): Boolean =
     resolve(att).exists { case (t, c) =>
       fixturePkNames.contains(c) &&
-        ColumnFacts.get(t, c).forall(f =>
+        ColumnFacts.corroborated(t, c)(f =>
           f.unique && (!requireNonNeg || f.nonNegative))
     }
 
@@ -566,7 +566,7 @@ object ScaleRules {
       case att: Attribute =>
         resolve(att).exists { case (t, c) =>
           nonNegativeNames.contains(c) &&
-            ColumnFacts.get(t, c).forall(_.nonNegative)
+            ColumnFacts.corroborated(t, c)(_.nonNegative)
         }
       case c: org.apache.spark.sql.catalyst.expressions.Cast =>
         nonNegativeExpr(c.child, resolve)
@@ -616,6 +616,15 @@ object ScaleRules {
         "week", "day", "dd").contains(s.toString.toLowerCase)
     case _ => false
   }
+
+  /** The integral types the grid-key proofs accept (one definition —
+    * the interval rule and the least-rule must agree on what counts
+    * as integer-valued). */
+  private val integralTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.ByteType,
+    org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.LongType)
 
   /** VALUE columns whose [min, max] is SF-INDEPENDENT by the TPC-H /
     * TESTDATA generator contract (prices, quantities, balances,
@@ -716,11 +725,7 @@ object ScaleRules {
     * required: a fractional value with a small interval still has
     * unboundedly many distinct values. */
   private def intervalBounded(e: Expression, resolve: Resolver): Boolean =
-    Set[org.apache.spark.sql.types.DataType](
-      org.apache.spark.sql.types.ByteType,
-      org.apache.spark.sql.types.ShortType,
-      org.apache.spark.sql.types.IntegerType,
-      org.apache.spark.sql.types.LongType).contains(e.dataType) &&
+    integralTypes.contains(e.dataType) &&
       valueInterval(e, resolve).exists { case (lo, hi) =>
         hi - lo + 1 <= ColumnFacts.LowCardCap.toDouble
       }
@@ -740,11 +745,7 @@ object ScaleRules {
         boundedDomainAttr(att, resolve) ||
           att.dataType == org.apache.spark.sql.types.DateType
       case l: org.apache.spark.sql.catalyst.expressions.Least
-          if Set[org.apache.spark.sql.types.DataType](
-              org.apache.spark.sql.types.ByteType,
-              org.apache.spark.sql.types.ShortType,
-              org.apache.spark.sql.types.IntegerType,
-              org.apache.spark.sql.types.LongType).contains(l.dataType) &&
+          if integralTypes.contains(l.dataType) &&
             l.children.exists(smallIntLiteral) &&
             l.children.forall(nonNegativeExpr(_, resolve)) => true
       case c: org.apache.spark.sql.catalyst.expressions.Cast =>

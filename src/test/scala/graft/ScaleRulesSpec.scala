@@ -438,6 +438,10 @@ class ScaleRulesSpec extends GraftSpecBase {
   test("ColumnFacts corroborate the vocabularies against the graded parquet (the data cross-check is loaded and real)") {
     import graft.plans.ColumnFacts
     assert(ColumnFacts.loaded, "the gate JVM must load ColumnFacts")
+    assert(ColumnFacts.failedTables.isEmpty,
+      s"tables failed to load facts (claims on them now REJECT, but a " +
+        s"grounded gate run must not silently degrade): " +
+        ColumnFacts.failedTables.mkString(", "))
     // every nonNegativeNames entry that IS a base column: min >= 0
     val tables = Tables.names
     def factsOf(c: String) = tables.flatMap(t => ColumnFacts.get(t, c))
