@@ -168,6 +168,17 @@ object Bench {
     clean.size >= 2 && (clean(1) - clean(0)) / clean(0) <= tol
   }
 
+  /** Σ of the headline pass's per-query in-concurrency seconds,
+    * skipping the −1 failure sentinels — the CODE-side ground truth
+    * the r9→r10 window forensics had to hand-compute from
+    * bench_detail.json (340.1 vs 340.9 s proved code-neutrality while
+    * wall-clock totals differed 30%). First-class in the artifact
+    * (round-11, verdict item 3) so every future code-vs-host-window
+    * question is answered by the JSON itself: qsum moves with the
+    * CODE, wall-clock moves with scheduling luck. */
+  private[graft] def qsumOf(times: Iterable[Double]): Double =
+    times.filter(_ >= 0).sum
+
   /** Index of the pass whose total becomes `value`: the MIN over
     * clean passes; with NO clean pass, the LARGEST total among the
     * fewest-failures passes (round-9 ADVICE: a pass SHORTENED by an
@@ -332,6 +343,27 @@ object Bench {
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val times = new java.util.concurrent.ConcurrentHashMap[String, Double]()
 
+    // Spill accounting (round-11, verdict item 6): task-metrics
+    // memory/disk spill bytes, accumulated across the whole context
+    // (all streams). The 2 GiB-heap certification claimed "degrades to
+    // spilling, not OOM" — these counters make that a NUMBER in the
+    // recorded artifact instead of an inference (quarter-heap run
+    // shows nonzero spill + failed []; the default-heap run shows ~0).
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+            ()
+          }
+        }
+      })
+
     // Run the suite over `streams` concurrent query streams, each on
     // its own child session (shared SparkContext + cache, isolated
     // temp views/conf). Rationale: a single stream leaves most cores
@@ -416,11 +448,12 @@ object Bench {
     import scala.jdk.CollectionConverters._
     case class Pass(v: Double, failedQs: Seq[String],
         qTimes: Map[String, Double], cBefore: Double, cAfter: Double,
-        extCpu: Double)
+        extCpu: Double, spillMemB: Long, spillDiskB: Long)
     var cPrev = canarySec() // post-warm, pre-pass-1 host reading
     def onePass(): Pass = {
       times.clear()
       failed.clear()
+      val (sm0, sd0) = (spillMem.get(), spillDisk.get())
       val j0 = cpuJiffies()
       val t0 = System.nanoTime()
       runAll(record = true)
@@ -428,10 +461,26 @@ object Bench {
       val j1 = cpuJiffies()
       sweepToFloor()
       val cAfter = canarySec()
+      // listener events are asynchronous: drain the bus so this pass's
+      // task-end metrics are all counted before the delta is taken.
+      // The bus API is private[spark] → best-effort reflection; the
+      // ~1.2 s bracket canary above already covers the common case.
+      try {
+        val bus = spark.sparkContext.getClass
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" &&
+            m.getParameterCount <= 1)
+          .foreach { m =>
+            if (m.getParameterCount == 0) m.invoke(bus)
+            else m.invoke(bus, java.lang.Long.valueOf(10000L))
+          }
+      } catch { case NonFatal(_) => }
       val p = Pass(v, failed.asScala.toSeq.distinct.sorted,
         entries.map { case (k, _) =>
           k -> times.getOrDefault(k, -1.0) }.toMap,
-        cPrev, cAfter, externalCpuFrac(j0, j1, v))
+        cPrev, cAfter, externalCpuFrac(j0, j1, v),
+        spillMem.get() - sm0, spillDisk.get() - sd0)
       cPrev = cAfter
       p
     }
@@ -537,7 +586,16 @@ object Bench {
     val contended = load0 > 4.0 || canaryMean > 1.30 * 1.25 ||
       bestBracket > 1.30 * 1.25
     val passesJson = passVals.map(fmt).mkString("[", ",", "]")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","value_norm":${fmt(valueNorm)},"passes":$passesJson,"contended":$contended,"waited":$waitedSec,"qn":${allTimes.size},"failed":$failedJson,"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"canary_end":${fmt(canaryEnd)},"canary_mt_pre":${fmt(canaryMtPre)},"canary_mt_end":${fmt(canaryMtEnd)},"canary_mem_pre":${fmt(canaryMemPre)},"canary_mem_end":${fmt(canaryMemEnd)},"ext_cpu":${fmt(best.extCpu)},"ext_cpu_max":${fmt(passes.map(_.extCpu).max)},"load0":${fmt(load0)},"load1":${fmt(load1)},"solo_max":${fmt(soloMax)},"solo_failed":$soloFailedJson,"sf":"$sfDir""""
+    // qsum (round-11, verdict item 3): per-query-sum ground truth of
+    // the headline pass — moves with the CODE, not the host window.
+    // attested (round-11 ADVICE): explicit self-flag — consumers no
+    // longer re-derive attestation from passes/failed.
+    // spill_mem/spill_disk (round-11, verdict item 6): the winning
+    // pass's task-metrics spill bytes — the constrained-heap
+    // "spills, not OOMs" claim as a recorded number.
+    val qsum = Bench.qsumOf(bestTimes.values)
+    val isAttested = Bench.attested(stats(passes))
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","value_norm":${fmt(valueNorm)},"qsum":${fmt(qsum)},"attested":$isAttested,"passes":$passesJson,"contended":$contended,"waited":$waitedSec,"qn":${allTimes.size},"failed":$failedJson,"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"canary_end":${fmt(canaryEnd)},"canary_mt_pre":${fmt(canaryMtPre)},"canary_mt_end":${fmt(canaryMtEnd)},"canary_mem_pre":${fmt(canaryMemPre)},"canary_mem_end":${fmt(canaryMemEnd)},"ext_cpu":${fmt(best.extCpu)},"ext_cpu_max":${fmt(passes.map(_.extCpu).max)},"spill_mem":${best.spillMemB},"spill_disk":${best.spillDiskB},"load0":${fmt(load0)},"load1":${fmt(load1)},"solo_max":${fmt(soloMax)},"solo_failed":$soloFailedJson,"sf":"$sfDir""""
     // Full per-query detail, written to a file (and printed on its own
     // earlier line for humans).
     val fullJson = s"""{$head,"solo":$soloJson,"queries":$fullQs}"""

@@ -103,8 +103,13 @@ object Tables {
       if (sfDir.startsWith("catalog:")) table(spark, sfDir, "events")
       else spark.read.parquet(s"$sfDir/events.parquet")
     // a catalog-layout events table stores the DECODED shape already
-    // (ts2 + ts_nanos — Layout writes post-decode frames)
-    if (!raw.columns.contains("ts")) return raw
+    // (ts2 + ts_nanos — Layout writes post-decode frames); its
+    // `event_date` partition column is a LAYOUT artifact
+    // (Layout.writeGradedCatalog date-partitions events for pruning)
+    // — drop it so catalog and parquet reads expose identical schemas
+    if (!raw.columns.contains("ts"))
+      return if (raw.columns.contains("event_date")) raw.drop("event_date")
+             else raw
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_nanos", col("ts"))

@@ -86,6 +86,12 @@ object ColumnFacts {
     * Idempotent per dir; thread-safe. */
   def ensureLoaded(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (loadedDir.contains(sfDir)) return
+    // full reset per load (round-11 ADVICE): `failed` must not carry
+    // stale entries from a PRIOR dir's load — a re-load against a dir
+    // whose tables all read fine would otherwise keep failing the
+    // corroboration sweep on the old dir's ghosts (factsMap was
+    // already replaced wholesale; failedTables now matches).
+    failed = Nil
     val out = scala.collection.mutable.Map[(String, String), Facts]()
     graft.Tables.names.foreach { t =>
       // a missing/unreadable table yields NO facts for its columns

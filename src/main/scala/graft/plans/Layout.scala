@@ -46,4 +46,48 @@ object Layout {
       .saveAsTable(table)
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Bucket keys for the graded fixtures — facts carry their dominant
+    * join key (the scaladoc recommendation above, as data); dims
+    * (region, nation) stay plain catalog tables. */
+  val gradedBucketKeys: Map[String, String] = Map(
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "user_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Materialize ALL graded fixtures from `sfDir` through the
+    * production layout into the session catalog as
+    * `<prefix>_<table>` — the write path behind Verify's
+    * `SPARK_GRAFT_LAYOUT` dial (round-11, verdict item 1: run the
+    * WHOLE graded surface over the storage layout it would read at
+    * 100 TB, not just LayoutGradedSpec's 5-query subset).
+    *
+    * `events` goes through the decode (ts2/ts_nanos) and is written
+    * via [[writePartitionedBucketed]]: date-partitioned (partition
+    * pruning for time-window queries) AND bucketed by user_id (as-of
+    * joins / sessionization co-locate per user). The derived
+    * `event_date` partition column is layout-only — [[graft.Tables]]
+    * drops it on catalog reads so query schemas are identical to the
+    * parquet run. Everything else follows [[gradedBucketKeys]].
+    */
+  def writeGradedCatalog(spark: SparkSession, sfDir: String,
+      prefix: String, buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    graft.Tables.names.foreach { name =>
+      val t = s"${prefix}_$name"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      if (name == "events") {
+        val ev = graft.Tables.events(spark, sfDir)
+          .withColumn("event_date", to_date(col("ts2")))
+        writePartitionedBucketed(ev, t, "event_date", buckets, "user_id")
+      } else {
+        val df = graft.Tables.table(spark, sfDir, name)
+        gradedBucketKeys.get(name) match {
+          case Some(k) => writeBucketed(df, t, buckets, k)
+          case None => df.write.mode("overwrite").saveAsTable(t)
+        }
+      }
+    }
+  }
 }

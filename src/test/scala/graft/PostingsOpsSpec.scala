@@ -67,6 +67,60 @@ class PostingsOpsSpec extends GraftSpecBase {
     }
   } }
 
+  test("SKEW INJECTION: one stop-token in 50% of docs — uncapped pair count explodes quadratically, the df ceiling bounds per-token fan-out at maxDf², and the subset/recall contracts hold on the skewed corpus (round-11, verdict item 4)") { CacheOps.scoped {
+    val s = spark
+    import s.implicits._
+    // adversarial corpus, deterministic by construction: every even
+    // doc carries the stop token `zz` (df = n/2 — the wikipedia-"the"
+    // shape), every doc carries one unique token (df = 1) and one
+    // 10-doc band token (df ≈ 10, independent of n)
+    def corpus(n: Int) = (1 to n).map { i =>
+      val stop = if (i % 2 == 0) " zz" else ""
+      (i.toLong, s"u$i g${i / 10}$stop")
+    }.toDF("doc_id", "text")
+    val cap = 16L
+    def uncappedPairs(n: Int) =
+      pairSet(PostingsOps.sharedTokenPairs(PostingsOps.postings(corpus(n))))
+    def cappedPairs(n: Int) =
+      pairSet(PostingsOps.sharedTokenPairs(
+        PostingsOps.postings(corpus(n), maxDf = Some(cap))))
+
+    // (a) QUADRATIC EXPLOSION, shown by growth rate, not a constant:
+    // doubling the corpus ~4×es the uncapped candidate set (the
+    // stop-token clique is C(n/2, 2)) while the capped set only ~2×es
+    // (bands are n-independent in width, so pair mass is linear in n)
+    val (u200, u400) = (uncappedPairs(200).size, uncappedPairs(400).size)
+    val (c200, c400) = (cappedPairs(200).size, cappedPairs(400).size)
+    assert(u400 >= 200 * 199 / 2,
+      s"uncapped must contain the stop-token clique: $u400")
+    assert(u400.toDouble / u200 >= 3.5,
+      s"uncapped candidates must grow ~quadratically: $u200 -> $u400")
+    assert(c400.toDouble / c200 <= 2.5,
+      s"capped candidates must grow ~linearly: $c200 -> $c400")
+
+    // (b) the documented bound: per-token candidate fan-out ≤ maxDf²
+    // in the capped postings — and the UNCAPPED corpus genuinely
+    // violates it (the gate bites, this is not a vacuous ceiling)
+    def maxPerTokenPairs(p: org.apache.spark.sql.DataFrame): Long =
+      p.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .select(max(expr("c * (c - 1) div 2"))).collect()(0).getLong(0)
+    val cappedP = PostingsOps.postings(corpus(400), maxDf = Some(cap))
+    assert(maxPerTokenPairs(cappedP) <= cap * cap,
+      "capped per-token pair fan-out must stay <= maxDf^2")
+    assert(maxPerTokenPairs(PostingsOps.postings(corpus(400))) > cap * cap,
+      "sanity: the skewed corpus must violate the bound WITHOUT the cap")
+
+    // (c) subset + recall floor, re-proven under adversarial skew
+    val capped = cappedPairs(400)
+    val uncapped = uncappedPairs(400)
+    assert(capped.subsetOf(uncapped), "cap must never invent a pair")
+    val p = PostingsOps.postings(corpus(400))
+    val viaRare = pairSet(PostingsOps.sharedTokenPairs(
+      p.filter(col("df") <= cap)))
+    assert(viaRare == capped,
+      "every pair reachable through a sub-ceiling token must survive")
+  } }
+
   test("df ceiling semantics on a known corpus: stop token dropped, rare tokens kept, tf/df intact") { CacheOps.scoped {
     val s = spark
     import s.implicits._

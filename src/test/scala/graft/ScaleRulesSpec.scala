@@ -468,6 +468,56 @@ class ScaleRulesSpec extends GraftSpecBase {
     assert(ColumnFacts.get("events", "user_id").exists(!_.unique))
   }
 
+  test("md5_bucket / boundary_bucket grouping keys prove bounded STRUCTURALLY; a non-literal modulus does not (round-11, verdict item 2)") {
+    import graft.functions.expressions.Md5Bucket.md5Bucket
+    import graft.functions.expressions.BoundaryBucket
+    val d = Tables.documents(spark, sf)
+    // the SketchExactQueries shape, with the b0 vocabulary entry GONE:
+    // the type-level image rule (md5_bucket(_, 1024) ∈ {0..1023}) must
+    // carry the bounded-output proof through the alias chase alone
+    val cms = d.select(md5Bucket(concat(lit("cms0:"), col("lang")),
+        lit(1024)).as("zz_unvocabed"))
+      .groupBy(col("zz_unvocabed")).agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(cms.queryExecution.optimizedPlan),
+      "a literal-modulus md5_bucket grid must prove bounded structurally")
+    // non-literal modulus: the image bound is gone — must NOT prove
+    // (n_chars is corpus-valued; md5 mod n_chars has no static image)
+    val bad = d.select(md5Bucket(concat(lit("x:"), col("lang")),
+        col("n_chars").cast("int")).as("zz_unvocabed"))
+      .groupBy(col("zz_unvocabed")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(bad.queryExecution.optimizedPlan),
+      "md5_bucket with a column modulus must NOT prove bounded")
+    // boundary_bucket: image ⊆ {0..|cuts|}, cuts are construction-time
+    import org.apache.spark.sql.GraftSqlBridge
+    val bb = d.select(GraftSqlBridge.toColumn(
+        BoundaryBucket(GraftSqlBridge
+          .toExpression(col("n_chars").cast("double")),
+          Array(10.0, 100.0, 1000.0))).as("zz_bb"))
+      .groupBy(col("zz_bb")).agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(bb.queryExecution.optimizedPlan),
+      "a boundary_bucket grid must prove bounded structurally")
+  }
+
+  test("the residual alias vocabulary is pinned: exactly {mask, dig}, each with a machine-checked justification (round-11, verdict item 2)") {
+    // the set CANNOT silently grow — adding an entry fails here until
+    // the justification names the producing query and its image bound
+    assert(ScaleRules.boundedAliasNames == Set("mask", "dig"),
+      s"residual alias vocabulary changed: ${ScaleRules.boundedAliasNames}" +
+        " — prefer a structural image rule; if impossible, pin the new" +
+        " entry here WITH its justification")
+    ScaleRules.boundedAliasJustifications.foreach { case (k, j) =>
+      assert(j.contains("image ⊆"),
+        s"justification for '$k' must state the image bound")
+      assert(j.contains("q_"),
+        s"justification for '$k' must name the producing graded query")
+    }
+    // the structurally-retired entries must stay OUT: their proofs are
+    // the Md5Bucket rule / origin-resolved lowCardNames now
+    Seq("b0", "b1", "b2", "p0", "p1", "p2", "lang_p", "bal").foreach(n =>
+      assert(!ScaleRules.boundedAliasNames.contains(n),
+        s"'$n' was retired structurally and must not return by name"))
+  }
+
   test("checkpoint leaves stay transparent to the funnel sweep (expand) and to contractedLogical") {
     // a funnel hidden behind a lazy localCheckpoint: the truncated
     // plan itself shows only a LogicalRDD leaf, but the gates sweep

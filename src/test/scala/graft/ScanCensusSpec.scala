@@ -44,6 +44,16 @@ class ScanCensusSpec extends GraftSpecBase {
     assert(of("spark-warehouse/g10_events/part-00000.parquet") == Some("events"))
     // no false positives from part-file names or unrelated segments
     assert(of("/data/misc/notatable/part-00000.parquet").isEmpty)
+    // round-11 (ADVICE): the `_<table>` suffix match is scoped to
+    // segments DIRECTLY under a warehouse root — an unrelated
+    // directory that merely ends with a table name must NOT classify
+    // (it would misattribute census counts and could trip
+    // factOffenders falsely)
+    assert(of("/data/backup_orders/part-00001.parquet").isEmpty)
+    assert(of("/data/nightly/dump_lineitem/part-00001.parquet").isEmpty)
+    // …but the same shape under the warehouse still classifies
+    assert(of("/x/spark-warehouse/dump_lineitem/part-1.parquet")
+      == Some("lineitem"))
   }
 
   test("factOffenders flags only fact tables above the limit, never dims") {

@@ -46,7 +46,13 @@ for key in ("metric", "value", "unit", "queries", "sf",
             # of machine CPU other processes consumed DURING the
             # winning pass (ext_cpu) and the worst pass (ext_cpu_max);
             # bracket canaries cannot see mid-run co-tenancy
-            "ext_cpu", "ext_cpu_max"):
+            "ext_cpu", "ext_cpu_max",
+            # round-11: qsum = per-query-sum ground truth (code-vs-
+            # window forensics first-class); attested = explicit
+            # headline-attestation self-flag; spill_mem/spill_disk =
+            # the winning pass's task-metrics spill bytes (the
+            # constrained-heap certification as a number)
+            "qsum", "attested", "spill_mem", "spill_disk"):
     if key not in obj:
         sys.exit(f"TAILPARSE FAIL: parsed JSON missing key {key!r}: {last[:200]}")
 if len(last) > 1500:
