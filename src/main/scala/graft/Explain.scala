@@ -15,7 +15,12 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val only = args.drop(1).toSet
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_LAYOUT=<prefix>: run the census over the production
+    // catalog Layout instead of raw parquet (mirrors Verify's dial —
+    // round-11, verdict item 1: the catalog plans must show the same
+    // scan-census distribution as the parquet plans)
+    val layoutPrefix = sys.env.get("SPARK_GRAFT_LAYOUT").filter(_.nonEmpty)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // match the bench's default configuration unless overridden, so
@@ -24,8 +29,16 @@ object Explain {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    layoutPrefix.foreach(_ => builder.config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val queryDir = layoutPrefix match {
+      case Some(p) =>
+        graft.plans.Layout.writeGradedCatalog(spark, sfDir, p)
+        s"catalog:$p"
+      case None => sfDir
+    }
     val interesting = Seq("Exchange", "Join", "Broadcast", "HashAggregate",
       "WindowGroupLimit", "TakeOrderedAndProject", "PushedFilters", "Window")
     // whole-surface census accumulators (round-10: the per-round
@@ -37,7 +50,7 @@ object Explain {
       .filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>
         try {
-          val df = fn(spark, sfDir)
+          val df = fn(spark, queryDir)
           df.collect()
           val p = df.queryExecution.executedPlan.toString
           // shuffle census: count Exchange OPERATORS (the old
@@ -79,7 +92,12 @@ object Explain {
             .filter(l => interesting.exists(l.contains))
             .foreach(l => println("  " + l.trim.take(150)))
         } catch { case e: Throwable =>
-          println(s"===== $name FAILED: ${e.getMessage.take(200)}")
+          // single-line, untruncated-enough message: an analysis error
+          // class (multi-line message starting with \n) previously
+          // printed as an empty FAILED line, hiding the cause
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+            .replace('\n', ' ').take(500)
+          println(s"===== $name FAILED: $msg")
         }
       }
     // the SURVEY §9 census line, computed instead of post-processed

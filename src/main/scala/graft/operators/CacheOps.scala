@@ -86,7 +86,10 @@ object CacheOps {
   }
 
   def finalized(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint() // eager: runs the query now
+    // eager: runs the query now; same dangling-capture sanitation as
+    // [[truncated]] (round-11)
+    val out = org.apache.spark.sql.GraftSqlBridge
+      .sanitizeCheckpointCapture(result.localCheckpoint())
     cached.foreach(_.unpersist())
     track(CheckpointRegistry.register(out, result))
   }
@@ -105,9 +108,19 @@ object CacheOps {
     val reliable = df.sparkSession.conf
       .getOption("spark.graft.reliableCheckpoints").contains("true") &&
       df.sparkSession.sparkContext.getCheckpointDir.isDefined
-    val out =
+    val raw =
       if (reliable) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
+    // round-11: over catalog tables the checkpoint's captured physical
+    // partitioning/ordering can hold attribute instances that differ
+    // from the leaf's own output (unqualified twins of the qualified
+    // catalog attrs), which breaks LogicalRDD.newInstance's
+    // instance-keyed rewrite and poisons downstream self-join
+    // deduplication with INTERNAL_ERROR "conflicting references".
+    // Canonicalized at creation; healthy captures pass through
+    // untouched; see GraftSqlBridge.sanitizeCheckpointCapture.
+    val out = org.apache.spark.sql.GraftSqlBridge
+      .sanitizeCheckpointCapture(raw)
     track(CheckpointRegistry.register(out, df))
   }
 
@@ -163,6 +176,8 @@ object CacheOps {
     def truncatedCheckpoint(): DataFrame = truncated(df)
     /** Eager `localCheckpoint()` + registry. */
     def eagerCheckpoint(): DataFrame =
-      track(CheckpointRegistry.register(df.localCheckpoint(), df))
+      track(CheckpointRegistry.register(
+        org.apache.spark.sql.GraftSqlBridge
+          .sanitizeCheckpointCapture(df.localCheckpoint()), df))
   }
 }

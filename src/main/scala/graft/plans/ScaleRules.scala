@@ -499,24 +499,65 @@ object ScaleRules {
   private def uniqueResolveP(p: SparkPlan): Resolver =
     att => originOfP(att.exprId, p, unique = true)
 
+  /** The [[lowCardNames]] entries that are PHYSICAL fixture columns
+    * (TESTDATA / TPC-H schemas). A bounded-domain claim on one of
+    * these requires a RESOLVED origin + ColumnFacts corroboration —
+    * an origin-less attribute merely WEARING a base-column name
+    * (a LocalRelation column named `lang`, an ambiguous union trace
+    * named `n_name`) proves nothing (round-11 ADVICE: the spoof
+    * closure extended beyond scan-rooted columns). ScaleRulesSpec
+    * cross-checks this split against the loaded fixtures: every base
+    * entry measures as a real column, no derived entry does. */
+  val baseLowCardNames: Set[String] = Set(
+    "event_type", "o_orderpriority", "lang", "l_returnflag",
+    "l_linestatus", "o_orderstatus", "c_mktsegment", "source", "label",
+    "n_name", "n_nationkey", "r_name", "r_regionkey", "p_brand",
+    "c_nationkey", "s_nationkey")
+  // NOTE: p_mfgr / p_container / l_shipmode are TPC-H spec-constant
+  // NAMES with no column in this repo's fixture schemas (TESTDATA
+  // ships a reduced TPC-H) — they stay on the derived side: a query
+  // aliasing a computed mode/container key onto one of them gets the
+  // spec-constant name trust, and no physical column exists for an
+  // origin to resolve to.
+
+  /** The derived-key complement: constant-domain alias names the
+    * graded queries give COMPUTED keys (calendar parts, cluster ids,
+    * fixed grids, bitmask/band labels). These are the only lowCard
+    * names an origin-less attribute may claim — they never name a
+    * fixture column, so no origin can exist for them by construction. */
+  val derivedLowCardNames: Set[String] = lowCardNames -- baseLowCardNames
+
   private def vocabName(n: String): Boolean =
     lowCardNames.contains(n) || boundedAliasNames.contains(n)
+
+  /** Name acceptance for attributes with NO physical origin: derived
+    * alias vocabulary only (computed keys + the justified residue). */
+  private def derivedName(n: String): Boolean =
+    derivedLowCardNames.contains(n) || boundedAliasNames.contains(n)
 
   /** Bounded-domain verdict for a grouping / window-partition
     * attribute. Origin resolved → trust attaches to the PHYSICAL
     * column (vocabulary membership of its real name, and measured
     * NDV ≤ [[ColumnFacts.LowCardCap]] when facts are loaded — a
     * vocabulary claim the data contradicts REJECTS). No origin
-    * (computed / hoisted key) → residual name trust over the
-    * attribute's own name plus `fallbackNames` (the agg-list aliases
-    * a hoisted grouping expression answers to). */
+    * (computed / hoisted key, LocalRelation column, ambiguous union
+    * trace) → residual name trust over the attribute's own name plus
+    * `fallbackNames` (the agg-list aliases a hoisted grouping
+    * expression answers to), but ONLY against the derived-key
+    * vocabulary ([[derivedLowCardNames]] ∪ [[boundedAliasNames]] —
+    * round-11 ADVICE: an origin-less attribute merely WEARING a
+    * base-column name like `lang` or `n_name` proves nothing;
+    * base-column entries require a resolved origin + data
+    * corroboration, and the derived names never name a fixture
+    * column, so no origin can exist for them by construction). */
   private def boundedDomainAttr(att: Attribute, resolve: Resolver,
       fallbackNames: Seq[String] = Nil): Boolean =
     resolve(att) match {
       case Some((t, c)) =>
         vocabName(c) &&
           ColumnFacts.corroborated(t, c)(_.lowCard(ColumnFacts.LowCardCap))
-      case None => (att.name +: fallbackNames).exists(vocabName)
+      case None =>
+        (att.name +: fallbackNames).exists(derivedName)
     }
 
   /** Fixture unique-row-key names (TESTDATA contract): an equality pin
@@ -976,7 +1017,10 @@ object ScaleRules {
             }
             attrOk ||
               computedNames.exists(name =>
-                vocabName(name) ||
+                // computed keys have no origin by definition → the
+                // derived-key vocabulary only (round-11 ADVICE: an
+                // Alias named after a base column proves nothing)
+                derivedName(name) ||
                   // PrefixOps internals: partition-column copies are
                   // low-cardinality by the operator's documented
                   // contract; bucket keys are compile-time constants

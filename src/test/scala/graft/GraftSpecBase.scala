@@ -9,6 +9,23 @@ import org.scalatest.funsuite.AnyFunSuite
 trait GraftSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = GraftSpecBase.session
   def sf: String = "/root/testdata/sf0.001"
+
+  /** Drop a catalog table AND delete its warehouse directory — a bare
+    * `DROP TABLE IF EXISTS` leaves the directory behind when a prior
+    * aborted run orphaned it (table gone from the catalog, files on
+    * disk), and the next `saveAsTable` dies with
+    * LOCATION_ALREADY_EXISTS. Test-JVM only; Verify's catalog sweep
+    * writes into a run-private warehouse instead. */
+  def resetCatalogTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+  }
 }
 
 object GraftSpecBase {

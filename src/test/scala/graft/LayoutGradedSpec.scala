@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.plans.Layout
@@ -27,42 +26,17 @@ class LayoutGradedSpec extends GraftSpecBase {
   private val prefix = "g10"
   private val dir = s"catalog:$prefix"
 
-  private def resetTable(t: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new java.io.File(s"spark-warehouse/$t")
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(loc)
-    }
-  }
 
   /** One-time write of the full fixture set through the production
-    * layout: facts bucketed by their dominant join key (SURVEY §7.6.5
-    * recommendation), dims as plain catalog tables. */
+    * layout — the SHARED writer Verify's SPARK_GRAFT_LAYOUT dial uses
+    * (round-11: facts bucketed by their dominant join key, events
+    * date-partitioned + user-bucketed via writePartitionedBucketed,
+    * dims plain — so this suite covers the exact write path the full
+    * catalog sweep certifies, including the layout-only `event_date`
+    * partition column Tables drops on read). */
   private lazy val written: Unit = {
-    def w(name: String, df: DataFrame, bucketKey: Option[String]): Unit = {
-      val t = s"${prefix}_$name"
-      resetTable(t)
-      bucketKey match {
-        case Some(k) => Layout.writeBucketed(df, t, 8, k)
-        case None => df.write.mode("overwrite").saveAsTable(t)
-      }
-    }
-    w("region", Tables.region(spark, sf), None)
-    w("nation", Tables.nation(spark, sf), None)
-    w("customer", Tables.customer(spark, sf), Some("c_custkey"))
-    w("supplier", Tables.supplier(spark, sf), Some("s_suppkey"))
-    w("part", Tables.part(spark, sf), Some("p_partkey"))
-    w("orders", Tables.orders(spark, sf), Some("o_orderkey"))
-    w("lineitem", Tables.lineitem(spark, sf), Some("l_orderkey"))
-    // events goes through the decode (ts2/ts_nanos) BEFORE the write —
-    // the layout stores query-ready frames, bucketed by user_id
-    // (sessionization / as-of joins co-locate per user)
-    w("events", Tables.events(spark, sf), Some("user_id"))
-    w("documents", Tables.documents(spark, sf), Some("doc_id"))
-    w("embeddings", Tables.embeddings(spark, sf), Some("vec_id"))
+    Tables.names.foreach(n => resetCatalogTable(s"${prefix}_$n"))
+    Layout.writeGradedCatalog(spark, sf, prefix, buckets = 8)
   }
 
   private val subset = Seq("q_join_star", "q_join_asof", "q_win_session",

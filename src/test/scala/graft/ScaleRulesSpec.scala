@@ -466,6 +466,41 @@ class ScaleRulesSpec extends GraftSpecBase {
       assert(ColumnFacts.get(t, c).exists(_.unique), s"$t.$c must be unique")
     }
     assert(ColumnFacts.get("events", "user_id").exists(!_.unique))
+    // round-11 (ADVICE): the base/derived split of lowCardNames is
+    // cross-checked against the fixtures themselves — every base
+    // entry IS a measured physical column, no derived entry is (so
+    // "origin required for base names" can never strand a legitimate
+    // claim, and "name trust for derived names" can never be
+    // exploited by a real column)
+    ScaleRules.baseLowCardNames.foreach(c =>
+      assert(factsOf(c).nonEmpty,
+        s"baseLowCardNames entry '$c' is not a fixture column — move it" +
+          " to the derived side"))
+    ScaleRules.derivedLowCardNames.foreach(c =>
+      assert(factsOf(c).isEmpty,
+        s"derived lowCard name '$c' IS a fixture column — claims on it" +
+          " must require origin + data (move it to baseLowCardNames)"))
+    assert(ScaleRules.baseLowCardNames.subsetOf(ScaleRules.lowCardNames))
+  }
+
+  test("SPOOF KILLED: an ORIGIN-LESS attribute wearing a base-column name does not prove bounded (round-11 ADVICE — beyond scan-rooted columns)") {
+    val d = Tables.documents(spark, sf)
+    // ambiguous union trace: branch 1 outputs the real `lang`, branch
+    // 2 aliases a DIFFERENT column onto the name — origin resolution
+    // refuses (branches disagree), so the claim falls to name trust,
+    // which no longer accepts base-column names
+    val spoof = d.select(col("lang"))
+      .union(d.select(col("text").as("lang")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(spoof.queryExecution.optimizedPlan),
+      "an ambiguous union trace named 'lang' must NOT prove bounded")
+    // positive dual: branches that AGREE resolve to the physical
+    // column and keep proving (origin, not name)
+    val honest = d.select(col("lang"))
+      .union(d.select(col("lang")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(honest.queryExecution.optimizedPlan),
+      "agreeing union branches must keep the origin-grounded proof")
   }
 
   test("md5_bucket / boundary_bucket grouping keys prove bounded STRUCTURALLY; a non-literal modulus does not (round-11, verdict item 2)") {
