@@ -130,7 +130,7 @@ object CountDispersionQueries {
       .select(col("t"), explode(sequence(col("lo"), col("hi"))).as("slot"))
     val counts = base.groupBy(col("t"), col("slot"))
       .agg(count(lit(1)).as("c"))
-    slots.join(counts, Seq("t", "slot"), "left")
+    slots.join(broadcast(counts), Seq("t", "slot"), "left")
       .select(col("t"), col("slot"), coalesce(col("c"), lit(0L)).as("c"))
   }
 
@@ -263,7 +263,7 @@ object CountDispersionQueries {
         - col("se"), 8).as("e"))
     val expected = bodied.select(col("bin"), col("e"))
       .unionByName(tail)
-    val terms = expected.join(obs, Seq("bin"), "left")
+    val terms = expected.join(broadcast(obs), Seq("bin"), "left")
       .select(col("bin"), col("e"),
         coalesce(col("o"), lit(0L)).as("o"))
       .filter(col("e") > 0.0001)

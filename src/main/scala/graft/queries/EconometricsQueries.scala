@@ -53,7 +53,7 @@ object EconometricsQueries {
     val t = daily(s, d)
     val l = t.select(col("day").as("lday"), col("y").as("y1"),
       col("x").as("x1"))
-    t.join(l, col("day") === date_add(col("lday"), 1))
+    t.join(broadcast(l), col("day") === date_add(col("lday"), 1))
       .select(col("day"), col("y"), col("y1"), col("x1"))
   }
 
@@ -198,11 +198,11 @@ object EconometricsQueries {
       sum(col(c) * col(c)).as("ss"))
     def lagged(k: Int): DataFrame = dd.select(
       col("day").as(s"day$k"), col("dd").as(s"dd$k"))
-    val s2 = dd.join(lagged(1), col("day") === date_add(col("day1"), 1))
+    val s2 = dd.join(broadcast(lagged(1)), col("day") === date_add(col("day1"), 1))
       .select(col("day"), (col("dd") + col("dd1")).as("s2"))
-    val s4base = dd.join(lagged(1), col("day") === date_add(col("day1"), 1))
-      .join(lagged(2), col("day") === date_add(col("day2"), 2))
-      .join(lagged(3), col("day") === date_add(col("day3"), 3))
+    val s4base = dd.join(broadcast(lagged(1)), col("day") === date_add(col("day1"), 1))
+      .join(broadcast(lagged(2)), col("day") === date_add(col("day2"), 2))
+      .join(broadcast(lagged(3)), col("day") === date_add(col("day3"), 3))
       .select(col("day"),
         (col("dd") + col("dd1") + col("dd2") + col("dd3")).as("s4"))
     def f(c: String) = col(c).cast("double")
@@ -267,7 +267,7 @@ object EconometricsQueries {
         / col("n").cast("double"), 8).as("g0"))
     def gk(k: Int): DataFrame = {
       val l = cent.select(col("day").as("lday"), col("e").as("e1"))
-      cent.join(l, col("day") === date_add(col("lday"), k))
+      cent.join(broadcast(l), col("day") === date_add(col("lday"), k))
         .agg(first(col("n")).as("n"),
           sum(round(col("e") * col("e1"), 6).cast("decimal(27,6)"))
             .as("g"))
@@ -338,7 +338,7 @@ object EconometricsQueries {
         round(col("y") - col("b0") - col("b1") * col("x"), 6).as("e"),
         col("b0"), col("b1"))
     val l = resid.select(col("day").as("lday"), col("e").as("e1"))
-    val pairs = resid.join(l, col("day") === date_add(col("lday"), 1))
+    val pairs = resid.join(broadcast(l), col("day") === date_add(col("lday"), 1))
       .select(col("b0"), col("b1"), col("e1"),
         round(col("e") - col("e1"), 6).as("de"))
     val rhoM = pairs.agg(first(col("b0")).as("b0"),

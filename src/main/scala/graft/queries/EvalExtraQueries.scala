@@ -139,9 +139,9 @@ object EvalExtraQueries {
     val trueTot = cells.groupBy(col("y_true").as("cls"))
       .agg(sum(col("c")).as("true_n"))
     val perClass = classes
-      .join(tp, Seq("cls"), "left")
-      .join(predTot, Seq("cls"), "left")
-      .join(trueTot, Seq("cls"), "left")
+      .join(broadcast(tp), Seq("cls"), "left")
+      .join(broadcast(predTot), Seq("cls"), "left")
+      .join(broadcast(trueTot), Seq("cls"), "left")
       .select(col("cls"),
         coalesce(col("tp"), lit(0L)).as("tp"),
         coalesce(col("pred_n"), lit(0L)).as("pred_n"),

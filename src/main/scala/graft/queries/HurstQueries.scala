@@ -41,7 +41,7 @@ object HurstQueries {
       count(lit(1)).as("nb"),
       round(sum(col("v").cast("decimal(18,4)")).cast("double")
         / count(lit(1)).cast("double"), 8).as("mean"))
-    val full = base.join(stats, Seq("t", "sc", "blk"))
+    val full = base.join(broadcast(stats), Seq("t", "sc", "blk"))
       .filter(col("nb") === col("sc"))
       .withColumn("dev", round(col("v") - col("mean"), 4))
     val wCum = Window.partitionBy(col("t"), col("sc"), col("blk"))

@@ -57,7 +57,10 @@ object InfoFlowQueries {
         8).as("sdy"))
     val lags = (-5 to 5).map { k =>
       val b = dd.select(col("day").as("dayb"), col("y").as("yb"))
-      dd.join(b, col("dayb") === date_add(col("day"), k))
+      // the grid is horizon-bounded (≤ |days|) — broadcast explicitly
+      // instead of trusting size estimates, which inflate over
+      // small-file catalog layouts and would flip these to SMJ
+      dd.join(broadcast(b), col("dayb") === date_add(col("day"), k))
         .crossJoin(broadcast(stats))
         .agg(count(lit(1)).as("n_pairs"),
           sum(round((col("x") - col("mx")) * (col("yb") - col("my")), 6)
@@ -118,13 +121,13 @@ object InfoFlowQueries {
       col("x").as("xp"))
     // up/down moves per day, then day-keyed self-join for the
     // (y1, y0, x0) triples — every lag an equi-join, no window
-    val mv = dd.join(b, col("day") === date_add(col("dayp"), 1))
+    val mv = dd.join(broadcast(b), col("day") === date_add(col("dayp"), 1))
       .select(col("day"),
         (col("y") > col("yp")).cast("int").as("dy"),
         (col("x") > col("xp")).cast("int").as("dx"))
     val prev = mv.select(col("day").as("dayq"), col("dy").as("dy0"),
       col("dx").as("dx0"))
-    val trip = mv.join(prev, col("day") === date_add(col("dayq"), 1))
+    val trip = mv.join(broadcast(prev), col("day") === date_add(col("dayq"), 1))
       .select(col("dy").as("y1"), col("dy0").as("y0"),
         col("dx0").as("x0"))
     val cells = trip.groupBy(col("y1"), col("y0"), col("x0"))
@@ -136,8 +139,8 @@ object InfoFlowQueries {
     val jy = cells.groupBy(col("y0"), col("y1"))
       .agg(sum(col("c")).as("c_y0y1"))
     val my = cells.groupBy(col("y0")).agg(sum(col("c")).as("c_y0"))
-    val terms = cells.join(jyx, Seq("y0", "x0"))
-      .join(jy, Seq("y0", "y1")).join(my, Seq("y0"))
+    val terms = cells.join(broadcast(jyx), Seq("y0", "x0"))
+      .join(broadcast(jy), Seq("y0", "y1")).join(broadcast(my), Seq("y0"))
       .crossJoin(broadcast(n))
       .select(round(f(col("c")) / f(col("n"))
         * log(round(f(col("c")) * f(col("c_y0"))
@@ -146,7 +149,7 @@ object InfoFlowQueries {
     val teXY = terms.agg(round(sum(col("term")).cast("double"), 6)
       .as("te_x_to_y"))
     // reverse direction: swap roles of x and y
-    val tripR = mv.join(prev, col("day") === date_add(col("dayq"), 1))
+    val tripR = mv.join(broadcast(prev), col("day") === date_add(col("dayq"), 1))
       .select(col("dx").as("y1"), col("dx0").as("y0"),
         col("dy0").as("x0"))
     val cellsR = tripR.groupBy(col("y1"), col("y0"), col("x0"))
@@ -157,8 +160,8 @@ object InfoFlowQueries {
     val jyR = cellsR.groupBy(col("y0"), col("y1"))
       .agg(sum(col("c")).as("c_y0y1"))
     val myR = cellsR.groupBy(col("y0")).agg(sum(col("c")).as("c_y0"))
-    val termsR = cellsR.join(jyxR, Seq("y0", "x0"))
-      .join(jyR, Seq("y0", "y1")).join(myR, Seq("y0"))
+    val termsR = cellsR.join(broadcast(jyxR), Seq("y0", "x0"))
+      .join(broadcast(jyR), Seq("y0", "y1")).join(broadcast(myR), Seq("y0"))
       .crossJoin(broadcast(nR))
       .select(round(f(col("c")) / f(col("n"))
         * log(round(f(col("c")) * f(col("c_y0"))

@@ -45,7 +45,7 @@ object LogrankQueries {
     // group domain is the 2 booleans — broadcast it so the dense grid
     // plans a BNLJ, not a CartesianProduct
     val dense = durs.crossJoin(broadcast(grps))
-      .join(deaths, Seq("wk", "dur"), "left")
+      .join(broadcast(deaths), Seq("wk", "dur"), "left")
       .select(col("wk"), col("dur"), coalesce(col("dd"), lit(0L)).as("dd"))
     val tot = deaths.groupBy(col("wk")).agg(sum(col("dd")).as("ng"))
     val w = Window.partitionBy(col("wk")).orderBy(col("dur"))
@@ -58,7 +58,7 @@ object LogrankQueries {
       .select(col("dur"), col("dd").as("d1"), col("nr").as("n1"))
     val g2 = atRisk.filter(!col("wk"))
       .select(col("dur"), col("dd").as("d2"), col("nr").as("n2"))
-    val terms = g1.join(g2, "dur")
+    val terms = g1.join(broadcast(g2), "dur")
       .filter(col("d1") + col("d2") > 0 && col("n1") + col("n2") > 1)
       .select(col("d1"),
         round((col("d1") + col("d2")).cast("double")

@@ -220,7 +220,7 @@ object MoreRelQueries {
         expr("INTERVAL 1 HOUR"))).as("h"))
     val types = e.select(col("event_type")).distinct()
     broadcast(hours.crossJoin(types))
-      .join(hourly, Seq("h", "event_type"), "left")
+      .join(broadcast(hourly), Seq("h", "event_type"), "left")
       .select(col("h"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))

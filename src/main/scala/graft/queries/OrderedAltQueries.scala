@@ -56,7 +56,7 @@ object OrderedAltQueries {
     val tot = dense.groupBy(col("dose")).agg(sum(col("c")).as("ng"))
     val g = cum.join(broadcast(tot), "dose")
     val u2 = g.as("a")
-      .join(g.as("b"),
+      .join(broadcast(g.as("b")),
         col("a.q") === col("b.q") && col("a.dose") < col("b.dose"))
       .agg(sum(lit(2L) * col("a.c") * (col("b.ng") - col("b.cum"))
         + col("a.c") * col("b.c")).as("u2"))
@@ -135,7 +135,7 @@ object OrderedAltQueries {
     val ranked = full.withColumn("r", row_number().over(
       Window.partitionBy(col("day")).orderBy(col("c"), col("t"))))
     val types = grid.select(col("t")).distinct()
-    val idx = types.as("a").join(types.as("b"), col("b.t") <= col("a.t"))
+    val idx = types.as("a").join(broadcast(types.as("b")), col("b.t") <= col("a.t"))
       .groupBy(col("a.t").as("t")).agg(count(lit(1)).as("ix"))
     val perType = ranked.join(broadcast(idx), "t")
       .groupBy(col("t"), col("ix")).agg(sum(col("r")).as("rsum"))

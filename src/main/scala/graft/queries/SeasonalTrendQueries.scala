@@ -26,7 +26,7 @@ object SeasonalTrendQueries {
         weekofyear(col("ts2")).as("yy"), dayofweek(col("ts2")).as("mm"))
       .agg(count(lit(1)).as("c"))
     val pairs = grid.as("a")
-      .join(grid.as("b"),
+      .join(broadcast(grid.as("b")),
         col("a.t") === col("b.t") && col("a.mm") === col("b.mm")
           && col("a.yy") < col("b.yy"))
       .select(col("a.t").as("t"),
@@ -39,7 +39,7 @@ object SeasonalTrendQueries {
         sum(col("ns") * (col("ns") - lit(1L))
           * (lit(2L) * col("ns") + lit(5L))).as("v18"),
         count(lit(1)).as("n_seasons"))
-    val z = sStat.join(vr, "t")
+    val z = sStat.join(broadcast(vr), "t")
     val sD = col("s").cast("double")
     val vD = col("v18").cast("double") / lit(18.0)
     z.select(col("t"), col("s"), col("n_seasons"),

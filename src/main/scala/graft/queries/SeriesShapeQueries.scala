@@ -160,7 +160,7 @@ object SeriesShapeQueries {
     // events scans)
     import graft.operators.CacheOps.CheckpointSyntax
     val dl = daily(s, d).truncatedCheckpoint()
-    val pairs = dl.as("a").join(dl.as("b"),
+    val pairs = dl.as("a").join(broadcast(dl.as("b")),
         col("a.t") === col("b.t") && col("a.day") < col("b.day"))
       .select(col("a.t").as("t"),
         round((col("b.v") - col("a.v")) /

@@ -9,7 +9,9 @@ set -e
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
 shift || true
-OUT=/tmp/verify_out
+# private OUT per invocation via env: two concurrent check.sh runs
+# sharing /tmp/verify_out silently cross-compare each other's dumps
+OUT=${SPARK_GRAFT_VERIFY_OUT:-/tmp/verify_out}
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 # heap override (SPARK_DRIVER_MEM, default 8g) mirrors build.sbt's run
