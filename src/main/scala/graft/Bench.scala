@@ -392,17 +392,28 @@ object Bench {
             // query's checkpoint blocks as soon as it completes
             // (round-9: storage stays at the base-table floor through
             // the pass instead of accumulating ~600 dead frames)
+            var crashed = false
             try graft.operators.CacheOps.scoped {
               fn(sess, sfDir).write.format("noop").mode("overwrite").save()
             }
             catch {
               case ex: Throwable =>
+                crashed = true
                 if (record) { // a broken query must not shrink the total
                   failed.add(name)
                   System.err.println(s"[bench] $name FAILED: ${ex.getMessage}")
                 }
             }
-            if (record) times.put(name, (System.nanoTime() - t0) / 1e9)
+            // a failed query records the −1 sentinel, NOT its
+            // elapsed-at-crash time (round-11 review): qsum is the
+            // code-vs-window ground truth, and partial wall-clock from
+            // a crash point that moves between versions would corrupt
+            // exactly the comparison the key exists to settle — the
+            // same truncated-time rule solo times have carried since
+            // round 6
+            if (record)
+              times.put(name,
+                if (crashed) -1.0 else (System.nanoTime() - t0) / 1e9)
             e = queue.poll()
           }
         })

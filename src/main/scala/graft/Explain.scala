@@ -29,8 +29,13 @@ object Explain {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    layoutPrefix.foreach(_ => builder.config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-wh").toString))
+    // run-private warehouse, deleted on exit below (round-11 review:
+    // the materialized fixture catalog is data-proportional — leaking
+    // one copy per census run is the leak class round-10 closed for
+    // Verify's checkpoint dirs)
+    val ownWarehouse: Option[String] = layoutPrefix.map(_ =>
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    ownWarehouse.foreach(builder.config("spark.sql.warehouse.dir", _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val queryDir = layoutPrefix match {
@@ -105,6 +110,7 @@ object Explain {
       distribution.toSeq.sorted.map { case (k, n) => s"${k}x$n" }
         .mkString(" / ") +
       s"; total fact-scan occurrences $totalFactScans; unknown $totalUnknown")
-    spark.stop()
+    try spark.stop()
+    finally ownWarehouse.foreach(graft.plans.Layout.deleteTree)
   }
 }

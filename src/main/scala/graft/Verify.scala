@@ -107,19 +107,10 @@ object Verify {
       // review: a throwing writeString/stop must not leak
       // data-proportional checkpoint files to /tmp — only a hard
       // SIGKILL leaks now, and the OS owns /tmp)
-      def rmTree(d: String): Unit = {
-        def rm(f: java.io.File): Unit = {
-          // do not follow symlinks out of the tree
-          if (!java.nio.file.Files.isSymbolicLink(f.toPath))
-            Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(d))
-      }
-      ownCkptDir.foreach(rmTree)
+      ownCkptDir.foreach(graft.plans.Layout.deleteTree)
       // the layout run's warehouse is run-private by construction
       // (createTempDirectory above) — same lifecycle as the ckpt dir
-      ownWarehouse.foreach(rmTree)
+      ownWarehouse.foreach(graft.plans.Layout.deleteTree)
     }
   }
 }

@@ -90,4 +90,19 @@ object Layout {
       }
     }
   }
+
+  /** Recursive delete of a SELF-CREATED scratch directory (run-private
+    * warehouses, checkpoint temp dirs, orphaned test tables). Does NOT
+    * follow symlinks out of the tree — a link inside the directory is
+    * removed, its target untouched. The single shared implementation
+    * (round-11 review: Verify, Explain and the test base each carried
+    * their own copy, and only one had the symlink guard). */
+  def deleteTree(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
 }

@@ -48,11 +48,16 @@ object ScanCensus {
 
   /** Directory names that count as a catalog warehouse root for the
     * `_<table>` suffix classification below: Spark's default
-    * `spark-warehouse` plus the leaf of the active session's
-    * configured `spark.sql.warehouse.dir` (evaluated per call — the
-    * census runs inside live sessions only). */
+    * `spark-warehouse` plus the leaf of the session's configured
+    * `spark.sql.warehouse.dir`. Falls back to the default session
+    * when the calling thread has no ACTIVE session (round-11 review:
+    * gate sweeps may classify plans from a thread that never set
+    * one — degrading to `unknown` there would silently weaken the
+    * census instead of failing loudly). Computed ONCE per
+    * tableOfPaths call, not per path segment. */
   private def warehouseRoots: Set[String] = {
     val configured = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap(s => scala.util.Try(
         new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir")).getName).toOption)
@@ -64,6 +69,7 @@ object ScanCensus {
     val leaf = paths.iterator.flatMap(p =>
       graft.Tables.names.find(t => p.getName == s"$t.parquet"))
       .toSeq.headOption
+    lazy val roots = warehouseRoots // once per call, not per segment
     leaf.orElse {
       // round-10 (ADVICE): iterate each path's segments LEAF-TO-ROOT
       // and take the innermost match, instead of testing Tables.names
@@ -78,7 +84,7 @@ object ScanCensus {
           val base = if (seg.endsWith(".parquet"))
             seg.stripSuffix(".parquet") else seg
           if (names.contains(base)) Some(base)
-          else if (i > 0 && warehouseRoots.contains(segs(i - 1)))
+          else if (i > 0 && roots.contains(segs(i - 1)))
             // catalog-layout tables (Tables' `catalog:<prefix>` dirs /
             // Layout.writeBucketed) live at <warehouse>/<prefix>_<name>
             // — classify them too so a bucketed deployment keeps census

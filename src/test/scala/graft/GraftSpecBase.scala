@@ -19,12 +19,7 @@ trait GraftSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   def resetCatalogTable(t: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     val loc = new java.io.File(s"spark-warehouse/$t")
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(loc)
-    }
+    if (loc.exists()) graft.plans.Layout.deleteTree(loc.getPath)
   }
 }
 

@@ -270,6 +270,40 @@ class StreamingSpec extends GraftSpecBase {
     assert(prog.exists(_.contains("\"rows\":1")), all.mkString("\n"))
   }
 
+  test("config-driven run APPLIES the state-store dial and processes records (round-11 review: applyTo was dead)") {
+    val dir = java.nio.file.Files.createTempDirectory("ct_incfg").toFile
+    val chk = java.nio.file.Files.createTempDirectory("ct_chkcfg").toFile
+    val os = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "f1.json.gz")))
+    os.write(envelope("41", "42").getBytes("UTF-8")); os.close()
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    TestSink.records = got
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    try {
+      val cfg = graft.streaming.PipelineConfig.fromEnv(Map(
+        "GRAFT_CT_IN_PATH" -> dir.getAbsolutePath,
+        "GRAFT_CT_CHECKPOINT" -> chk.getAbsolutePath,
+        "GRAFT_CT_STATE_STORE" -> "rocksdb"))
+      val q = CloudTrailPipeline.run(spark, cfg, TestSink)
+      try q.processAllAvailable() finally q.stop()
+      // the dial must actually land in the session conf (the whole
+      // point of the config path) AND the stateful pipeline must run
+      // on the RocksDB provider end-to-end
+      assert(spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass")
+        === graft.streaming.PipelineConfig.RocksDbProvider)
+      assert(got.toArray(Array.empty[String]).sorted.toSeq
+        === Seq("41", "42"))
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("checkpoint restart does not redeliver committed files (exactly-once line)") {
     val dir = java.nio.file.Files.createTempDirectory("ct_in2").toFile
     val chk = java.nio.file.Files.createTempDirectory("ct_chk2").toFile
