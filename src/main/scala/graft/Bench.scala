@@ -292,7 +292,16 @@ object Bench {
     // partitions — this is a per-deployment dial, not architecture.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4")
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_LAYOUT=<prefix>: time the surface over the
+    // production catalog Layout instead of raw parquet (same dial as
+    // Verify/Explain — round-11: turns the census's 88-queries-fewer-
+    // exchanges observation into a wall-clock number). Run-private
+    // warehouse, deleted on exit; the default (driver) run is
+    // unaffected and its JSON unchanged.
+    val layoutPrefix = sys.env.get("SPARK_GRAFT_LAYOUT").filter(_.nonEmpty)
+    val ownWarehouse: Option[String] = layoutPrefix.map(_ =>
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       // Measured at sf0.1 (32-core container): the bench's shuffles are
@@ -304,8 +313,29 @@ object Bench {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    ownWarehouse.foreach(builder.config("spark.sql.warehouse.dir", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val queryDir = layoutPrefix match {
+      case Some(p) =>
+        // per-query scan parallelism x CONCURRENCY must ~ cores: at
+        // 14 concurrent streams an N-bucket table gives every query
+        // an N-task scan stage, and N x streams runnable tasks thrash
+        // the scheduler (measured at sf0.1 / 16 cores: 8- and
+        // 16-bucket catalogs ran the suite ~2.3x slower than parquet;
+        // 2 buckets matched it at 89.6 s — while SOLO a 16-bucket
+        // scan is FASTER, 1.3 vs 2.8 s on q_cte_recursive: bucket
+        // count divides the concurrency budget, it does not add to
+        // it). Default = max(1, cores / streams);
+        // SPARK_GRAFT_LAYOUT_BUCKETS overrides.
+        val layoutBuckets = sys.env.get("SPARK_GRAFT_LAYOUT_BUCKETS")
+          .map(_.toInt).getOrElse(math.max(1, cpus.toInt /
+            sys.env.getOrElse("SPARK_GRAFT_STREAMS", "14").toInt))
+        graft.plans.Layout.writeGradedCatalog(spark, sfDir, p,
+          buckets = layoutBuckets)
+        s"catalog:$p"
+      case None => sfDir
+    }
     // the per-query scoped release (below) unpersists each query's
     // local checkpoints AFTER consumption — by design, so the RDD
     // classes' "lineage … cannot be recomputed after unpersisting"
@@ -315,8 +345,8 @@ object Bench {
     // one-time warm read + cache of the shared inputs (not timed)
     Tables.names.foreach { n =>
       try {
-        val df = if (n == "events") Tables.events(spark, sfDir)
-                 else Tables.table(spark, sfDir, n)
+        val df = if (n == "events") Tables.events(spark, queryDir)
+                 else Tables.table(spark, queryDir, n)
         df.persist().count()
       } catch { case NonFatal(_) => }
     }
@@ -394,7 +424,7 @@ object Bench {
             // the pass instead of accumulating ~600 dead frames)
             var crashed = false
             try graft.operators.CacheOps.scoped {
-              fn(sess, sfDir).write.format("noop").mode("overwrite").save()
+              fn(sess, queryDir).write.format("noop").mode("overwrite").save()
             }
             catch {
               case ex: Throwable =>
@@ -606,7 +636,11 @@ object Bench {
     // "spills, not OOMs" claim as a recorded number.
     val qsum = Bench.qsumOf(bestTimes.values)
     val isAttested = Bench.attested(stats(passes))
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","value_norm":${fmt(valueNorm)},"qsum":${fmt(qsum)},"attested":$isAttested,"passes":$passesJson,"contended":$contended,"waited":$waitedSec,"qn":${allTimes.size},"failed":$failedJson,"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"canary_end":${fmt(canaryEnd)},"canary_mt_pre":${fmt(canaryMtPre)},"canary_mt_end":${fmt(canaryMtEnd)},"canary_mem_pre":${fmt(canaryMemPre)},"canary_mem_end":${fmt(canaryMemEnd)},"ext_cpu":${fmt(best.extCpu)},"ext_cpu_max":${fmt(passes.map(_.extCpu).max)},"spill_mem":${best.spillMemB},"spill_disk":${best.spillDiskB},"load0":${fmt(load0)},"load1":${fmt(load1)},"solo_max":${fmt(soloMax)},"solo_failed":$soloFailedJson,"sf":"$sfDir""""
+    // marks a catalog-layout run (absent on default runs — the driver
+    // artifact is unchanged; extra keys are tailparse-tolerated)
+    val layoutJson =
+      layoutPrefix.map(pfx => s""","layout":"$pfx"""").getOrElse("")
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","value_norm":${fmt(valueNorm)},"qsum":${fmt(qsum)},"attested":$isAttested,"passes":$passesJson,"contended":$contended,"waited":$waitedSec,"qn":${allTimes.size},"failed":$failedJson,"canary_pre":${fmt(canaryPre)},"canary_post":${fmt(canaryPost)},"canary_end":${fmt(canaryEnd)},"canary_mt_pre":${fmt(canaryMtPre)},"canary_mt_end":${fmt(canaryMtEnd)},"canary_mem_pre":${fmt(canaryMemPre)},"canary_mem_end":${fmt(canaryMemEnd)},"ext_cpu":${fmt(best.extCpu)},"ext_cpu_max":${fmt(passes.map(_.extCpu).max)},"spill_mem":${best.spillMemB},"spill_disk":${best.spillDiskB},"load0":${fmt(load0)},"load1":${fmt(load1)},"solo_max":${fmt(soloMax)},"solo_failed":$soloFailedJson,"sf":"$sfDir"$layoutJson"""
     // Full per-query detail, written to a file (and printed on its own
     // earlier line for humans).
     val fullJson = s"""{$head,"solo":$soloJson,"queries":$fullQs}"""
@@ -634,7 +668,8 @@ object Bench {
       if (used + s.length + 1 <= budget) { parts += s; used += s.length + 1 }
     }
     val compactQs = parts.mkString("{", ",", "}")
-    spark.stop()
+    try spark.stop()
+    finally ownWarehouse.foreach(graft.plans.Layout.deleteTree)
     // printed AFTER spark.stop(), as the very last stdout lines: the
     // driver parses the tail of stdout, and anything after the JSON
     // (shutdown noise, sbt's "[success]" epilogue — suppressed in

@@ -40,7 +40,15 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val queryDir = layoutPrefix match {
       case Some(p) =>
-        graft.plans.Layout.writeGradedCatalog(spark, sfDir, p)
+        // bucket count ~ session cores here: Verify/Explain run ONE
+        // query at a time, so per-query scan parallelism should fill
+        // the machine (the BENCH divides cores by its stream count
+        // instead — see Bench.scala: bucket count divides the
+        // concurrency budget). SPARK_GRAFT_LAYOUT_BUCKETS overrides.
+        val layoutBuckets = sys.env.getOrElse(
+          "SPARK_GRAFT_LAYOUT_BUCKETS", cpus.toString).toInt
+        graft.plans.Layout.writeGradedCatalog(spark, sfDir, p,
+          buckets = layoutBuckets)
         s"catalog:$p"
       case None => sfDir
     }
