@@ -22,11 +22,30 @@ object Verify {
     val layoutPrefix = sys.env.get("SPARK_GRAFT_LAYOUT").filter(_.nonEmpty)
     val ownWarehouse: Option[String] = layoutPrefix.map(_ =>
       java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    // Round-11 continuation (partition-invariance certification): the
+    // sweep's answers must not depend on the PHYSICAL plan shape — a
+    // 1000-executor cluster partitions both scans and shuffles
+    // completely differently from local[32]. These dials let the same
+    // sweep run under a hostile shape (e.g. SPARK_GRAFT_SHUFFLE=5,
+    // SPARK_GRAFT_MAXPART=262144 + zero open-cost so every scan
+    // splinters, SPARK_GRAFT_AQE=false so nothing re-coalesces) and the
+    // driver-identical hash gate then certifies value-equality. Any
+    // divergence found this way is a real 100 TB bug (tie-broken by
+    // partition order) that sf-local runs can never see.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_MAXPART").filter(_.nonEmpty).foreach { b =>
+      builder.config("spark.sql.files.maxPartitionBytes", b)
+      // default 4 MB open-cost re-glues small files into one split,
+      // defeating the point of a tiny maxPartitionBytes at sf0.01
+      builder.config("spark.sql.files.openCostInBytes", "0")
+    }
+    sys.env.get("SPARK_GRAFT_AQE").filter(_.nonEmpty).foreach(
+      builder.config("spark.sql.adaptive.enabled", _))
     ownWarehouse.foreach(builder.config("spark.sql.warehouse.dir", _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
