@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-11 continuation widening: experimental design and matched
+  * observational inference — the two causal-toolkit entries the shelf
+  * lacked around q_ab_test/q_did/q_cuped (which analyze experiments)
+  * : planning one (power analysis) and building a counterfactual
+  * control group when you cannot randomize (propensity matching). */
+object CausalDesignQueries {
+
+  /** q_power_size — per-segment two-proportion power analysis: the
+    * per-arm sample size needed to detect a 20% relative lift over
+    * the segment's observed base rate (acctbal > 5000) at α = 0.05
+    * (two-sided) and power 0.80:
+    * n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁ + p₂q₂))² / (p₂ − p₁)².
+    * z literals shared verbatim with the oracle (the q_bh_dunn
+    * critical-z convention — no cross-engine quantile functions).
+    * ONE bounded groupBy over the segment domain. */
+  def powerSize(s: SparkSession, d: String): DataFrame = {
+    val za = 1.959964
+    val zb = 0.841621
+    val base = customer(s, d).groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(when(col("c_acctbal") > 5000.0, 1L).otherwise(0L)).as("n_conv"))
+      .select(col("c_mktsegment"), col("n_cust"),
+        round(col("n_conv").cast("double") / col("n_cust"), 8).as("p1"))
+    val p2 = least(lit(0.999), round(col("p1") * 1.2, 8))
+    val pbar = (col("p1") + col("p2")) / 2.0
+    val term = lit(za) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(zb) * sqrt(col("p1") * (lit(1.0) - col("p1")) +
+        col("p2") * (lit(1.0) - col("p2")))
+    base.withColumn("p2", p2)
+      .select(col("c_mktsegment"), col("n_cust"), col("p1"), col("p2"),
+        ceil(round(term * term / ((col("p2") - col("p1"))
+          * (col("p2") - col("p1"))), 6)).as("n_per_arm"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val powerSizeOracle: String =
+    """WITH base AS (SELECT c_mktsegment, count(*) AS n_cust,
+      |    round(CAST(sum(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END)
+      |      AS DOUBLE)/count(*), 8) AS p1
+      |  FROM customer GROUP BY 1),
+      |b2 AS (SELECT c_mktsegment, n_cust, p1,
+      |    least(0.999, round(p1*1.2, 8)) AS p2
+      |  FROM base)
+      |SELECT c_mktsegment, n_cust, p1, p2,
+      |  CAST(ceil(round((1.959964*sqrt(2.0*((p1 + p2)/2.0)*(1.0 - (p1 + p2)/2.0))
+      |      + 0.841621*sqrt(p1*(1.0 - p1) + p2*(1.0 - p2)))
+      |    *(1.959964*sqrt(2.0*((p1 + p2)/2.0)*(1.0 - (p1 + p2)/2.0))
+      |      + 0.841621*sqrt(p1*(1.0 - p1) + p2*(1.0 - p2)))
+      |    /((p2 - p1)*(p2 - p1)), 6)) AS BIGINT) AS n_per_arm
+      |FROM b2 ORDER BY c_mktsegment""".stripMargin
+
+  /** q_psm_att — average treatment effect on the treated by
+    * 1-nearest-neighbor propensity-score matching WITH replacement,
+    * blocked exactly on nation: treated = BUILDING-segment customers,
+    * propensity = a fixed logistic of account balance, outcome =
+    * lifetime order spend. The matching is TWO backward as-of joins
+    * on the custom merge operator (graft.plans.AsOfJoinPlan — the
+    * §2-B #15 exec): nearest control below on the score, nearest
+    * control above via the negated score, then the closer of the two
+    * (ties → below). O(n+m) per nation block, ZERO candidate-pair
+    * materialization — the matching shape that survives 100 TB,
+    * where a pairwise |ps_t − ps_c| argmin join would be quadratic
+    * in the block. Tie determinism: equal scores break by the
+    * operator's last-in-sort-order rule = greatest control custkey
+    * (mirrored verbatim in the oracle's window ORDER BY). */
+  def psmAtt(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
+    graft.GraftExtensions.register(s)
+    def ps(bal: Column): Column =
+      round(lit(1.0) / (lit(1.0) +
+        exp(-(round(bal / 10000.0, 8) - 0.5))), 8)
+    val spend = orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .as("spend_d"))
+    // materialize the scored unit table ONCE: treated and control
+    // views each feed two as-of joins (below/above) — without the
+    // barrier that is four customer scans (GlobalScanSpec ceiling)
+    val cust = customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_mktsegment") === "BUILDING").as("treated"),
+        ps(col("c_acctbal")).as("ps"),
+        coalesce(col("spend_d").cast("double"), lit(0.0)).as("y"))
+      .truncatedCheckpoint()
+    val t = cust.filter(col("treated"))
+      .select(col("c_custkey").as("t_key"), col("c_nationkey").as("t_nat"),
+        col("ps").as("t_ps"), col("y").as("t_y"))
+    val c = cust.filter(!col("treated"))
+      .select(col("c_custkey").as("c_key"), col("c_nationkey").as("c_nat"),
+        col("ps").as("c_ps"), col("y").as("c_y"))
+    // nearest control at or below the treated score (greatest c_ps
+    // <= t_ps; equal c_ps -> greatest c_key: the exec keeps the LAST
+    // in-window row of its (key, time, tie) ascending sort)
+    val below = graft.plans.AsOfJoinPlan.asof(t, c,
+        leftKeys = Seq(col("t_nat")), rightKeys = Seq(col("c_nat")),
+        leftTime = col("t_ps"), rightTime = col("c_ps"),
+        rightTie = Seq(col("c_key")))
+      .select(col("t_key"), col("t_ps"), col("t_y"),
+        col("c_ps").as("lo_ps"), col("c_y").as("lo_y"))
+    // nearest control at or above, by negating the score axis
+    val tNeg = t.withColumn("t_neg", -col("t_ps"))
+    val cNeg = c.withColumn("c_neg", -col("c_ps"))
+    val above = graft.plans.AsOfJoinPlan.asof(tNeg, cNeg,
+        leftKeys = Seq(col("t_nat")), rightKeys = Seq(col("c_nat")),
+        leftTime = col("t_neg"), rightTime = col("c_neg"),
+        rightTie = Seq(col("c_key")))
+      .select(col("t_key").as("a_key"),
+        col("c_ps").as("hi_ps"), col("c_y").as("hi_y"))
+    val pickLo = col("lo_ps").isNotNull && (col("hi_ps").isNull ||
+      (col("t_ps") - col("lo_ps")) <= (col("hi_ps") - col("t_ps")))
+    val matched = below.join(above, col("t_key") === col("a_key"))
+      .select(col("t_key"), col("t_ps"), col("t_y"),
+        when(pickLo, col("lo_y"))
+          .otherwise(col("hi_y")).as("m_y"),
+        when(pickLo, col("lo_ps"))
+          .otherwise(col("hi_ps")).as("m_ps"))
+    matched.agg(
+      count(lit(1)).as("n_treated"),
+      count(col("m_y")).as("n_matched"),
+      round(sum(round(col("t_y") - col("m_y"), 2).cast("decimal(18,2)"))
+        .cast("double") / count(col("m_y")), 4).as("att"),
+      round(sum(round(abs(col("t_ps") - col("m_ps")), 8)
+        .cast("decimal(18,8)")).cast("double") / count(col("m_ps")), 6)
+        .as("avg_ps_gap"))
+  }
+
+  val psmAttOracle: String =
+    """WITH spend AS (SELECT o_custkey,
+      |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS spend_d
+      |  FROM orders GROUP BY 1),
+      |cust AS (SELECT c_custkey, c_nationkey,
+      |    c_mktsegment = 'BUILDING' AS treated,
+      |    round(1.0/(1.0 + exp(-(round(c_acctbal/10000.0, 8) - 0.5))), 8)
+      |      AS ps,
+      |    coalesce(CAST(spend_d AS DOUBLE), 0.0) AS y
+      |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey),
+      |t AS (SELECT c_custkey AS t_key, c_nationkey AS t_nat,
+      |    ps AS t_ps, y AS t_y FROM cust WHERE treated),
+      |c AS (SELECT c_custkey AS c_key, c_nationkey AS c_nat,
+      |    ps AS c_ps, y AS c_y FROM cust WHERE NOT treated),
+      |lo AS (SELECT * FROM (SELECT t.t_key, c.c_ps AS lo_ps,
+      |      c.c_y AS lo_y,
+      |      row_number() OVER (PARTITION BY t.t_key
+      |        ORDER BY c.c_ps DESC, c.c_key DESC) AS rn
+      |    FROM t JOIN c ON c.c_nat = t.t_nat AND c.c_ps <= t.t_ps)
+      |  WHERE rn = 1),
+      |hi AS (SELECT * FROM (SELECT t.t_key, c.c_ps AS hi_ps,
+      |      c.c_y AS hi_y,
+      |      row_number() OVER (PARTITION BY t.t_key
+      |        ORDER BY c.c_ps ASC, c.c_key DESC) AS rn
+      |    FROM t JOIN c ON c.c_nat = t.t_nat AND c.c_ps >= t.t_ps)
+      |  WHERE rn = 1),
+      |m AS (SELECT t.t_key, t.t_ps, t.t_y,
+      |    CASE WHEN lo.lo_ps IS NOT NULL AND (hi.hi_ps IS NULL
+      |        OR (t.t_ps - lo.lo_ps) <= (hi.hi_ps - t.t_ps))
+      |      THEN lo.lo_y ELSE hi.hi_y END AS m_y,
+      |    CASE WHEN lo.lo_ps IS NOT NULL AND (hi.hi_ps IS NULL
+      |        OR (t.t_ps - lo.lo_ps) <= (hi.hi_ps - t.t_ps))
+      |      THEN lo.lo_ps ELSE hi.hi_ps END AS m_ps
+      |  FROM t LEFT JOIN lo ON lo.t_key = t.t_key
+      |  LEFT JOIN hi ON hi.t_key = t.t_key)
+      |SELECT count(*) AS n_treated, count(m_y) AS n_matched,
+      |  round(CAST(sum(CAST(round(t_y - m_y, 2) AS DECIMAL(18,2)))
+      |    AS DOUBLE)/count(m_y), 4) AS att,
+      |  round(CAST(sum(CAST(round(abs(t_ps - m_ps), 8)
+      |    AS DECIMAL(18,8))) AS DOUBLE)/count(m_ps), 6) AS avg_ps_gap
+      |FROM m""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_power_size" -> (powerSize _),
+    "q_psm_att" -> (psmAtt _))
+
+  val oracle: Map[String, String] = Map(
+    "q_power_size" -> powerSizeOracle,
+    "q_psm_att" -> psmAttOracle)
+}
