@@ -55,6 +55,43 @@ object CausalDesignQueries {
       |    /((p2 - p1)*(p2 - p1)), 6)) AS BIGINT) AS n_per_arm
       |FROM b2 ORDER BY c_mktsegment""".stripMargin
 
+  /** Shared unit table for the matching/weighting estimators:
+    * customer units with treatment flag (BUILDING segment), a fixed
+    * logistic propensity of account balance, and lifetime order
+    * spend as the outcome. Materialized ONCE per query (each
+    * estimator's branches otherwise re-scan the customer/orders
+    * facts past the GlobalScanSpec ceiling). */
+  private def scoredUnits(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CacheOps.CheckpointSyntax
+    def ps(bal: Column): Column =
+      round(lit(1.0) / (lit(1.0) +
+        exp(-(round(bal / 10000.0, 8) - 0.5))), 8)
+    val spend = orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .as("spend_d"))
+    customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_mktsegment") === "BUILDING").as("treated"),
+        ps(col("c_acctbal")).as("ps"),
+        coalesce(col("spend_d").cast("double"), lit(0.0)).as("y"))
+      .truncatedCheckpoint()
+  }
+
+  /** Oracle CTE text for [[scoredUnits]] — shared verbatim by the
+    * three estimator oracles so the unit table is character-identical
+    * across engines. */
+  private val scoredUnitsSql: String =
+    """spend AS (SELECT o_custkey,
+      |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS spend_d
+      |  FROM orders GROUP BY 1),
+      |cust AS (SELECT c_custkey, c_nationkey,
+      |    c_mktsegment = 'BUILDING' AS treated,
+      |    round(1.0/(1.0 + exp(-(round(c_acctbal/10000.0, 8) - 0.5))), 8)
+      |      AS ps,
+      |    coalesce(CAST(spend_d AS DOUBLE), 0.0) AS y
+      |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey)""".stripMargin
+
   /** q_psm_att — average treatment effect on the treated by
     * 1-nearest-neighbor propensity-score matching WITH replacement,
     * blocked exactly on nation: treated = BUILDING-segment customers,
@@ -70,24 +107,8 @@ object CausalDesignQueries {
     * operator's last-in-sort-order rule = greatest control custkey
     * (mirrored verbatim in the oracle's window ORDER BY). */
   def psmAtt(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.CacheOps.CheckpointSyntax
     graft.GraftExtensions.register(s)
-    def ps(bal: Column): Column =
-      round(lit(1.0) / (lit(1.0) +
-        exp(-(round(bal / 10000.0, 8) - 0.5))), 8)
-    val spend = orders(s, d).groupBy(col("o_custkey"))
-      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
-        .as("spend_d"))
-    // materialize the scored unit table ONCE: treated and control
-    // views each feed two as-of joins (below/above) — without the
-    // barrier that is four customer scans (GlobalScanSpec ceiling)
-    val cust = customer(s, d)
-      .join(spend, col("c_custkey") === col("o_custkey"), "left")
-      .select(col("c_custkey"), col("c_nationkey"),
-        (col("c_mktsegment") === "BUILDING").as("treated"),
-        ps(col("c_acctbal")).as("ps"),
-        coalesce(col("spend_d").cast("double"), lit(0.0)).as("y"))
-      .truncatedCheckpoint()
+    val cust = scoredUnits(s, d)
     val t = cust.filter(col("treated"))
       .select(col("c_custkey").as("t_key"), col("c_nationkey").as("t_nat"),
         col("ps").as("t_ps"), col("y").as("t_y"))
@@ -131,15 +152,7 @@ object CausalDesignQueries {
   }
 
   val psmAttOracle: String =
-    """WITH spend AS (SELECT o_custkey,
-      |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS spend_d
-      |  FROM orders GROUP BY 1),
-      |cust AS (SELECT c_custkey, c_nationkey,
-      |    c_mktsegment = 'BUILDING' AS treated,
-      |    round(1.0/(1.0 + exp(-(round(c_acctbal/10000.0, 8) - 0.5))), 8)
-      |      AS ps,
-      |    coalesce(CAST(spend_d AS DOUBLE), 0.0) AS y
-      |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey),
+    s"""WITH $scoredUnitsSql,
       |t AS (SELECT c_custkey AS t_key, c_nationkey AS t_nat,
       |    ps AS t_ps, y AS t_y FROM cust WHERE treated),
       |c AS (SELECT c_custkey AS c_key, c_nationkey AS c_nat,
@@ -172,11 +185,143 @@ object CausalDesignQueries {
       |    AS DECIMAL(18,8))) AS DOUBLE)/count(m_ps), 6) AS avg_ps_gap
       |FROM m""".stripMargin
 
+  /** q_ipw_ate — inverse-propensity-weighted average treatment
+    * effect over the same scored units, with the practical guards:
+    * propensity TRIMMED to [0.05, 0.95] (the overlap fix every
+    * production IPW applies) and BOTH the Horvitz–Thompson and the
+    * Hájek (self-normalized) estimators reported. ONE fold over the
+    * unit table — per-row weighted terms rounded into exact decimal
+    * sums; no joins at all beyond the shared unit build. */
+  def ipwAte(s: SparkSession, d: String): DataFrame = {
+    val u = scoredUnits(s, d)
+      .withColumn("psc", least(lit(0.95), greatest(lit(0.05), col("ps"))))
+      .withColumn("t", col("treated").cast("double"))
+    def dsum(c: Column) = sum(round(c, 6).cast("decimal(24,6)"))
+    u.agg(
+        count(lit(1)).as("n"),
+        sum(col("treated").cast("long")).as("n_treated"),
+        dsum(col("t") * col("y") / col("psc")).as("s_ty"),
+        dsum(col("t") / col("psc")).as("s_tw"),
+        dsum((lit(1.0) - col("t")) * col("y") / (lit(1.0) - col("psc")))
+          .as("s_cy"),
+        dsum((lit(1.0) - col("t")) / (lit(1.0) - col("psc"))).as("s_cw"))
+      .select(col("n"), col("n_treated"),
+        round((col("s_ty").cast("double") - col("s_cy").cast("double"))
+          / col("n"), 4).as("ate_ht"),
+        round(col("s_ty").cast("double") / col("s_tw").cast("double")
+          - col("s_cy").cast("double") / col("s_cw").cast("double"), 4)
+          .as("ate_hajek"))
+  }
+
+  val ipwAteOracle: String =
+    s"""WITH $scoredUnitsSql,
+      |u AS (SELECT *,
+      |    least(0.95, greatest(0.05, ps)) AS psc,
+      |    CASE WHEN treated THEN 1.0 ELSE 0.0 END AS t
+      |  FROM cust),
+      |m AS (SELECT count(*) AS n,
+      |    sum(CASE WHEN treated THEN 1 ELSE 0 END) AS n_treated,
+      |    sum(CAST(round(t*y/psc, 6) AS DECIMAL(24,6))) AS s_ty,
+      |    sum(CAST(round(t/psc, 6) AS DECIMAL(24,6))) AS s_tw,
+      |    sum(CAST(round((1.0 - t)*y/(1.0 - psc), 6) AS DECIMAL(24,6)))
+      |      AS s_cy,
+      |    sum(CAST(round((1.0 - t)/(1.0 - psc), 6) AS DECIMAL(24,6)))
+      |      AS s_cw
+      |  FROM u)
+      |SELECT n, CAST(n_treated AS BIGINT) AS n_treated,
+      |  round((CAST(s_ty AS DOUBLE) - CAST(s_cy AS DOUBLE))/n, 4)
+      |    AS ate_ht,
+      |  round(CAST(s_ty AS DOUBLE)/CAST(s_tw AS DOUBLE)
+      |    - CAST(s_cy AS DOUBLE)/CAST(s_cw AS DOUBLE), 4) AS ate_hajek
+      |FROM m""".stripMargin
+
+  /** q_aipw_dr — doubly-robust (augmented IPW) ATE: the outcome
+    * model is the per-nation arm mean (falling back to the global
+    * arm mean where a nation lacks an arm), the weighting model the
+    * trimmed propensity; the AIPW score φ = μ₁ − μ₀ +
+    * t(y − μ₁)/p − (1 − t)(y − μ₀)/(1 − p) is one fold. Consistent
+    * if EITHER model is right — the estimator a pipeline actually
+    * ships next to raw IPW. Nation means are a 25-row broadcast. */
+  def aipwDr(s: SparkSession, d: String): DataFrame = {
+    val u = scoredUnits(s, d)
+      .withColumn("psc", least(lit(0.95), greatest(lit(0.05), col("ps"))))
+      .withColumn("t", col("treated").cast("double"))
+    val natMeans = u.groupBy(col("c_nationkey").as("m_nat"))
+      .agg(
+        round(sum(when(col("treated"), round(col("y"), 2))
+            .cast("decimal(18,2)")).cast("double")
+          / sum(when(col("treated"), 1L)), 6).as("mu1_nat"),
+        round(sum(when(!col("treated"), round(col("y"), 2))
+            .cast("decimal(18,2)")).cast("double")
+          / sum(when(!col("treated"), 1L)), 6).as("mu0_nat"))
+    val globMeans = u.agg(
+        round(sum(when(col("treated"), round(col("y"), 2))
+            .cast("decimal(18,2)")).cast("double")
+          / sum(when(col("treated"), 1L)), 6).as("mu1_glob"),
+        round(sum(when(!col("treated"), round(col("y"), 2))
+            .cast("decimal(18,2)")).cast("double")
+          / sum(when(!col("treated"), 1L)), 6).as("mu0_glob"))
+    val withMu = u
+      .join(broadcast(natMeans), col("c_nationkey") === col("m_nat"), "left")
+      .crossJoin(broadcast(globMeans))
+      .withColumn("mu1", coalesce(col("mu1_nat"), col("mu1_glob")))
+      .withColumn("mu0", coalesce(col("mu0_nat"), col("mu0_glob")))
+    val phi = col("mu1") - col("mu0") +
+      col("t") * (col("y") - col("mu1")) / col("psc") -
+      (lit(1.0) - col("t")) * (col("y") - col("mu0")) / (lit(1.0) - col("psc"))
+    withMu.agg(
+        count(lit(1)).as("n"),
+        sum(round(phi, 6).cast("decimal(24,6)")).as("s_phi"),
+        first(col("mu1_glob")).as("mu1_glob"),
+        first(col("mu0_glob")).as("mu0_glob"))
+      .select(col("n"),
+        round(col("s_phi").cast("double") / col("n"), 4).as("ate_dr"),
+        col("mu1_glob"), col("mu0_glob"))
+  }
+
+  val aipwDrOracle: String =
+    s"""WITH $scoredUnitsSql,
+      |u AS (SELECT *,
+      |    least(0.95, greatest(0.05, ps)) AS psc,
+      |    CASE WHEN treated THEN 1.0 ELSE 0.0 END AS t
+      |  FROM cust),
+      |nat AS (SELECT c_nationkey AS m_nat,
+      |    round(CAST(sum(CASE WHEN treated
+      |        THEN CAST(round(y, 2) AS DECIMAL(18,2)) END) AS DOUBLE)
+      |      /sum(CASE WHEN treated THEN 1 END), 6) AS mu1_nat,
+      |    round(CAST(sum(CASE WHEN NOT treated
+      |        THEN CAST(round(y, 2) AS DECIMAL(18,2)) END) AS DOUBLE)
+      |      /sum(CASE WHEN NOT treated THEN 1 END), 6) AS mu0_nat
+      |  FROM u GROUP BY 1),
+      |gmeans AS (SELECT
+      |    round(CAST(sum(CASE WHEN treated
+      |        THEN CAST(round(y, 2) AS DECIMAL(18,2)) END) AS DOUBLE)
+      |      /sum(CASE WHEN treated THEN 1 END), 6) AS mu1_glob,
+      |    round(CAST(sum(CASE WHEN NOT treated
+      |        THEN CAST(round(y, 2) AS DECIMAL(18,2)) END) AS DOUBLE)
+      |      /sum(CASE WHEN NOT treated THEN 1 END), 6) AS mu0_glob
+      |  FROM u),
+      |wm AS (SELECT u.*, gmeans.mu1_glob, gmeans.mu0_glob,
+      |    coalesce(nat.mu1_nat, gmeans.mu1_glob) AS mu1,
+      |    coalesce(nat.mu0_nat, gmeans.mu0_glob) AS mu0
+      |  FROM u LEFT JOIN nat ON nat.m_nat = u.c_nationkey
+      |  CROSS JOIN gmeans)
+      |SELECT count(*) AS n,
+      |  round(CAST(sum(CAST(round(mu1 - mu0 + t*(y - mu1)/psc
+      |    - (1.0 - t)*(y - mu0)/(1.0 - psc), 6) AS DECIMAL(24,6)))
+      |    AS DOUBLE)/count(*), 4) AS ate_dr,
+      |  any_value(mu1_glob) AS mu1_glob, any_value(mu0_glob) AS mu0_glob
+      |FROM wm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_power_size" -> (powerSize _),
-    "q_psm_att" -> (psmAtt _))
+    "q_psm_att" -> (psmAtt _),
+    "q_ipw_ate" -> (ipwAte _),
+    "q_aipw_dr" -> (aipwDr _))
 
   val oracle: Map[String, String] = Map(
     "q_power_size" -> powerSizeOracle,
-    "q_psm_att" -> psmAttOracle)
+    "q_psm_att" -> psmAttOracle,
+    "q_ipw_ate" -> ipwAteOracle,
+    "q_aipw_dr" -> aipwDrOracle)
 }

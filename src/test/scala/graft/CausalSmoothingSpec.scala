@@ -76,6 +76,70 @@ class CausalSmoothingSpec extends GraftSpecBase {
     }
   }
 
+  private def units() = {
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey").agg(expr("sum(round(o_totalprice, 2)) AS y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .collect().map { r =>
+        // mirror the query's 8dp score rounding: the weights divide
+        // by ps, so an unrounded reference drifts ~1e-3 per row
+        def r8(x: Double) =
+          BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val ps = r8(1.0 / (1.0 +
+          math.exp(-(r8(r.getDouble(3) / 10000.0) - 0.5))))
+        (r.getLong(0), r.getInt(1), r.getString(2) == "BUILDING",
+          math.min(0.95, math.max(0.05, ps)),
+          spend.getOrElse(r.getLong(0), 0.0))
+      }
+  }
+
+  test("q_ipw_ate matches the trimmed HT and Hajek references") {
+    val us = units()
+    // mirror the query's 6dp per-term rounding: the Hajek ratio
+    // multiplies a ~1e-7 relative weight perturbation by the ~1e5
+    // outcome scale, so an unrounded reference lands ~0.07 away
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ht = us.map { case (_, _, tr, p, y) =>
+      if (tr) r6(y / p) else -r6(y / (1.0 - p)) }.sum / us.length
+    val sTy = us.collect { case (_, _, true, p, y) => r6(y / p) }.sum
+    val sTw = us.collect { case (_, _, true, p, _) => r6(1.0 / p) }.sum
+    val sCy = us.collect { case (_, _, false, p, y) => r6(y / (1.0 - p)) }.sum
+    val sCw = us.collect { case (_, _, false, p, _) => r6(1.0 / (1.0 - p)) }.sum
+    val hajek = sTy / sTw - sCy / sCw
+    val out = graft.queries.CausalDesignQueries.ipwAte(spark, sf)
+      .collect().head
+    assert(out.getLong(0) == us.length.toLong)
+    assert(out.getLong(1) == us.count(_._3).toLong)
+    assert(math.abs(out.getDouble(2) - ht) < 0.02, s"ht ${out.getDouble(2)} vs $ht")
+    assert(math.abs(out.getDouble(3) - hajek) < 0.02)
+  }
+
+  test("q_aipw_dr matches the augmented-IPW reference") {
+    val us = units()
+    def armMean(xs: Seq[(Long, Int, Boolean, Double, Double)]) =
+      if (xs.isEmpty) None else Some(xs.map(_._5).sum / xs.length)
+    val mu1g = armMean(us.filter(_._3).toSeq).get
+    val mu0g = armMean(us.filterNot(_._3).toSeq).get
+    val byNat = us.groupBy(_._2)
+    val phi = us.map { case (_, nat, tr, p, y) =>
+      val blk = byNat(nat)
+      val mu1 = armMean(blk.filter(_._3).toSeq).getOrElse(mu1g)
+      val mu0 = armMean(blk.filterNot(_._3).toSeq).getOrElse(mu0g)
+      val t = if (tr) 1.0 else 0.0
+      mu1 - mu0 + t * (y - mu1) / p - (1.0 - t) * (y - mu0) / (1.0 - p)
+    }
+    val out = graft.queries.CausalDesignQueries.aipwDr(spark, sf)
+      .collect().head
+    assert(out.getLong(0) == us.length.toLong)
+    assert(math.abs(out.getDouble(1) - phi.sum / phi.length) < 0.02,
+      s"dr ${out.getDouble(1)} vs ${phi.sum / phi.length}")
+    assert(math.abs(out.getDouble(2) - mu1g) < 0.01)
+    assert(math.abs(out.getDouble(3) - mu0g) < 0.01)
+  }
+
   test("q_psm_att reproduces the blocked nearest-score matching") {
     val spend = spark.read.parquet(s"$sf/orders.parquet")
       .groupBy("o_custkey").agg(expr("sum(round(o_totalprice, 2)) AS y"))
