@@ -313,15 +313,177 @@ object CausalDesignQueries {
       |  any_value(mu1_glob) AS mu1_glob, any_value(mu0_glob) AS mu0_glob
       |FROM wm""".stripMargin
 
+  /** q_rdd_effect — sharp regression discontinuity at the
+    * acctbal = 5000 threshold: local LINEAR fits on each side within
+    * a literal bandwidth h = 2500, effect = the jump between the two
+    * intercepts AT the cutoff. Each side is ONE closed-form OLS
+    * moment fold over x = (bal − 5000)/1000 (the q_linreg2 algebra),
+    * outcome = lifetime spend in 100k units; side selection is a
+    * partial filter pushed to the scan. Completes the identification
+    * toolkit next to q_did/q_cuped (designs) and the PSM/IPW/AIPW
+    * trio (selection-on-observables). */
+  def rddEffect(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .as("spend_d"))
+    val u = customer(s, d)
+      .filter(col("c_acctbal") >= 2500.0 && col("c_acctbal") <= 7500.0)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        round((col("c_acctbal") - 5000.0) / 1000.0, 8).as("x"),
+        (col("c_acctbal") >= 5000.0).as("hi"),
+        round(coalesce(col("spend_d").cast("double"), lit(0.0))
+          / 100000.0, 8).as("y"))
+    // BOTH sides in ONE conditional fold (no boolean-keyed groupBy +
+    // self-join — a single global aggregate row carries the ten
+    // moments, the same shape as q_linreg2's scalar join)
+    def f(c: String) = col(c).cast("double")
+    def sideSums(p: org.apache.spark.sql.Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(p, col("x")).otherwise(lit(0.0)).cast("decimal(18,8)"))
+        .as(s"sx_$tag"),
+      sum(round(when(p, col("x") * col("x")).otherwise(lit(0.0)), 10)
+        .cast("decimal(27,10)")).as(s"sxx_$tag"),
+      sum(when(p, col("y")).otherwise(lit(0.0)).cast("decimal(18,8)"))
+        .as(s"sy_$tag"),
+      sum(round(when(p, col("x") * col("y")).otherwise(lit(0.0)), 10)
+        .cast("decimal(27,10)")).as(s"sxy_$tag"))
+    val sums = sideSums(col("hi"), "hi") ++ sideSums(!col("hi"), "lo")
+    val m = u.agg(sums.head, sums.tail: _*)
+    def aOf(t: String) = round((f(s"sxx_$t") * f(s"sy_$t")
+        - f(s"sx_$t") * f(s"sxy_$t"))
+      / (f(s"n_$t") * f(s"sxx_$t") - f(s"sx_$t") * f(s"sx_$t")), 8)
+    def bOf(t: String) = round((f(s"n_$t") * f(s"sxy_$t")
+        - f(s"sx_$t") * f(s"sy_$t"))
+      / (f(s"n_$t") * f(s"sxx_$t") - f(s"sx_$t") * f(s"sx_$t")), 8)
+    m.select(col("n_lo"), col("n_hi"),
+        aOf("lo").as("alpha_lo"), aOf("hi").as("alpha_hi"),
+        bOf("lo").as("slope_lo"), bOf("hi").as("slope_hi"),
+        round(aOf("hi") - aOf("lo"), 6).as("effect"))
+  }
+
+  val rddEffectOracle: String =
+    """WITH spend AS (SELECT o_custkey,
+      |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS spend_d
+      |  FROM orders GROUP BY 1),
+      |u AS (SELECT round((c_acctbal - 5000.0)/1000.0, 8) AS x,
+      |    c_acctbal >= 5000.0 AS hi,
+      |    round(coalesce(CAST(spend_d AS DOUBLE), 0.0)/100000.0, 8) AS y
+      |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey
+      |  WHERE c_acctbal >= 2500.0 AND c_acctbal <= 7500.0),
+      |m AS (SELECT
+      |    sum(CASE WHEN hi THEN 1 ELSE 0 END) AS n_hi,
+      |    CAST(sum(CAST(CASE WHEN hi THEN x ELSE 0.0 END
+      |      AS DECIMAL(18,8))) AS DOUBLE) AS sx_hi,
+      |    CAST(sum(CAST(round(CASE WHEN hi THEN x*x ELSE 0.0 END, 10)
+      |      AS DECIMAL(27,10))) AS DOUBLE) AS sxx_hi,
+      |    CAST(sum(CAST(CASE WHEN hi THEN y ELSE 0.0 END
+      |      AS DECIMAL(18,8))) AS DOUBLE) AS sy_hi,
+      |    CAST(sum(CAST(round(CASE WHEN hi THEN x*y ELSE 0.0 END, 10)
+      |      AS DECIMAL(27,10))) AS DOUBLE) AS sxy_hi,
+      |    sum(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS n_lo,
+      |    CAST(sum(CAST(CASE WHEN NOT hi THEN x ELSE 0.0 END
+      |      AS DECIMAL(18,8))) AS DOUBLE) AS sx_lo,
+      |    CAST(sum(CAST(round(CASE WHEN NOT hi THEN x*x ELSE 0.0 END,
+      |      10) AS DECIMAL(27,10))) AS DOUBLE) AS sxx_lo,
+      |    CAST(sum(CAST(CASE WHEN NOT hi THEN y ELSE 0.0 END
+      |      AS DECIMAL(18,8))) AS DOUBLE) AS sy_lo,
+      |    CAST(sum(CAST(round(CASE WHEN NOT hi THEN x*y ELSE 0.0 END,
+      |      10) AS DECIMAL(27,10))) AS DOUBLE) AS sxy_lo
+      |  FROM u)
+      |SELECT CAST(n_lo AS BIGINT) AS n_lo, CAST(n_hi AS BIGINT) AS n_hi,
+      |  round((sxx_lo*sy_lo - sx_lo*sxy_lo)
+      |    /(n_lo*sxx_lo - sx_lo*sx_lo), 8) AS alpha_lo,
+      |  round((sxx_hi*sy_hi - sx_hi*sxy_hi)
+      |    /(n_hi*sxx_hi - sx_hi*sx_hi), 8) AS alpha_hi,
+      |  round((n_lo*sxy_lo - sx_lo*sy_lo)
+      |    /(n_lo*sxx_lo - sx_lo*sx_lo), 8) AS slope_lo,
+      |  round((n_hi*sxy_hi - sx_hi*sy_hi)
+      |    /(n_hi*sxx_hi - sx_hi*sx_hi), 8) AS slope_hi,
+      |  round(round((sxx_hi*sy_hi - sx_hi*sxy_hi)
+      |      /(n_hi*sxx_hi - sx_hi*sx_hi), 8)
+      |    - round((sxx_lo*sy_lo - sx_lo*sxy_lo)
+      |      /(n_lo*sxx_lo - sx_lo*sx_lo), 8), 6) AS effect
+      |FROM m""".stripMargin
+
+  /** q_iv_wald — instrumental-variable LATE by the Wald ratio under
+    * a synthetic encouragement design: instrument z = even custkey
+    * (as-good-as-random), take-up t follows the encouragement with a
+    * balance-dependent compliance rule (documented synthetic: evens
+    * take up above 3000, odds only above 7000), outcome = lifetime
+    * spend in 100k units. ITT, first stage, and LATE = ITT/first-
+    * stage from ONE conditional fold — the two-fold z-split never
+    * materializes. */
+  def ivWald(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .as("spend_d"))
+    val u = customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        (col("c_custkey") % 2 === 0).as("z"),
+        when(col("c_custkey") % 2 === 0, col("c_acctbal") > 3000.0)
+          .otherwise(col("c_acctbal") > 7000.0).cast("double").as("t"),
+        round(coalesce(col("spend_d").cast("double"), lit(0.0))
+          / 100000.0, 8).as("y"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 8).cast("decimal(20,8)")).cast("double")
+    val m = u.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("z"), 1L).otherwise(0L)).as("n1"),
+      dsum(when(col("z"), col("y")).otherwise(lit(0.0))).as("sy1"),
+      dsum(when(!col("z"), col("y")).otherwise(lit(0.0))).as("sy0"),
+      dsum(when(col("z"), col("t")).otherwise(lit(0.0))).as("st1"),
+      dsum(when(!col("z"), col("t")).otherwise(lit(0.0))).as("st0"))
+    def f(c: String) = col(c).cast("double")
+    val n0 = f("n") - f("n1")
+    val itt = round(col("sy1") / f("n1") - col("sy0") / n0, 8)
+    val fs = round(col("st1") / f("n1") - col("st0") / n0, 8)
+    m.select(col("n"), col("n1"),
+        itt.as("itt"), fs.as("first_stage"),
+        round(itt / fs, 6).as("late_wald"))
+  }
+
+  val ivWaldOracle: String =
+    """WITH spend AS (SELECT o_custkey,
+      |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS spend_d
+      |  FROM orders GROUP BY 1),
+      |u AS (SELECT c_custkey % 2 = 0 AS z,
+      |    CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal > 3000.0
+      |      ELSE c_acctbal > 7000.0 END AS DOUBLE) AS t,
+      |    round(coalesce(CAST(spend_d AS DOUBLE), 0.0)/100000.0, 8) AS y
+      |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey),
+      |m AS (SELECT count(*) AS n,
+      |    sum(CASE WHEN z THEN 1 ELSE 0 END) AS n1,
+      |    CAST(sum(CAST(round(CASE WHEN z THEN y ELSE 0.0 END, 8)
+      |      AS DECIMAL(20,8))) AS DOUBLE) AS sy1,
+      |    CAST(sum(CAST(round(CASE WHEN NOT z THEN y ELSE 0.0 END, 8)
+      |      AS DECIMAL(20,8))) AS DOUBLE) AS sy0,
+      |    CAST(sum(CAST(round(CASE WHEN z THEN t ELSE 0.0 END, 8)
+      |      AS DECIMAL(20,8))) AS DOUBLE) AS st1,
+      |    CAST(sum(CAST(round(CASE WHEN NOT z THEN t ELSE 0.0 END, 8)
+      |      AS DECIMAL(20,8))) AS DOUBLE) AS st0
+      |  FROM u)
+      |SELECT n, CAST(n1 AS BIGINT) AS n1,
+      |  round(sy1/n1 - sy0/(n - n1), 8) AS itt,
+      |  round(st1/n1 - st0/(n - n1), 8) AS first_stage,
+      |  round(round(sy1/n1 - sy0/(n - n1), 8)
+      |    /round(st1/n1 - st0/(n - n1), 8), 6) AS late_wald
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_power_size" -> (powerSize _),
     "q_psm_att" -> (psmAtt _),
     "q_ipw_ate" -> (ipwAte _),
-    "q_aipw_dr" -> (aipwDr _))
+    "q_aipw_dr" -> (aipwDr _),
+    "q_rdd_effect" -> (rddEffect _),
+    "q_iv_wald" -> (ivWald _))
 
   val oracle: Map[String, String] = Map(
     "q_power_size" -> powerSizeOracle,
     "q_psm_att" -> psmAttOracle,
     "q_ipw_ate" -> ipwAteOracle,
-    "q_aipw_dr" -> aipwDrOracle)
+    "q_aipw_dr" -> aipwDrOracle,
+    "q_rdd_effect" -> rddEffectOracle,
+    "q_iv_wald" -> ivWaldOracle)
 }

@@ -140,6 +140,65 @@ class CausalSmoothingSpec extends GraftSpecBase {
     assert(math.abs(out.getDouble(3) - mu0g) < 0.01)
   }
 
+  test("q_rdd_effect matches two closed-form local OLS fits") {
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey").agg(expr("sum(round(o_totalprice, 2)) AS y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pts = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(t => t._2 >= 2500.0 && t._2 <= 7500.0)
+      .map { case (k, bal) =>
+        ((bal - 5000.0) / 1000.0, bal >= 5000.0,
+          spend.getOrElse(k, 0.0) / 100000.0)
+      }
+    def ols(side: Array[(Double, Boolean, Double)]) = {
+      val n = side.length.toDouble
+      val sx = side.map(_._1).sum; val sy = side.map(_._3).sum
+      val sxx = side.map(t => t._1 * t._1).sum
+      val sxy = side.map(t => t._1 * t._3).sum
+      val det = n * sxx - sx * sx
+      ((sxx * sy - sx * sxy) / det, (n * sxy - sx * sy) / det)
+    }
+    val (aLo, bLo) = ols(pts.filterNot(_._2))
+    val (aHi, bHi) = ols(pts.filter(_._2))
+    val out = graft.queries.CausalDesignQueries.rddEffect(spark, sf)
+      .collect().head
+    assert(out.getLong(0) == pts.count(!_._2).toLong)
+    assert(out.getLong(1) == pts.count(_._2).toLong)
+    assert(math.abs(out.getDouble(2) - aLo) < tol)
+    assert(math.abs(out.getDouble(3) - aHi) < tol)
+    assert(math.abs(out.getDouble(4) - bLo) < tol)
+    assert(math.abs(out.getDouble(5) - bHi) < tol)
+    assert(math.abs(out.getDouble(6) - (aHi - aLo)) < tol)
+  }
+
+  test("q_iv_wald matches the Wald ratio reference") {
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey").agg(expr("sum(round(o_totalprice, 2)) AS y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val us = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_acctbal").collect()
+      .map { r =>
+        val k = r.getLong(0); val bal = r.getDouble(1)
+        val z = k % 2 == 0
+        val t = if (z) bal > 3000.0 else bal > 7000.0
+        (z, if (t) 1.0 else 0.0, spend.getOrElse(k, 0.0) / 100000.0)
+      }
+    val z1 = us.filter(_._1); val z0 = us.filterNot(_._1)
+    val itt = z1.map(_._3).sum / z1.length - z0.map(_._3).sum / z0.length
+    val fs = z1.map(_._2).sum / z1.length - z0.map(_._2).sum / z0.length
+    val out = graft.queries.CausalDesignQueries.ivWald(spark, sf)
+      .collect().head
+    assert(out.getLong(0) == us.length.toLong)
+    assert(out.getLong(1) == z1.length.toLong)
+    assert(math.abs(out.getDouble(2) - itt) < tol)
+    assert(math.abs(out.getDouble(3) - fs) < tol)
+    assert(math.abs(out.getDouble(4) - itt / fs) < 0.01)
+    // the synthetic encouragement must produce a strong first stage
+    assert(math.abs(out.getDouble(3)) > 0.1)
+  }
+
   test("q_psm_att reproduces the blocked nearest-score matching") {
     val spend = spark.read.parquet(s"$sf/orders.parquet")
       .groupBy("o_custkey").agg(expr("sum(round(o_totalprice, 2)) AS y"))
