@@ -471,13 +471,82 @@ object CausalDesignQueries {
       |    /round(st1/n1 - st0/(n - n1), 8), 6) AS late_wald
       |FROM m""".stripMargin
 
+  /** q_uplift_bins — uplift-model evaluation over FIXED literal
+    * score bands (the shelf's bounded-grid stand-in for score
+    * deciles, which would need a partition-less ntile): per band the
+    * treated-vs-control outcome uplift, and per descending-score
+    * cutoff the cumulative Qini value
+    * Q(b) = Y_t(≥b) − Y_c(≥b)·N_t(≥b)/N_c(≥b),
+    * assembled by a 5×5 band self-join — a bounded contraction at
+    * every data scale. Scores reuse the fixed propensity (a model
+    * score proxy); empty-arm cutoffs guard to NULL identically in
+    * both engines. */
+  def upliftBins(s: SparkSession, d: String): DataFrame = {
+    val u = scoredUnits(s, d)
+      .withColumn("band",
+        least(lit(4), floor(col("ps") * 5.0)).cast("int"))
+      .withColumn("t", col("treated").cast("double"))
+    val bands = u.groupBy(col("band")).agg(
+      sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("treated"), round(col("y"), 2)).cast("decimal(18,2)"))
+        .as("y_t"),
+      sum(when(!col("treated"), round(col("y"), 2)).cast("decimal(18,2)"))
+        .as("y_c"))
+    val cum = bands.select(col("band").as("b0"))
+      .join(broadcast(bands), col("band") >= col("b0"))
+      .groupBy(col("b0"))
+      .agg(sum(col("n_t")).as("c_nt"), sum(col("n_c")).as("c_nc"),
+        sum(col("y_t")).as("c_yt"), sum(col("y_c")).as("c_yc"))
+    bands.join(broadcast(cum), col("band") === col("b0"))
+      .select(col("band"), col("n_t"), col("n_c"),
+        when(col("n_t") > 0 && col("n_c") > 0,
+          round(col("y_t").cast("double") / col("n_t")
+            - col("y_c").cast("double") / col("n_c"), 6)).as("uplift"),
+        when(col("c_nc") > 0,
+          round(col("c_yt").cast("double")
+            - col("c_yc").cast("double") * col("c_nt") / col("c_nc"), 4))
+          .as("qini"))
+      .orderBy(col("band").desc)
+  }
+
+  val upliftBinsOracle: String =
+    s"""WITH $scoredUnitsSql,
+      |u AS (SELECT *,
+      |    CAST(least(4, floor(ps*5.0)) AS INTEGER) AS band
+      |  FROM cust),
+      |bands AS (SELECT band,
+      |    sum(CASE WHEN treated THEN 1 ELSE 0 END) AS n_t,
+      |    sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS n_c,
+      |    sum(CAST(CASE WHEN treated THEN round(y, 2) END
+      |      AS DECIMAL(18,2))) AS y_t,
+      |    sum(CAST(CASE WHEN NOT treated THEN round(y, 2) END
+      |      AS DECIMAL(18,2))) AS y_c
+      |  FROM u GROUP BY 1),
+      |cum AS (SELECT d.b0, sum(b.n_t) AS c_nt, sum(b.n_c) AS c_nc,
+      |    sum(b.y_t) AS c_yt, sum(b.y_c) AS c_yc
+      |  FROM (SELECT band AS b0 FROM bands) d
+      |  JOIN bands b ON b.band >= d.b0
+      |  GROUP BY 1)
+      |SELECT band, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+      |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+      |    round(CAST(y_t AS DOUBLE)/n_t - CAST(y_c AS DOUBLE)/n_c, 6)
+      |  END AS uplift,
+      |  CASE WHEN c_nc > 0 THEN
+      |    round(CAST(c_yt AS DOUBLE)
+      |      - CAST(c_yc AS DOUBLE)*c_nt/c_nc, 4)
+      |  END AS qini
+      |FROM bands JOIN cum ON cum.b0 = bands.band
+      |ORDER BY band DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_power_size" -> (powerSize _),
     "q_psm_att" -> (psmAtt _),
     "q_ipw_ate" -> (ipwAte _),
     "q_aipw_dr" -> (aipwDr _),
     "q_rdd_effect" -> (rddEffect _),
-    "q_iv_wald" -> (ivWald _))
+    "q_iv_wald" -> (ivWald _),
+    "q_uplift_bins" -> (upliftBins _))
 
   val oracle: Map[String, String] = Map(
     "q_power_size" -> powerSizeOracle,
@@ -485,5 +554,6 @@ object CausalDesignQueries {
     "q_ipw_ate" -> ipwAteOracle,
     "q_aipw_dr" -> aipwDrOracle,
     "q_rdd_effect" -> rddEffectOracle,
-    "q_iv_wald" -> ivWaldOracle)
+    "q_iv_wald" -> ivWaldOracle,
+    "q_uplift_bins" -> upliftBinsOracle)
 }

@@ -140,6 +140,33 @@ class CausalSmoothingSpec extends GraftSpecBase {
     assert(math.abs(out.getDouble(3) - mu0g) < 0.01)
   }
 
+  test("q_uplift_bins matches per-band uplift and cumulative Qini") {
+    val us = units() // (key, nat, treated, ps-trimmed, y) — trimming
+    // does not move band membership here (bands are 0.2-wide and the
+    // trim clamps at 0.05/0.95, inside bands 0 and 4)
+    val byBand = us.groupBy(u => math.min(4, (u._4 * 5.0).toInt))
+    val out = graft.queries.CausalDesignQueries.upliftBins(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.keySet == byBand.keySet)
+    byBand.foreach { case (b, xs) =>
+      val t = xs.filter(_._3); val c = xs.filterNot(_._3)
+      val (nT, nC, uplift, qini) = out(b)
+      assert(nT == t.length.toLong && nC == c.length.toLong)
+      if (t.nonEmpty && c.nonEmpty)
+        assert(math.abs(uplift.get
+          - (t.map(_._5).sum / t.length - c.map(_._5).sum / c.length)) < 0.01)
+      val cumXs = byBand.filter(_._1 >= b).values.flatten
+      val ct = cumXs.filter(_._3); val cc = cumXs.filterNot(_._3)
+      if (cc.nonEmpty)
+        assert(math.abs(qini.get - (ct.map(_._5).sum
+          - cc.map(_._5).sum * ct.size.toDouble / cc.size)) < 0.02,
+          s"band $b qini")
+    }
+  }
+
   test("q_rdd_effect matches two closed-form local OLS fits") {
     val spend = spark.read.parquet(s"$sf/orders.parquet")
       .groupBy("o_custkey").agg(expr("sum(round(o_totalprice, 2)) AS y"))
