@@ -32,7 +32,8 @@ object Verify {
     // driver-identical hash gate then certifies value-equality. Any
     // divergence found this way is a real 100 TB bug (tie-broken by
     // partition order) that sf-local runs can never see.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .filter(_.nonEmpty).getOrElse(cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)

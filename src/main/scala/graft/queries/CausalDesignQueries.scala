@@ -34,8 +34,12 @@ object CausalDesignQueries {
         col("p2") * (lit(1.0) - col("p2")))
     base.withColumn("p2", p2)
       .select(col("c_mktsegment"), col("n_cust"), col("p1"), col("p2"),
-        ceil(round(term * term / ((col("p2") - col("p1"))
-          * (col("p2") - col("p1"))), 6)).as("n_per_arm"))
+        // degenerate segments (p1 = 0, or p2 clamped onto p1) would
+        // make the ratio 0/0 = NaN, which the two engines coerce
+        // differently — emit NULL identically instead
+        when(col("p2") > col("p1"),
+          ceil(round(term * term / ((col("p2") - col("p1"))
+            * (col("p2") - col("p1"))), 6))).as("n_per_arm"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -48,12 +52,28 @@ object CausalDesignQueries {
       |    least(0.999, round(p1*1.2, 8)) AS p2
       |  FROM base)
       |SELECT c_mktsegment, n_cust, p1, p2,
+      |  CASE WHEN p2 > p1 THEN
       |  CAST(ceil(round((1.959964*sqrt(2.0*((p1 + p2)/2.0)*(1.0 - (p1 + p2)/2.0))
       |      + 0.841621*sqrt(p1*(1.0 - p1) + p2*(1.0 - p2)))
       |    *(1.959964*sqrt(2.0*((p1 + p2)/2.0)*(1.0 - (p1 + p2)/2.0))
       |      + 0.841621*sqrt(p1*(1.0 - p1) + p2*(1.0 - p2)))
-      |    /((p2 - p1)*(p2 - p1)), 6)) AS BIGINT) AS n_per_arm
+      |    /((p2 - p1)*(p2 - p1)), 6)) AS BIGINT) END AS n_per_arm
       |FROM b2 ORDER BY c_mktsegment""".stripMargin
+
+  /** Per-customer lifetime spend as an exact 2dp decimal — the ONE
+    * definition of the outcome aggregation every estimator in this
+    * file builds on (its SQL twin is [[spendCte]]). */
+  private def spendPerCust(s: SparkSession, d: String): DataFrame =
+    orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .as("spend_d"))
+
+  /** Oracle CTE body for [[spendPerCust]], shared verbatim by every
+    * estimator oracle in this file. */
+  private val spendCte: String =
+    """spend AS (SELECT o_custkey,
+      |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS spend_d
+      |  FROM orders GROUP BY 1)""".stripMargin
 
   /** Shared unit table for the matching/weighting estimators:
     * customer units with treatment flag (BUILDING segment), a fixed
@@ -66,11 +86,8 @@ object CausalDesignQueries {
     def ps(bal: Column): Column =
       round(lit(1.0) / (lit(1.0) +
         exp(-(round(bal / 10000.0, 8) - 0.5))), 8)
-    val spend = orders(s, d).groupBy(col("o_custkey"))
-      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
-        .as("spend_d"))
     customer(s, d)
-      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .join(spendPerCust(s, d), col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_nationkey"),
         (col("c_mktsegment") === "BUILDING").as("treated"),
         ps(col("c_acctbal")).as("ps"),
@@ -82,9 +99,7 @@ object CausalDesignQueries {
     * three estimator oracles so the unit table is character-identical
     * across engines. */
   private val scoredUnitsSql: String =
-    """spend AS (SELECT o_custkey,
-      |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS spend_d
-      |  FROM orders GROUP BY 1),
+    s"""$spendCte,
       |cust AS (SELECT c_custkey, c_nationkey,
       |    c_mktsegment = 'BUILDING' AS treated,
       |    round(1.0/(1.0 + exp(-(round(c_acctbal/10000.0, 8) - 0.5))), 8)
@@ -323,12 +338,9 @@ object CausalDesignQueries {
     * toolkit next to q_did/q_cuped (designs) and the PSM/IPW/AIPW
     * trio (selection-on-observables). */
   def rddEffect(s: SparkSession, d: String): DataFrame = {
-    val spend = orders(s, d).groupBy(col("o_custkey"))
-      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
-        .as("spend_d"))
     val u = customer(s, d)
       .filter(col("c_acctbal") >= 2500.0 && col("c_acctbal") <= 7500.0)
-      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .join(spendPerCust(s, d), col("c_custkey") === col("o_custkey"), "left")
       .select(
         round((col("c_acctbal") - 5000.0) / 1000.0, 8).as("x"),
         (col("c_acctbal") >= 5000.0).as("hi"),
@@ -363,9 +375,7 @@ object CausalDesignQueries {
   }
 
   val rddEffectOracle: String =
-    """WITH spend AS (SELECT o_custkey,
-      |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS spend_d
-      |  FROM orders GROUP BY 1),
+    s"""WITH $spendCte,
       |u AS (SELECT round((c_acctbal - 5000.0)/1000.0, 8) AS x,
       |    c_acctbal >= 5000.0 AS hi,
       |    round(coalesce(CAST(spend_d AS DOUBLE), 0.0)/100000.0, 8) AS y
@@ -415,11 +425,8 @@ object CausalDesignQueries {
     * stage from ONE conditional fold — the two-fold z-split never
     * materializes. */
   def ivWald(s: SparkSession, d: String): DataFrame = {
-    val spend = orders(s, d).groupBy(col("o_custkey"))
-      .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
-        .as("spend_d"))
     val u = customer(s, d)
-      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .join(spendPerCust(s, d), col("c_custkey") === col("o_custkey"), "left")
       .select(
         (col("c_custkey") % 2 === 0).as("z"),
         when(col("c_custkey") % 2 === 0, col("c_acctbal") > 3000.0)
@@ -445,9 +452,7 @@ object CausalDesignQueries {
   }
 
   val ivWaldOracle: String =
-    """WITH spend AS (SELECT o_custkey,
-      |    sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS spend_d
-      |  FROM orders GROUP BY 1),
+    s"""WITH $spendCte,
       |u AS (SELECT c_custkey % 2 = 0 AS z,
       |    CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal > 3000.0
       |      ELSE c_acctbal > 7000.0 END AS DOUBLE) AS t,
@@ -485,7 +490,9 @@ object CausalDesignQueries {
     val u = scoredUnits(s, d)
       .withColumn("band",
         least(lit(4), floor(col("ps") * 5.0)).cast("int"))
-      .withColumn("t", col("treated").cast("double"))
+    import graft.operators.CacheOps.CheckpointSyntax
+    // the 5-row band table feeds three consumers (cum's two sides and
+    // the final join) — materialize it once, like scoredUnits itself
     val bands = u.groupBy(col("band")).agg(
       sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
       sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
@@ -493,6 +500,7 @@ object CausalDesignQueries {
         .as("y_t"),
       sum(when(!col("treated"), round(col("y"), 2)).cast("decimal(18,2)"))
         .as("y_c"))
+      .truncatedCheckpoint()
     val cum = bands.select(col("band").as("b0"))
       .join(broadcast(bands), col("band") >= col("b0"))
       .groupBy(col("b0"))

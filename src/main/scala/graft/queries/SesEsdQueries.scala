@@ -51,7 +51,11 @@ object SesEsdQueries {
         sum(col("wy")).cast("decimal(16,8)").as("f"))
       .filter(col("k") === 8)
     val scored = fc.join(daily, col("tday") === col("day"))
-      .withColumn("e", (col("f") - col("y")).cast("decimal(14,8)"))
+      .withColumn("e", (col("f") - col("y")).cast("decimal(18,8)"))
+      // (18,8): square is (37,16) — still exact under Spark's 38-digit
+      // cap, and the overflow-to-null threshold moves from |e|>=1e6
+      // (a reachable daily-revenue scale) to 1e10 (unreachable); the
+      // oracle's DECIMAL(19,8) twin never overflows in range
     scored.groupBy(col("alpha"))
       .agg(count(lit(1)).as("n_days"),
         sum(round(col("e") * col("e"), 8)).as("sse_d"))
