@@ -27,9 +27,17 @@ object FitExtraQueries {
     * pricing vs τ=0.5 median fit) was absent from the robust-fit
     * shelf (q_huber/q_theil_sen cover M- and rank-estimators). */
   def quantileReg(s: SparkSession, d: String): DataFrame = {
+    // the 80× grid expansion is COMPUTE-bound (80 pinball terms per
+    // input row), so it gets its own cores-sized stage (the recorded
+    // round-3 levenshtein rule): without the exchange the fold runs
+    // in the cached scan's 1-3 partitions — measured 47 s solo at
+    // sf0.1 vs ~3 s exchanged. The exchanged payload is two doubles
+    // per row, orders of magnitude smaller than the stage's compute
+    // at every scale.
     val li = lineitem(s, d).select(
-      round(col("l_extendedprice") / 1000.0, 6).as("y"),
-      col("l_quantity").as("x"))
+        round(col("l_extendedprice") / 1000.0, 6).as("y"),
+        col("l_quantity").as("x"))
+      .repartition(s.sparkContext.defaultParallelism)
     val grid = s.range(1)
       .select(explode(expr("sequence(-2, 2)")).as("b0"))
       .select(col("b0"), explode(expr("sequence(4, 11)")).as("b1i"))
