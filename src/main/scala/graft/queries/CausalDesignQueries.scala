@@ -446,9 +446,12 @@ object CausalDesignQueries {
     val n0 = f("n") - f("n1")
     val itt = round(col("sy1") / f("n1") - col("sy0") / n0, 8)
     val fs = round(col("st1") / f("n1") - col("st0") / n0, 8)
+    // fs = 0 (no first stage) guards to NULL explicitly: Spark 0/0
+    // yields NULL where DuckDB yields inf/nan, so the degenerate
+    // no-compliance corpus must short-circuit identically
     m.select(col("n"), col("n1"),
         itt.as("itt"), fs.as("first_stage"),
-        round(itt / fs, 6).as("late_wald"))
+        when(fs =!= 0.0, round(itt / fs, 6)).as("late_wald"))
   }
 
   val ivWaldOracle: String =
@@ -472,8 +475,9 @@ object CausalDesignQueries {
       |SELECT n, CAST(n1 AS BIGINT) AS n1,
       |  round(sy1/n1 - sy0/(n - n1), 8) AS itt,
       |  round(st1/n1 - st0/(n - n1), 8) AS first_stage,
-      |  round(round(sy1/n1 - sy0/(n - n1), 8)
-      |    /round(st1/n1 - st0/(n - n1), 8), 6) AS late_wald
+      |  CASE WHEN round(st1/n1 - st0/(n - n1), 8) <> 0
+      |    THEN round(round(sy1/n1 - sy0/(n - n1), 8)
+      |      /round(st1/n1 - st0/(n - n1), 8), 6) END AS late_wald
       |FROM m""".stripMargin
 
   /** q_uplift_bins — uplift-model evaluation over FIXED literal

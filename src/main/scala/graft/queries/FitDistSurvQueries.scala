@@ -42,10 +42,14 @@ object FitDistSurvQueries {
     val slope = round((cyy - cxx +
       sqrt((cyy - cxx) * (cyy - cxx) + lit(4.0) * cxy * cxy))
       / (lit(2.0) * cxy), 6)
+    // cxy = 0 (orthogonal measures) makes the closed form 0/0 and
+    // cxx = 0 degenerates OLS: guard both to NULL explicitly, since
+    // Spark nulls a double division by zero where DuckDB yields
+    // inf/nan — the engines must agree on degenerate data
     m.select(col("n"),
-      slope.as("slope_deming"),
-      round(my - slope * mx, 6).as("icept_deming"),
-      round(cxy / cxx, 6).as("slope_ols"))
+      when(cxy =!= 0.0, slope).as("slope_deming"),
+      when(cxy =!= 0.0, round(my - slope * mx, 6)).as("icept_deming"),
+      when(cxx =!= 0.0, round(cxy / cxx, 6)).as("slope_ols"))
   }
 
   val demingRegOracle: String =
@@ -69,11 +73,13 @@ object FitDistSurvQueries {
       |    round(sxy/n - round(sx/n, 8)*round(sy/n, 8), 8) AS cxy
       |  FROM m)
       |SELECT n,
-      |  round((cyy - cxx + sqrt((cyy - cxx)*(cyy - cxx)
-      |    + 4.0*cxy*cxy))/(2.0*cxy), 6) AS slope_deming,
-      |  round(my - round((cyy - cxx + sqrt((cyy - cxx)*(cyy - cxx)
-      |    + 4.0*cxy*cxy))/(2.0*cxy), 6)*mx, 6) AS icept_deming,
-      |  round(cxy/cxx, 6) AS slope_ols
+      |  CASE WHEN cxy <> 0
+      |    THEN round((cyy - cxx + sqrt((cyy - cxx)*(cyy - cxx)
+      |      + 4.0*cxy*cxy))/(2.0*cxy), 6) END AS slope_deming,
+      |  CASE WHEN cxy <> 0
+      |    THEN round(my - round((cyy - cxx + sqrt((cyy - cxx)*(cyy - cxx)
+      |      + 4.0*cxy*cxy))/(2.0*cxy), 6)*mx, 6) END AS icept_deming,
+      |  CASE WHEN cxx <> 0 THEN round(cxy/cxx, 6) END AS slope_ols
       |FROM c""".stripMargin
 
   /** q_gamma_fit — Gamma(k, β) fit of the order-value distribution

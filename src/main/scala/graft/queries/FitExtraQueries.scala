@@ -112,7 +112,11 @@ object FitExtraQueries {
       round(lit(4.0) * (f("n") * f("sxy") - f("sx") * f("sy")) / det, 8)
         .as("beta1"))
     val z = round(col("beta0") + col("beta1") * col("x"), 8)
-    val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 10)
+    // clamp away exact 0/1 saturation (|z| > ~23 rounds p to 0.0/1.0
+    // at 10dp): Spark log(0) yields NULL where DuckDB ln(0) raises,
+    // so the log arguments must never reach 0 in either engine
+    val p = least(greatest(round(lit(1.0) / (lit(1.0) + exp(-z)), 10),
+      lit(1.0e-10)), lit(0.9999999999))
     o.crossJoin(broadcast(beta))
       .withColumn("p", p)
       .withColumn("llrow", round(-(col("y") * log(col("p")) +
@@ -148,7 +152,9 @@ object FitExtraQueries {
       |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 8) AS beta1
       |  FROM m),
       |sc AS (SELECT n, beta0, beta1,
-      |    round(1.0/(1.0 + exp(-round(beta0 + beta1*x, 8))), 10) AS p, y
+      |    least(greatest(
+      |      round(1.0/(1.0 + exp(-round(beta0 + beta1*x, 8))), 10),
+      |      0.0000000001), 0.9999999999) AS p, y
       |  FROM o CROSS JOIN beta)
       |SELECT n, beta0, beta1,
       |  round(CAST(sum(CAST(round(-(y*ln(p) + (1.0 - y)*ln(1.0 - p)), 8)

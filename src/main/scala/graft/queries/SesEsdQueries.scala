@@ -13,6 +13,17 @@ import graft.Tables._
   * applied to Rosner's generalized ESD). */
 object SesEsdQueries {
 
+  /** ONE shared weight construction feeding BOTH engines (ADVICE
+    * r11): scala BigDecimal(double) rounds the shortest decimal
+    * repr where java new BigDecimal(double) rounds the exact binary
+    * expansion — identical at 8dp for the current 24 values, but a
+    * near-tie from a future alpha/lag change could round differently
+    * and break the hash gate. Both the DataFrame grid literal and
+    * the oracle SQL literal are this exact string. */
+  private def sesWeight(a: Double, j: Int): String =
+    new java.math.BigDecimal(a * math.pow(1.0 - a, j - 1.0))
+      .setScale(8, java.math.RoundingMode.HALF_UP).toPlainString
+
   /** q_ses_fit — simple-exponential-smoothing fit report over the
     * daily revenue series: for each smoothing constant α ∈ {0.2,
     * 0.5, 0.8}, the one-step-ahead forecast is the 8-lag truncated
@@ -39,8 +50,7 @@ object SesEsdQueries {
         .cast("decimal(14,7)").as("y"))
     val gridRows = for {
       a <- Seq(0.2, 0.5, 0.8); j <- 1 to 8
-    } yield (a, j, BigDecimal(a * math.pow(1.0 - a, j - 1.0))
-      .setScale(8, BigDecimal.RoundingMode.HALF_UP))
+    } yield (a, j, BigDecimal(sesWeight(a, j)))
     val grid = gridRows.toDF("alpha", "j", "w")
       .select(col("alpha"), col("j"), col("w").cast("decimal(10,8)"))
     val fc = daily.crossJoin(broadcast(grid))
@@ -70,10 +80,8 @@ object SesEsdQueries {
     val gridRows = (for {
       a <- Seq(0.2, 0.5, 0.8); j <- 1 to 8
     } yield {
-      val w = new java.math.BigDecimal(a * math.pow(1.0 - a, j - 1.0))
-        .setScale(8, java.math.RoundingMode.HALF_UP).toPlainString
       s"SELECT CAST($a AS DOUBLE) AS alpha, $j AS j, " +
-        s"CAST($w AS DECIMAL(10,8)) AS w"
+        s"CAST(${sesWeight(a, j)} AS DECIMAL(10,8)) AS w"
     }).mkString(" UNION ALL ")
     s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
        |    CAST(CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
@@ -121,9 +129,14 @@ object SesEsdQueries {
               - col("n") * (round(col("sv").cast("double") / col("n"), 8)
                 * round(col("sv").cast("double") / col("n"), 8)))
             / (col("n") - 1)), 8).as("sd"))
+      // sd = 0 (constant slice) guards to NULL: Spark 0/0 is NULL
+      // while DuckDB yields nan, so the degenerate round must
+      // short-circuit identically; NULL r_stat sorts last in both
+      // engines' DESC default and flags 0 via the three-valued >
       val cand = base.crossJoin(broadcast(m))
-        .withColumn("r_stat", round(abs(col("v") - col("mean")) / col("sd"), 8))
-        .orderBy(col("r_stat").desc, col("event_id"))
+        .withColumn("r_stat", when(col("sd") =!= 0.0,
+          round(abs(col("v") - col("mean")) / col("sd"), 8)))
+        .orderBy(col("r_stat").desc_nulls_last, col("event_id"))
         .limit(1)
         .select(lit(roundNo).as("round_no"), col("event_id"), col("v"),
           col("r_stat"),
@@ -153,11 +166,12 @@ object SesEsdQueries {
          |      /(count(*) - 1)), 8) AS sd
          |  FROM $base),
          |c$i AS (SELECT $i AS round_no, event_id, v,
-         |    round(abs(v - mean)/sd, 8) AS r_stat,
-         |    CASE WHEN round(abs(v - mean)/sd, 8) > 3.0
+         |    CASE WHEN sd <> 0
+         |      THEN round(abs(v - mean)/sd, 8) END AS r_stat,
+         |    CASE WHEN sd <> 0 AND round(abs(v - mean)/sd, 8) > 3.0
          |      THEN 1 ELSE 0 END AS flagged
          |  FROM $base, m$i
-         |  ORDER BY r_stat DESC, event_id LIMIT 1)""".stripMargin
+         |  ORDER BY r_stat DESC NULLS LAST, event_id LIMIT 1)""".stripMargin
     s"""WITH b1 AS (SELECT event_id, round(value, 6) AS v FROM events
        |  WHERE value IS NOT NULL),
        |${roundSql("b1", 1)},

@@ -58,9 +58,14 @@ object SurvivalCoxQueries {
       .select(col("n"), col("n_events"),
         round(col("u_d").cast("double"), 6).as("u_score"),
         round(col("i_d").cast("double"), 6).as("info_i"),
-        round(col("u_d").cast("double")
-          / sqrt(col("i_d").cast("double")), 6).as("z"),
-        round(col("u_d").cast("double") / col("i_d").cast("double"), 6)
+        // i_d <= 0 (degenerate information) guards z/beta1 to NULL:
+        // Spark nulls 0/0 and NaNs sqrt(<0) where DuckDB errors or
+        // yields inf — short-circuit identically in both engines
+        when(col("i_d").cast("double") > 0.0,
+          round(col("u_d").cast("double")
+            / sqrt(col("i_d").cast("double")), 6)).as("z"),
+        when(col("i_d").cast("double") > 0.0,
+          round(col("u_d").cast("double") / col("i_d").cast("double"), 6))
           .as("beta1"))
   }
 
@@ -95,8 +100,12 @@ object SurvivalCoxQueries {
       |SELECT n, n_events,
       |  round(CAST(u_d AS DOUBLE), 6) AS u_score,
       |  round(CAST(i_d AS DOUBLE), 6) AS info_i,
-      |  round(CAST(u_d AS DOUBLE)/sqrt(CAST(i_d AS DOUBLE)), 6) AS z,
-      |  round(CAST(u_d AS DOUBLE)/CAST(i_d AS DOUBLE), 6) AS beta1
+      |  CASE WHEN CAST(i_d AS DOUBLE) > 0 THEN
+      |    round(CAST(u_d AS DOUBLE)/sqrt(CAST(i_d AS DOUBLE)), 6)
+      |  END AS z,
+      |  CASE WHEN CAST(i_d AS DOUBLE) > 0 THEN
+      |    round(CAST(u_d AS DOUBLE)/CAST(i_d AS DOUBLE), 6)
+      |  END AS beta1
       |FROM nn CROSS JOIN folds""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.Bench.{attested, headlineIndex, PassStat}
+import graft.Bench.{attested, attestedClean, headlineIndex, PassStat}
 
 /** Unit pins for the bench artifact's headline-selection and
   * attestation rules (round-10) — pure logic, no Spark. These encode
@@ -32,6 +32,26 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(!attested(Seq(clean(70), dirty(71))),
       "a dirty pass cannot corroborate — its total is untrustworthy")
     assert(!attested(Seq(dirty(70), dirty(71))))
+  }
+
+  test("attestedClean: a repeatable reading from a dirty window is NOT attested (round-12, verdict item 2)") {
+    val agree = Seq(clean(95), clean(98))
+    // the BENCH_r11 shape: passes agree within 15% but the window was
+    // contended with canary_post 4.42 — spread-attestation alone let
+    // it ship attested:true
+    assert(!attestedClean(agree, contended = true,
+      canaryPost = 4.42, extCpu = 0.0))
+    // each dirty-window signal vetoes independently
+    assert(!attestedClean(agree, contended = false,
+      canaryPost = 1.30 * 1.26, extCpu = 0.0), "canary_post over band")
+    assert(!attestedClean(agree, contended = false,
+      canaryPost = 1.30, extCpu = 0.06), "external CPU competitor")
+    // clean window + agreeing passes = attested
+    assert(attestedClean(agree, contended = false,
+      canaryPost = 1.35, extCpu = 0.01))
+    // a clean window cannot rescue disagreeing passes
+    assert(!attestedClean(Seq(clean(70), clean(90)), contended = false,
+      canaryPost = 1.30, extCpu = 0.0))
   }
 
   test("headline: min over clean passes, ignoring dirty totals entirely") {

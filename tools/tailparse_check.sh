@@ -55,6 +55,19 @@ for key in ("metric", "value", "unit", "queries", "sf",
             "qsum", "attested", "spill_mem", "spill_disk"):
     if key not in obj:
         sys.exit(f"TAILPARSE FAIL: parsed JSON missing key {key!r}: {last[:200]}")
+# round-12 (verdict item 2): attested certifies repeatability AND
+# window cleanliness — an artifact may never wear attested:true while
+# self-flagging a dirty window (the BENCH_r11 shape: contended:true,
+# canary_post 4.42, attested:true)
+if obj["attested"]:
+    if obj["contended"]:
+        sys.exit("TAILPARSE FAIL: attested:true with contended:true")
+    if obj["canary_post"] > 1.30 * 1.25:
+        sys.exit(f"TAILPARSE FAIL: attested:true with canary_post "
+                 f"{obj['canary_post']} over the 25% reference band")
+    if obj["ext_cpu"] > 0.05:
+        sys.exit(f"TAILPARSE FAIL: attested:true with ext_cpu "
+                 f"{obj['ext_cpu']} (>5% external competitor)")
 if len(last) > 1500:
     sys.exit(f"TAILPARSE FAIL: JSON line is {len(last)} chars (>1500 budget — "
              "risks front-truncation in the driver's 2000-char tail)")
