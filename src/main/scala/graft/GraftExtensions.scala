@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinFilterPushdown)
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.DerivedPartitionPruning)
   }
 }
 
@@ -177,5 +178,9 @@ object GraftExtensions {
         .contains(graft.plans.LevenshteinBandRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinBandRewrite
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.DerivedPartitionPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DerivedPartitionPruning
   }
 }

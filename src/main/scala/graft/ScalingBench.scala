@@ -104,6 +104,17 @@ object ScalingBench {
         // index (new-documents growth model — see scaladoc)
         keyed.withColumn("text",
           regexp_replace(col("text"), "(\\S+)", s"$$1x$k"))
+      else if (name == "embeddings")
+        // distinct vectors per copy: rotate the dimension order by k.
+        // An index permutation is orthogonal — norms and WITHIN-copy
+        // dot products are preserved exactly, while cross-copy pairs
+        // decorrelate — so verbatim duplication cannot manufacture
+        // ×m² near-dup cliques the way it did for q_dedup_embed
+        // (measured exp_tail 1.855 on the duplicated corpus, the
+        // same data artifact the token suffix prevents for text)
+        keyed.withColumn("embedding", concat(
+          slice(col("embedding"), k % 64 + 1, 1000000),
+          slice(col("embedding"), 1, k % 64)))
       else keyed
     }
   }

@@ -81,6 +81,17 @@ object Layout {
         val ev = graft.Tables.events(spark, sfDir)
           .withColumn("event_date", to_date(col("ts2")))
         writePartitionedBucketed(ev, t, "event_date", buckets, "user_id")
+        // record the derivation invariant (+ the timezone to_date
+        // truncated in) so [[DerivedPartitionPruning]] can imply
+        // event_date predicates from literal ts2 predicates — the
+        // layout-only partition column is invisible to queries, and
+        // without this metadata a ts2 range filter prunes nothing
+        // (round-12, verdict item 6)
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES(" +
+          s"'${DerivedPartitionPruning.PropKey}'=" +
+          s"'event_date=to_date(ts2):$tz')")
+        ()
       } else {
         val df = graft.Tables.table(spark, sfDir, name)
         gradedBucketKeys.get(name) match {

@@ -76,15 +76,18 @@ object ScaleRules {
     *    entry was vestigial name trust).
     * (`bal` = floor(c_acctbal/1000) was retired in round 10 by the
     * measured-interval rule.) */
-  val boundedAliasJustifications: Map[String, String] = Map(
-    "mask" -> ("q_shapley/q_coalition_value (ShapleyQueries): mask = " +
-      "sum over ≤4 one-bit arms of 2^i, image ⊆ {0..15} — an AGGREGATE " +
-      "output, outside interval arithmetic; 2^|arms| is a compile-time " +
-      "constant of the query"),
-    "dig" -> ("q_fs_linkage (FsLinkageQueries): dig = substring(c_name, " +
-      "-2, 2), image ⊆ 2-char digit suffixes of TPC-H customer names, " +
-      "≤100 values — string-derived, so neither a measured interval " +
-      "nor a numeric image rule can carry it"))
+  val boundedAliasJustifications: Map[String, String] = Map.empty
+  // Round-12 (verdict item 7): the vocabulary is EMPTY — the last two
+  // entries retired structurally.
+  //  - `mask` (q_shapley/q_coalition_value): the bitmask aggregate is
+  //    bit_or now, and the BitOrAgg image rule in [[boundedValueExpr]]
+  //    carries it — OR of values in [0, h] stays ⊆ [0, 2^bits(h)−1]
+  //    whatever the row count (sum, the previous form, has no such
+  //    type-level bound, which is exactly why the name needed trust).
+  //  - `dig` (q_fs_linkage): the digit suffix is parsed to INT now,
+  //    and the fixed-length-substring-cast rule carries it — any
+  //    ≤2-char slice parses to NULL or an integer in [−9, 99], a
+  //    bound that is a property of decimal parsing, not of the data.
 
   val boundedAliasNames: Set[String] = boundedAliasJustifications.keySet
 
@@ -788,6 +791,17 @@ object ScaleRules {
         g.children.map(valueInterval(_, resolve))
           .reduce((a, b) => for { (l1, h1) <- a; (l2, h2) <- b }
             yield (math.max(l1, l2), math.max(h1, h2)))
+      // round-12: a CASE's value is one of its branch values (or the
+      // else, or NULL) — the hull of the branch intervals. A missing
+      // else contributes no value (NULL never widens a numeric hull).
+      case c: CaseWhen =>
+        val arms = c.branches.map(b => valueInterval(b._2, resolve)) ++
+          c.elseValue.map(valueInterval(_, resolve))
+        if (arms.isEmpty || arms.exists(_.isEmpty)) None
+        else {
+          val hulls = arms.flatten
+          Some((hulls.map(_._1).min, hulls.map(_._2).max))
+        }
       case _ => None
     }
   }
@@ -803,6 +817,123 @@ object ScaleRules {
       valueInterval(e, resolve).exists { case (lo, hi) =>
         hi - lo + 1 <= ColumnFacts.LowCardCap.toDouble
       }
+
+  /** Round-12 (verdict item 7, retiring `mask`): aggregate functions
+    * whose OUTPUT image is bounded by their INPUT image independent
+    * of the row count —
+    *  - bit_or of values in [0, h] (h ≥ lo ≥ 0) can only set bits
+    *    already settable in h, so the image is ⊆ [0, 2^bits(h)−1]
+    *    however many rows fold in (the property sum() lacks, which is
+    *    exactly why the bitmask alias needed vocabulary trust while
+    *    it was a sum);
+    *  - min/max/first/last PICK one input value, so a bounded input
+    *    image is preserved verbatim.
+    * `inline` lets plan-aware callers substitute derived attribute
+    * references with their defining expressions first (the aggregate
+    * input is usually an alias computed a Project below). */
+  private def boundedAggFn(
+      fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+      inline: Expression => Expression, resolve: Resolver): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    fn match {
+      case bo: BitOrAgg =>
+        valueInterval(inline(bo.child), resolve).exists { case (lo, hi) =>
+          lo >= 0 && hi < 65536
+        }
+      case mn: Min => boundedValueExpr(inline(mn.child), resolve)
+      case mx: Max => boundedValueExpr(inline(mx.child), resolve)
+      case f: First => boundedValueExpr(inline(f.child), resolve)
+      case l: Last => boundedValueExpr(inline(l.child), resolve)
+      case _ => false
+    }
+  }
+
+  /** Continuation id for the BOUNDED-key walk ONLY: like
+    * [[attrIdOf]], but also sees through
+    * `coalesce(attr, bounded-values…)` — the fallback adds at most
+    * its own (bounded) values to the image, so boundedness of the
+    * surviving attribute still bounds the key (the left-join
+    * null-fill shape: `coalesce(mask, 0)`). Deliberately NOT merged
+    * into [[attrIdOf]]: origin/interval traces share that helper,
+    * and a fallback literal outside a measured column range would
+    * corrupt a min/max fact (round-12). */
+  private def boundedAttrIdOf(e: Expression, resolve: Resolver)
+      : Option[org.apache.spark.sql.catalyst.expressions.ExprId] = e match {
+    case c: org.apache.spark.sql.catalyst.expressions.Coalesce =>
+      val ids = c.children.flatMap(attrIdOf(_).toSeq)
+      if (ids.distinct.size == 1 &&
+          c.children.forall(ch => attrIdOf(ch).isDefined ||
+            boundedValueExpr(ch, resolve))) ids.headOption
+      else None
+    case other => attrIdOf(other)
+  }
+
+  /** Strip casts down to an [[AggregateExpression]] and test its
+    * function's image rule — the alias-child shape a grouping-key
+    * walk sees at an Aggregate node. */
+  private def boundedAggAlias(e: Expression,
+      inline: Expression => Expression, resolve: Resolver): Boolean =
+    e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        boundedAggAlias(c.child, inline, resolve)
+      case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+        boundedAggFn(ae.aggregateFunction, inline, resolve)
+      case _ => false
+    }
+
+  /** Deep alias-definition lookup: the defining expression of a
+    * DERIVED attribute anywhere in the subtree (exprIds are globally
+    * unique, so the path to the Alias is irrelevant), with derived
+    * references inside the definition inlined recursively to a
+    * bounded depth. Physical attrs (no defining Alias) stay as-is for
+    * the resolver to trace. Conservative: not found ⇒ unchanged. */
+  private def inlineDerivedL(e: Expression, plan: LogicalPlan,
+      depth: Int = 6): Expression =
+    if (depth == 0) e
+    else e.transformUp {
+      case att: Attribute => findAliasDefL(att.exprId, plan)
+        .map(inlineDerivedL(_, plan, depth - 1)).getOrElse(att)
+    }
+
+  private def findAliasDefL(
+      id: org.apache.spark.sql.catalyst.expressions.ExprId,
+      plan: LogicalPlan): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    def lists(p: LogicalPlan): Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+      p match {
+        case pr: Project => pr.projectList
+        case a: Aggregate => a.aggregateExpressions
+        case _ => Nil
+      }
+    plan.collectFirst(scala.Function.unlift { n =>
+      lists(n).collectFirst { case al: Alias if al.exprId == id => al.child }
+    })
+  }
+
+  private def inlineDerivedP(e: Expression, plan: SparkPlan,
+      depth: Int = 6): Expression =
+    if (depth == 0) e
+    else e.transformUp {
+      case att: Attribute => findAliasDefP(att.exprId, plan)
+        .map(inlineDerivedP(_, plan, depth - 1)).getOrElse(att)
+    }
+
+  private def findAliasDefP(
+      id: org.apache.spark.sql.catalyst.expressions.ExprId,
+      plan: SparkPlan): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    def lists(p: SparkPlan): Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+      p match {
+        case pr: org.apache.spark.sql.execution.ProjectExec => pr.projectList
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.resultExpressions
+        case _ => Nil
+      }
+    plan.collectFirst(scala.Function.unlift { n =>
+      lists(n).collectFirst { case al: Alias if al.exprId == id => al.child }
+    })
+  }
 
   private def boundedValueExpr(e: Expression, resolve: Resolver): Boolean =
     e match {
@@ -839,6 +970,29 @@ object ScaleRules {
       // construction-time constant array (quantile grids ≤ ~100 cuts)
       case b: graft.functions.expressions.BoundaryBucket =>
         b.cuts.length + 1 <= 65536
+      // Round-12 (verdict item 7, retiring `dig`): a FIXED-LENGTH
+      // substring parsed to an integral type. Whatever the input
+      // string, a ≤k-char slice parses to NULL or an integer in
+      // [−(10^(k−1)−1), 10^k−1] — ≤ ~11·10^(k−1)+1 values, within
+      // the 65536 bounded-build cap for k ≤ 4. Sound with no data
+      // fact: the bound is a property of decimal string parsing.
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if integralTypes.contains(c.dataType) &&
+            (c.child match {
+              case ss: org.apache.spark.sql.catalyst.expressions.Substring =>
+                ss.len match {
+                  case Literal(k: Int, _) => k >= 0 && k <= 4
+                  case _ => false
+                }
+              case _ => false
+            }) => true
+      // Round-12 (verdict item 7): aggregate image rules — see
+      // [[boundedAggFn]]. This arm also SHADOWS the generic
+      // references-based fallthrough below for every aggregate, which
+      // would otherwise accept sum(lowCardCol) unsoundly (sum/count
+      // images grow with the row count however bounded the input is).
+      case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+        boundedAggFn(ae.aggregateFunction, identity, resolve)
       case c: org.apache.spark.sql.catalyst.expressions.Cast =>
         boundedValueExpr(c.child, resolve)
       case other =>
@@ -860,8 +1014,14 @@ object ScaleRules {
       val extra = exprs.flatMap {
         case al: org.apache.spark.sql.catalyst.expressions.Alias
             if ids(al.exprId) =>
-          if (boundedValueExpr(al.child, resolveL(below))) { hit = true; None }
-          else attrIdOf(al.child)
+          // second test: the aggregate image rules (bit_or/min/max…)
+          // with derived inputs inlined from the subtree below —
+          // bit_or's CASE-of-literals input is an alias computed in a
+          // Project under the aggregate (round-12, verdict item 7)
+          if (boundedValueExpr(al.child, resolveL(below)) ||
+              boundedAggAlias(al.child, inlineDerivedL(_, below),
+                resolveL(below))) { hit = true; None }
+          else boundedAttrIdOf(al.child, resolveL(below))
         case _ => None
       }
       (hit, ids ++ extra)
@@ -915,17 +1075,36 @@ object ScaleRules {
           case al: org.apache.spark.sql.catalyst.expressions.Alias
               if ids(al.exprId) =>
             if (boundedValueExpr(al.child, resolveP(pr.child))) { hit = true; None }
-            else attrIdOf(al.child)
+            else boundedAttrIdOf(al.child, resolveP(pr.child))
           case _ => None
         }
         hit || boundedKeyP(ids ++ extra, pr.child)
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         var hit = false
+        // physical result expressions reference the aggregate RESULT
+        // attribute, not the AggregateExpression itself — map result
+        // attrs back to their functions so the image rules (bit_or/
+        // min/max…, round-12 verdict item 7) can fire here too; the
+        // function's input attr is inlined by deep lookup, which sees
+        // through the exchange + partial-aggregate pair to the
+        // defining Project (exprIds are globally unique)
+        val aggFns = a.aggregateExpressions.map(ae =>
+          ae.resultAttribute.exprId -> ae.aggregateFunction).toMap
+        def aggImage(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+          e match {
+            case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+              aggImage(c.child)
+            case att: Attribute if aggFns.contains(att.exprId) =>
+              boundedAggFn(aggFns(att.exprId),
+                inlineDerivedP(_, a.child), resolveP(a.child))
+            case _ => false
+          }
         val extra = a.resultExpressions.flatMap {
           case al: org.apache.spark.sql.catalyst.expressions.Alias
               if ids(al.exprId) =>
-            if (boundedValueExpr(al.child, resolveP(a.child))) { hit = true; None }
-            else attrIdOf(al.child)
+            if (boundedValueExpr(al.child, resolveP(a.child)) ||
+                aggImage(al.child)) { hit = true; None }
+            else boundedAttrIdOf(al.child, resolveP(a.child))
           case _ => None
         }
         hit || boundedKeyP(ids ++ extra, a.child)

@@ -49,7 +49,7 @@ object FsLinkageQueries {
     val grid3 = customer(s, d).select(
         col("c_mktsegment").as("seg"),
         floor(col("c_acctbal") / 1000.0).cast("int").as("bal"),
-        substring(col("c_name"), -2, 2).as("dig"))
+        substring(col("c_name"), -2, 2).cast("int").as("dig"))
       .groupBy(col("seg"), col("bal"), col("dig"))
       .agg(count(lit(1)).as("cnt"))
       .truncatedCheckpoint()
@@ -84,7 +84,7 @@ object FsLinkageQueries {
       |  FROM (SELECT round(CAST(count(*) AS DOUBLE)
       |      /CAST(any_value(nn.n) AS DOUBLE), 10) AS p
       |    FROM customer, nn
-      |    GROUP BY substr(c_name, length(c_name) - 1, 2)))""".stripMargin
+      |    GROUP BY TRY_CAST(substr(c_name, length(c_name) - 1, 2) AS INT)))""".stripMargin
 
   /** q_fs_weights — the Fellegi–Sunter weight table: per field, the
     * estimated u, the fixed m, and the agreement / disagreement
@@ -163,7 +163,7 @@ object FsLinkageQueries {
     val cust = customer(s, d).select(col("c_custkey").as("ck"),
       col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
       floor(col("c_acctbal") / 1000.0).cast("int").as("bal"),
-      substring(col("c_name"), -2, 2).as("dig"))
+      substring(col("c_name"), -2, 2).cast("int").as("dig"))
     // hoist the six ln-ratio weights into the 1-row broadcast: they
     // are functions of u ALONE, and Spark's round() is a per-row
     // BigDecimal trip — six of them on every candidate pair was the
@@ -310,7 +310,7 @@ object FsLinkageQueries {
        |cust AS (SELECT c_custkey, c_nationkey,
        |    c_mktsegment AS seg,
        |    CAST(floor(c_acctbal/1000.0) AS INT) AS bal,
-       |    substr(c_name, length(c_name) - 1, 2) AS dig
+       |    TRY_CAST(substr(c_name, length(c_name) - 1, 2) AS INT) AS dig
        |  FROM customer),
        |wt AS (SELECT
        |    round(ln(round(0.95/u_seg, 10)), 8) AS wa_seg,

@@ -67,7 +67,13 @@ object ShapleyQueries {
       .select(col("user_id"), bitOf.as("bit"))
       .distinct()
       .groupBy(col("user_id"))
-      .agg(sum(col("bit")).cast("int").as("mask"))
+      // bit_or, not sum: identical values (each bit appears once per
+      // user after the distinct, and OR of distinct powers of two =
+      // their sum) but the OR form carries a TYPE-LEVEL image bound —
+      // OR of values in [0, 15] stays in [0, 15] whatever the row
+      // count — so ScaleRules proves `mask` bounded structurally
+      // (round-12: retires the alias-vocabulary entry)
+      .agg(bit_or(col("bit")).cast("int").as("mask"))
     firstPurchase.join(touchBits, Seq("user_id"), "left")
       .select(col("user_id"), coalesce(col("mask"), lit(0)).as("mask"))
   }

