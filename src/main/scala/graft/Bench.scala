@@ -334,6 +334,18 @@ object Bench {
       // cluster at 100 TB both go back up (AQE on, partitions ≈ 2-3×
       // cores) — see BASELINE.md.
       .config("spark.sql.adaptive.enabled", aqe)
+      // Round-12 (guide §1.2 step 3): the JVM-wide whole-stage-codegen
+      // class cache holds 100 entries by default — a 548-query suite
+      // compiles ~1500 distinct codegen units, so the warm pass's
+      // compilations are all evicted again before the timed passes,
+      // which then re-pay janino compilation per stage per pass, under
+      // 14-stream CPU contention. Sized to hold the whole suite; NOT a
+      // result cache (it memoizes compiled bytecode keyed on generated
+      // source — every pass still computes from the tables). The same
+      // dial applies verbatim to any multi-tenant job-server or
+      // repeated-ETL deployment at cluster scale.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     ownWarehouse.foreach(builder.config("spark.sql.warehouse.dir", _))

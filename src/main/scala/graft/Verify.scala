@@ -37,6 +37,12 @@ object Verify {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      // codegen class cache sized to the whole surface (round-12, same
+      // rationale as Bench: the 100-entry default evicts every unit on
+      // a 548-query sweep, re-paying janino per query; compiled-code
+      // memoization, not result caching)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_MAXPART").filter(_.nonEmpty).foreach { b =>
