@@ -620,7 +620,13 @@ object Bench {
           val s0 = System.nanoTime()
           try {
             graft.operators.CacheOps.scoped {
-              byName(name)(sess, sfDir)
+              // measurement-consistency fix (round-12, declared in
+              // OPTIMIZATION_r12.md): solo re-profiles previously ran
+              // over the RAW sfDir even when the timed suite ran the
+              // catalog layout, so solo numbers measured different
+              // plans than the suite they explain. queryDir = what the
+              // timed passes executed.
+              byName(name)(sess, queryDir)
                 .write.format("noop").mode("overwrite").save()
             }
             name -> (System.nanoTime() - s0) / 1e9

@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   *  2. run the running sum WITHIN each bucket (a partitioned window —
   *     buckets proceed in parallel);
   *  3. compute each bucket's total, derive per-bucket exclusive
-  *     offsets with a strictly-earlier self-join over the tiny
-  *     |buckets|² space, and broadcast-join the offsets back.
+  *     offsets with a prefix window over the tiny (≤|groups|·|buckets|
+  *     rows, bounded by construction) totals frame, and broadcast-join
+  *     the offsets back.
   *
   * The result equals the global running sum for ANY monotone bucket
   * boundary choice (equal keys always share a bucket), so the bucket
@@ -190,26 +191,35 @@ object PrefixOps {
       acc.withColumn(s"__pfx_w_$n", sum(c).over(w))
     }
     // 3. per-(group, bucket) totals → strictly-earlier offsets within
-    //    the group (|groups|·|buckets| rows; the self-join space is
-    //    that squared over same-group pairs — small — and both sides
-    //    broadcast)
+    //    the group. Round-12 (guide §2.4): the offsets are an
+    //    exclusive prefix over the TINY totals frame (≤
+    //    |groups|·|buckets| rows by construction — the bucket column's
+    //    domain is [0, nBuckets) via least/boundary-count), so a
+    //    window over it replaces the previous broadcast-self-join +
+    //    re-aggregate, which executed the totals subtree twice more
+    //    (once inside the `earlier` broadcast build, once in the
+    //    offsets job) and added two operators to every prefix plan.
+    //    Same values: sum over the strictly-earlier frame ≡ the old
+    //    left-join + sum, including NULL for the first bucket and
+    //    null-skipping (OrderStatsSpec's randomized equivalence trials
+    //    pin it). Scale: when grouped, the window partitions by the
+    //    group keys over an already-contracted aggregate (gate-clean);
+    //    ungrouped, the provable `limit(nBuckets)` no-op below the
+    //    window keeps the ≤nBuckets-row bound STRUCTURAL
+    //    (GlobalWindowSpec's limit-rescue), not narrative.
+    val nBuckets = if (boundaries.nonEmpty) boundaries.size + 1 else buckets
     val totals = parted
       .groupBy(pn.map(col) :+ col("__pfx_bucket").as("__tb"): _*).agg(
         sums.head match { case (n, c) => sum(c).as(s"__t_$n") },
         sums.tail.map { case (n, c) => sum(c).as(s"__t_$n") }: _*)
-    val earlier = totals.select(
-      pn.map(n => col(n).as(s"__pfx_e_$n")) ++
-        (col("__tb").as("__eb") +: sums.map { case (n, _) =>
-          col(s"__t_$n").as(s"__e_$n") }): _*)
-    val sameGroupEarlier = (pn.map(n => col(n) <=> col(s"__pfx_e_$n")) :+
-      (col("__eb") < col("__tb"))).reduce(_ && _)
-    val offsets = totals
-      .join(broadcast(earlier), sameGroupEarlier, "left")
-      .groupBy(pn.map(col) :+ col("__tb"): _*)
-      .agg(sums.head match { case (n, _) =>
-            sum(col(s"__e_$n")).as(s"__o_$n") },
-        sums.tail.map { case (n, _) =>
-          sum(col(s"__e_$n")).as(s"__o_$n") }: _*)
+    val wOff = Window.partitionBy(pn.map(col): _*).orderBy(col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums.foldLeft(
+        if (pn.isEmpty) totals.limit(nBuckets) else totals) {
+        case (acc, (n, _)) =>
+          acc.withColumn(s"__o_$n", sum(col(s"__t_$n")).over(wOff))
+      }
+      .drop(sums.map { case (n, _) => s"__t_$n" }: _*)
     // 4. offset + within = global inclusive prefix; keep the window
     //    sum's exact type so callers see the same schema a global
     //    window would have produced
@@ -331,14 +341,18 @@ object PrefixOps {
     val w = Window.partitionBy(col("__pfx_bucket")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = parted.withColumn(s"__pfx_w_$name", max(value).over(w))
+    // offsets as an exclusive prefix-max window over the ≤buckets-row
+    // totals frame (round-12 — same rewrite as [[runningSums]] step 3:
+    // replaces the broadcast-self-join + re-aggregate; the provable
+    // limit(buckets) no-op keeps the bound structural for the
+    // empty-partition window gate)
     val totals = parted.groupBy(col("__pfx_bucket").as("__tb"))
       .agg(max(value).as(s"__t_$name"))
-    val earlier = totals.select(col("__tb").as("__eb"),
-      col(s"__t_$name").as(s"__e_$name"))
-    val offsets = totals
-      .join(broadcast(earlier), col("__eb") < col("__tb"), "left")
-      .groupBy(col("__tb"))
-      .agg(max(col(s"__e_$name")).as(s"__o_$name"))
+    val wOff = Window.orderBy(col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.limit(buckets)
+      .withColumn(s"__o_$name", max(col(s"__t_$name")).over(wOff))
+      .drop(s"__t_$name")
     val joined = within.join(broadcast(offsets),
       col("__pfx_bucket") === col("__tb"), "left")
     joined

@@ -87,6 +87,11 @@ object CleanTextQueries {
     val toks = documents(s, d).select(col("doc_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // round-12: the shingle frame feeds the df build AND the coverage
+    // join — without the checkpoint the tokenize + 5-gram lead-window
+    // (the dominant work) executes once per consumer. Materialize the
+    // corpus-wide shingles once (same trade as q_tfidf_cosine's `w`).
+    import graft.operators.CacheOps.CheckpointSyntax
     val shingles = toks
       .withColumn("sh", concat_ws(" ", col("tok"),
         lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w),
@@ -94,6 +99,7 @@ object CleanTextQueries {
       .withColumn("t4", lead(col("tok"), 4).over(w))
       .where(col("t4").isNotNull)
       .select(col("doc_id"), col("sh"))
+      .truncatedCheckpoint()
     val df = shingles.select(col("sh"), col("doc_id")).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
     shingles.join(df, "sh")

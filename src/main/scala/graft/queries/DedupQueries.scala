@@ -373,10 +373,18 @@ object DedupQueries {
       .truncatedCheckpoint()
     val th = tok.select(col("doc_id"), md5(col("token")).as("m"))
       .select(col("doc_id"), expr(hexval("m")).as("h"))
+    // round-12: sig is scan-free (built over the tok checkpoint), so
+    // runningSums skips its own input materialization — but then the
+    // prefix pass's fan-out branches (bounds / within / totals) each
+    // RE-RUN the 16-min-hash aggregate (the query's dominant compute).
+    // One lazy checkpoint of the |docs|-row signature frame makes all
+    // branches read the same materialization (the PrefixOps scaladoc's
+    // "checkpoint explicitly between passes" case).
     val sig = th.groupBy(col("doc_id"))
       .agg(min(expr(mixedHash(0, "h"))).as("mh0"),
         (1 until MinhashK).map(i =>
           min(expr(mixedHash(i, "h"))).as(s"mh$i")): _*)
+      .truncatedCheckpoint()
     // adjacent-by-doc_id pairing WITHOUT a partition-less lead():
     // distributed running row-number (PrefixOps) + an equi-join of
     // rank r with rank r+1 — the inner join drops the last doc (no

@@ -212,11 +212,18 @@ object EvalExtraQueries {
     * semantics visible and identical in both engines on ANY input,
     * not just the all-present fixture. */
   def rankCorr(s: SparkSession, d: String): DataFrame = {
+    // round-12: pts feeds the two rank grids AND the final join —
+    // without the checkpoint each branch re-parses the props JSON for
+    // the whole fact table (column pruning can't drop the parse: the
+    // y-null filter needs it in every branch). One narrow 3-column
+    // materialization, same values.
+    import graft.operators.CacheOps.CheckpointSyntax
     val pts = events(s, d).select(
       col("event_type").as("t"),
       col("value").as("x"),
       get_json_object(col("props"), "$.k").cast("int").cast("double").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
+      .truncatedCheckpoint()
     // average (midrank) ranks off the contracted (t, value) grids —
     // a rank() window partitioned by the ~5-value t alone serializes
     // ~n/5 rows per task at scale (the round-6 funnel class; this

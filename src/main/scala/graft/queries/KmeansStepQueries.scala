@@ -37,20 +37,42 @@ object KmeansStepQueries {
     import graft.operators.CacheOps.CheckpointSyntax
     val ex = embeddings(s, d).select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
-      .withColumn("x", col("v").cast("double"))
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("x"))
       .truncatedCheckpoint()
-    def assign(cent: DataFrame): DataFrame = {
-      // d² = Σ_dims round((x−c)², 10) as exact decimal — identical in
-      // any engine, so the argmin (with cluster-id tiebreak) is too
-      val d2 = ex.join(broadcast(cent), "pos")
-        .groupBy(col("vec_id"), col("cluster"))
-        .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 10)
-          .cast("decimal(24,10)")).as("d2"))
-      d2.groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+    // Round-12 (guide §2.3 "aggregate before you shuffle"): the
+    // assignment used to join the K·|dims| centroid frame onto the
+    // exploded components (×K row expansion) and aggregate the
+    // (vec_id, cluster) pairs, then argmin-contract per vec_id — two
+    // aggregates over K× the rows. Pivoting the centroids WIDE (one
+    // row per dim, K centroid columns — K is the algorithm constant)
+    // computes all K distance sums in ONE pass over the unexpanded
+    // components, and the argmin becomes a row-local `least` over K
+    // structs: ~4× less aggregation hashing and no ×K shuffle. Values
+    // are unchanged — identical per-dim round/decimal arithmetic, and
+    // least(struct(d2, cluster)…) is exactly min(struct(d2, cluster))
+    // over the K rows (the isNotNull guard mirrors the old shape's
+    // absent rows for an empty cluster: least skips NULL args).
+    def assign(centWide: DataFrame): DataFrame = {
+      val sums = (0 until K).map { k =>
+        sum(round((col("x") - col(s"c_$k")) * (col("x") - col(s"c_$k")), 10)
+          .cast("decimal(24,10)")).as(s"d2_$k")
+      }
+      val d2 = ex.join(broadcast(centWide), "pos")
+        .groupBy(col("vec_id"))
+        .agg(sums.head, sums.tail: _*)
+      val candidates = (0 until K).map { k =>
+        when(col(s"d2_$k").isNotNull,
+          struct(col(s"d2_$k").as("d2"), lit(k).as("cluster")))
+      }
+      d2.select(col("vec_id"), least(candidates: _*).as("m"))
         .select(col("vec_id"), col("m.cluster").as("cluster"),
           col("m.d2").as("d2"))
     }
+    def pivotWide(cent: DataFrame): DataFrame =
+      cent.groupBy(col("pos")).agg(
+        max(when(col("cluster") === 0, col("c"))).as("c_0"),
+        (1 until K).map(k =>
+          max(when(col("cluster") === k, col("c"))).as(s"c_$k")): _*)
     // round-10: filter the K seed vectors BEFORE the explode, directly
     // on the base scan — the PK range pin pushes into the parquet read
     // (K rows touched) and the bounded-frame proof holds structurally:
@@ -59,16 +81,16 @@ object KmeansStepQueries {
     // dim there — the "≤ K rows" reading was never true of the
     // exploded frame; K·|dims| is bounded, but for the explode-of-a-
     // pinned-frame reason this shape now states explicitly)
-    val cent0 = embeddings(s, d).filter(col("vec_id") < K)
+    val cent0 = pivotWide(embeddings(s, d).filter(col("vec_id") < K)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id").cast("int").as("cluster"), col("pos"),
-        col("v").cast("double").as("c"))
+        col("v").cast("double").as("c")))
     val a0 = assign(cent0).truncatedCheckpoint()
-    val cent1 = a0.select(col("vec_id"), col("cluster"))
+    val cent1 = pivotWide(a0.select(col("vec_id"), col("cluster"))
       .join(ex, "vec_id")
       .groupBy(col("cluster"), col("pos"))
       .agg(round(sum(col("x").cast("decimal(20,10)")).cast("double") /
-        count(lit(1)).cast("double"), 8).as("c"))
+        count(lit(1)).cast("double"), 8).as("c")))
     val a1 = assign(cent1)
     val s0 = a0.groupBy(col("cluster")).agg(count(lit(1)).as("n0"),
       round(sum(col("d2")).cast("double"), 4).as("inertia0"))

@@ -48,16 +48,25 @@ object LlmPipeQueries {
     val split5 = substring(md5(col("doc_id").cast("string")), 1, 1)
     val base = toks(s, d).withColumn("bucket", split5)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = base.withColumn("gram",
+    // round-12 (guide §2.4): the bucket filters used to sit ABOVE the
+    // gram window, and `bucket` is not a window partition key, so
+    // Catalyst could not push them down — the full-corpus tokenize +
+    // 5-gram window executed once per branch (2× the dominant work).
+    // The split is a per-doc constant and the window partitions by
+    // doc_id, so filtering each branch's docs BEFORE the window (and
+    // the filter then pushes below the explode too) computes the same
+    // grams exactly once per doc.
+    def gramsOf(docs: DataFrame): DataFrame = docs
+      .withColumn("gram",
         concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
           lead(col("tok"), 2).over(w), lead(col("tok"), 3).over(w),
           lead(col("tok"), 4).over(w)))
       .withColumn("t4", lead(col("tok"), 4).over(w))
       .filter(col("t4").isNotNull)
-      .select(col("doc_id"), col("bucket"), col("gram"))
-    val trainGrams = grams.filter(!col("bucket").isin("e", "f"))
+      .select(col("doc_id"), col("gram"))
+    val trainGrams = gramsOf(base.filter(!col("bucket").isin("e", "f")))
       .select(col("gram")).distinct()
-    val testGrams = grams.filter(col("bucket").isin("e", "f"))
+    val testGrams = gramsOf(base.filter(col("bucket").isin("e", "f")))
       .select(col("doc_id"), col("gram")).distinct()
     val shared = testGrams.join(trainGrams, "gram")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
