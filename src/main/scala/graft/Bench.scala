@@ -216,7 +216,17 @@ object Bench {
     * alphabetical order after it. Object-level so the hygiene pin in
     * WideSurfaceSpec can check every entry against a live query name
     * (a rename would silently degrade the schedule otherwise). */
-  private[graft] val heavyFirstList: Seq[String] = Seq("q_lsh_exact", "q_kmeans_step",
+  private[graft] val heavyFirstList: Seq[String] = Seq(
+    // round-12 refresh: the measured top tier after this round's
+    // prefix-machinery rewrite (two same-window runs averaged) —
+    // the round-11 fit/causal widenings and the survivors of the
+    // old top tier, front-loaded so the 14 streams drain into a
+    // short tail
+    "q_als_step", "q_bigram_lm", "q_bland_altman", "q_bh_dunn",
+    "q_ridge_path", "q_rbo", "q_quantile_reg", "q_ch_db", "q_rake",
+    "q_psm_att", "q_rank_stability", "q_esd_outliers", "q_rdd_effect",
+    "q_entropy_rate",
+    "q_lsh_exact", "q_kmeans_step",
     "q_tfidf_cosine", "q_minhash_est", "q_rfm",
     "q_elasticity", "q_boilerplate", "q_cohort_ltv",
     "q_kmeans_assign", "q_math_funcs", "q_cte_recursive",

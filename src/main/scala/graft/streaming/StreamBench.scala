@@ -54,12 +54,21 @@ object StreamBench {
   private def envelope(fileNo: Int, envNo: Int, recs: Int): String = {
     val records = (0 until recs).map { r =>
       val id = f"$fileNo%05d-$envNo%04d-$r%04d"
-      // valid, monotone-ish event times so the watermarked dedup's
-      // state eviction path is exercised for real, not null-skipped
-      val day = 14 + fileNo % 14
-      val hh = (envNo * 131 + r) % 24
-      val mm = (fileNo * 7 + r) % 60
-      val eventTime = f"2023-11-$day%02dT$hh%02d:$mm%02d:00Z"
+      // Event times MONOTONE in file order (round-12 measurement fix,
+      // declared in OPTIMIZATION_r12.md): the original fixture cycled
+      // the day with fileNo % 14, so every file past #13 replayed
+      // already-watermarked days and the dedup dropped ~60% of the
+      // volume as LATE (80,074 of 200,000 reached the sink) — the
+      // recorded records/sec partly measured the drop path, not the
+      // pipeline. One hour per file, intra-file jitter within the
+      // hour: the watermark still advances and evicts state every
+      // trigger (the eviction path stays exercised), but nothing is
+      // late across triggers and the sink sees the full volume.
+      val hour = fileNo // files are picked up in name order
+      val day = 14 + hour / 24
+      val hh = hour % 24
+      val jitter = (envNo * 131 + r) % 3600
+      val eventTime = f"2023-11-$day%02dT$hh%02d:${jitter / 60}%02d:${jitter % 60}%02dZ"
       s"""{"eventVersion":"1.08","eventTime":"$eventTime","eventSource":"s3.amazonaws.com","eventName":"GetObject","awsRegion":"us-east-1","sourceIPAddress":"10.0.${fileNo % 256}.${r % 256}","userAgent":"aws-cli/2.0","userIdentity":{"type":"IAMUser","principalId":"P$id","arn":"arn:aws:iam::123456789012:user/u${r % 50}","accountId":"123456789012","accessKeyId":"AKIA$id"},"requestParameters":"{\\"bucketName\\":\\"b${fileNo % 10}\\"}","responseElements":null,"requestID":"R$id","eventID":"E$id","eventType":"AwsApiCall","recipientAccountId":"123456789012","readOnly":true,"errorCode":null,"errorMessage":null}"""
     }
     s"""{"Records":[${records.mkString(",")}]}"""
