@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRewrite)
     ext.injectOptimizerRule(_ => graft.plans.DerivedPartitionPruning)
+    ext.injectOptimizerRule(_ => graft.plans.FastRoundRewrite)
   }
 }
 
@@ -182,5 +183,9 @@ object GraftExtensions {
         .contains(graft.plans.DerivedPartitionPruning))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.DerivedPartitionPruning
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.FastRoundRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FastRoundRewrite
   }
 }

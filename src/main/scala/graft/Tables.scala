@@ -48,6 +48,21 @@ object Tables {
     }
   }
 
+  /** Ensure the graft extensions (custom functions + optimizer rules,
+    * notably the round-12 [[graft.plans.FastRoundRewrite]]) are
+    * registered on the session every graded query runs in. Query
+    * builders historically called GraftExtensions.register only where
+    * they needed a custom function, which left sessions built by
+    * other hosts (driver replicas, ad-hoc notebooks) without the
+    * whole-surface rewrite rules; hooking the single chokepoint every
+    * query passes through (its table loader) makes registration
+    * universal. Guarded on a marker function so the per-call cost is
+    * one registry lookup. */
+  private def ensureExtensions(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+      graft.GraftExtensions.register(spark)
+
   /** Plain parquet table scan (memoized per session).
     *
     * Round-10 (verdict item 4): a `catalog:<prefix>` dir routes every
@@ -57,11 +72,13 @@ object Tables {
     * graded query is dir-parameterized already, so the SAME query
     * code runs over the 100 TB layout, and LayoutGradedSpec proves
     * hash-identical results plus the exchange-free bucketed join. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    ensureExtensions(spark)
     sessionMemo(spark).getOrElseUpdate((sfDir, name),
       if (sfDir.startsWith("catalog:"))
         spark.table(s"${sfDir.stripPrefix("catalog:")}_$name")
       else spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
@@ -82,6 +99,7 @@ object Tables {
     * idempotent and safe to repeat per call.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureExtensions(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sessionMemo(spark).getOrElseUpdate((sfDir, "events_decoded"),
       eventsDecoded(spark, sfDir))
