@@ -17,7 +17,7 @@ OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.la
 # heap override (SPARK_DRIVER_MEM, default 8g) mirrors build.sbt's run
 # options — the low-memory certification (BASELINE.md round 10) runs
 # the same sweep at 2g to prove the suite spills instead of OOMing
-java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+java $OPENS -Xmx${SPARK_DRIVER_MEM:-16g} -XX:ReservedCodeCacheSize=1g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.Verify "$SF" "$OUT" "$@"
 python3 tools/oracle_check.py "$SF" "$OUT" "$@"
 python3 tools/hashcheck.py "$SF" "$OUT" "$@"
